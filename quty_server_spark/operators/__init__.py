@@ -1,0 +1,11 @@
+"""Operator modules. Importing this package registers every query."""
+
+from quty_server_spark.operators import (  # noqa: F401
+    relational,
+    pubsub,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+)
+from quty_server_spark import streaming  # noqa: F401

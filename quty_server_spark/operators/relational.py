@@ -1,0 +1,983 @@
+"""Relational operator surface (SURVEY.md §2.C rows 1–9).
+
+Pure Catalyst-planned DataFrame queries over the TPC-H-ish star schema plus
+``events``. Design rules for 100 TB scale:
+
+- dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()`` — these stay small relative to the fact tables, so the
+  join is a map-side hash join with zero shuffle of the fact side;
+- aggregations are expressed so partial (map-side) aggregation applies;
+- filters are plain column predicates → parquet pushdown + column pruning;
+- every ordering used by a window/limit carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from quty_server_spark.operators._helpers import davg, dsum, load_table, oavg, osum
+from quty_server_spark.plans.registry import registry
+
+# ---------------------------------------------------------------------------
+# Flagship: delivery report over the message stream (events).
+# Mirrors the reference's data plane summarized per channel: the channel key
+# is `event_type` (SURVEY §1.1 "Channel"), the subscriber is `user_id`.
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "flagship_delivery_report",
+    oracle=f"""
+    SELECT event_type AS channel,
+           COUNT(*) AS msg_count,
+           COUNT(DISTINCT user_id) AS subscriber_count,
+           {osum('value')} AS total_value,
+           {oavg('value')} AS avg_value,
+           SUM(CAST(CAST(props ->> '$.k' AS INTEGER) AS BIGINT)) AS sum_k
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def flagship_delivery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel delivery report: scan→filter→project→agg.
+
+    Spark-first restatement of the reference's routing ledger
+    (lib/ChannelHub.js:241-279 fan-out counts per channel).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 0)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int").cast("bigint"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("msg_count"),
+            F.countDistinct("user_id").alias("subscriber_count"),
+            dsum("value").alias("total_value"),
+            davg("value").alias("avg_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity')} AS sum_qty,
+           {osum('l_extendedprice')} AS sum_base_price,
+           {osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oavg('l_quantity')} AS avg_qty,
+           {oavg('l_extendedprice')} AS avg_price,
+           {oavg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan aggregate with computed measures.
+
+    Note: l_extendedprice*(1-l_discount) is computed in double (both engines
+    do IEEE-identical multiplication) then summed exactly as decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@registry.query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-N.
+
+    customer is broadcast (small dim); lineitem⋈orders shuffles on the
+    join key only after pushdown-pruned scans.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@registry.query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with local-supplier condition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@registry.query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept on the ON clause so
+    non-matching customers survive with NULLs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@registry.query(
+    "join_right_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_nationkey, n.n_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@registry.query(
+    "join_full_outer",
+    oracle="""
+    WITH sup_n AS (SELECT DISTINCT s_nationkey FROM supplier),
+         cus_n AS (SELECT DISTINCT c_nationkey FROM customer
+                   WHERE c_acctbal > 9000)
+    SELECT s.s_nationkey, c.c_nationkey
+    FROM sup_n s FULL JOIN cus_n c ON s.s_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_nationkey")
+        .distinct()
+    )
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_nationkey", "c_nationkey"
+    )
+
+
+@registry.query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — the reference's membership test (`isNodeSubscribed`,
+    lib/ChannelHub.js:91-101) expressed relationally."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@registry.query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the broadcast-fallback predicate of the routing core
+    (`sendMessage` flood branch, lib/ChannelHub.js:262-266)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@registry.query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.s_suppkey FROM region r CROSS JOIN supplier s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — the reference's flood broadcast (`QutyCluster.broadcast`,
+    lib/QutyCluster.js:88-102): every message × every node."""
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    return r.crossJoin(broadcast(s)).select("r_name", "s_suppkey")
+
+
+@registry.query(
+    "join_range_nonequi",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_close, MIN(c.c_custkey) AS min_cust
+    FROM supplier s
+    JOIN customer c ON c.c_acctbal BETWEEN s.s_acctbal - 50 AND s.s_acctbal + 50
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: customers within ±50 acctbal of each supplier.
+
+    Broadcast-nested-loop with the SMALL side broadcast — at scale the
+    range side would be bucketized (band join); here supplier is tiny.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 50) & (c.c_acctbal <= s.s_acctbal + 50)
+    return (
+        c.join(broadcast(s), cond)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"), F.min("c_custkey").alias("min_cust"))
+    )
+
+
+@registry.query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.value,
+           epoch_us(c.ts) AS last_click_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior-or-equal click
+    by the same user. Implemented shuffle-once: union both sides, one
+    window pass per user ordered by time (`last(click_ts) IGNORE NULLS`),
+    instead of a per-row subquery. Scales as a single sort within user
+    partitions — no nested-loop, no skew beyond the user key itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_p"),
+    )
+    # At equal ts the click must sort BEFORE the purchase (>= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = purchases.unionByName(clicks).withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return unioned.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros("click_ts").alias("last_click_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "agg_basic",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {osum('o_totalprice')} AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {oavg('o_totalprice')} AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+@registry.query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@registry.query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded to absorb float-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@registry.query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). The approximate-sketch variant is
+    `agg_approx_distinct` (rows-only)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@registry.query("agg_approx_distinct")  # rows-only: sketch output is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the scale path for
+    count-distinct at 100 TB (no exact-distinct shuffle explosion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@registry.query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {osum('c.c_acctbal')} AS total_bal,
+           COUNT(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(dsum("c_acctbal").alias("total_bal"), F.count("*").alias("n_cust"))
+    )
+
+
+@registry.query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {osum('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@registry.query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {osum('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "window_row_number_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k pattern (no
+    global sort; rank inside each group's partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@registry.query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wt = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@registry.query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           epoch_us(CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "us_since_prev"
+        ),
+    )
+
+
+@registry.query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@registry.query(
+    "window_moving_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS moving_avg
+    FROM events
+    """,
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average (3-row window per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "sort_limit_topn",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — Spark plans TakeOrderedAndProject (per-partition
+    top-N + merge), never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)
+    )
+
+
+@registry.query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+distinct — the reference's channel catalog
+    (`get channels()`, lib/ChannelHub.js:32-51)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@registry.query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@registry.query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS memberkey FROM customer
+    EXCEPT
+    SELECT s_suppkey AS memberkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference with distinct) — custkey and suppkey ranges
+    overlap, so the subtraction is non-trivial."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("memberkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("memberkey"))
+    return c.subtract(s)
+
+
+@registry.query(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "scalar_strings",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS lname,
+           UPPER(p_brand) AS ubrand,
+           SUBSTR(p_type, 1, 5) AS type5,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS snake,
+           SPLIT_PART(p_type, ' ', 1) AS first_word,
+           TRIM(LPAD(p_brand, 12, '*')) AS padded,
+           REGEXP_EXTRACT(p_name, '[0-9]+') AS first_num,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           STARTS_WITH(p_type, 'S') AS starts_s
+    FROM part
+    """,
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.trim(F.lpad("p_brand", 12, "*")).alias("padded"),
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("first_num"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.col("p_type").startswith("S").alias("starts_s"),
+    )
+
+
+@registry.query(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           EXTRACT(DAY FROM o_orderdate) AS dy,
+           EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    """,
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery. Conventions aligned explicitly: Spark dayofweek is
+    1=Sunday, DuckDB dayofweek is 0=Sunday → oracle adds 1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@registry.query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_d,
+           CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_p,
+           CAST(FLOOR(l_extendedprice) AS DOUBLE) AS floor_p,
+           FLOOR((CAST(ROUND(l_extendedprice * 100) AS BIGINT) + 50) / 100.0) / 100.0
+               AS hundredths,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn,
+           ROUND(SQRT(l_extendedprice), 6) AS sqrt_p,
+           l_quantity * l_quantity AS qty_sq,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. ``hundredths`` (round-half-up of price/100 to 2
+    decimals) is computed in integer cents — Spark's ROUND(double) rounds
+    the decimal string (half-up) while DuckDB rounds the binary value, so
+    exact-half inputs diverge; integer math sidesteps the ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_extendedprice").cast("double").alias("ceil_p"),
+        F.floor("l_extendedprice").cast("double").alias("floor_p"),
+        (F.floor((cents + 50) / 100.0) / 100.0).alias("hundredths"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("sgn"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@registry.query(
+    "scalar_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(CAST(props ->> '$.k' AS INTEGER) AS BIGINT)) AS sum_k,
+           COUNT(CASE WHEN CAST(props ->> '$.k' AS INTEGER) > 50 THEN 1 END) AS n_high,
+           MIN(CAST(props ->> '$.k' AS INTEGER)) AS min_k,
+           MAX(CAST(props ->> '$.k' AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload access — the reference's schemaless JSON
+    payload (lib/util.js:234-241) queried lazily via get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k.cast("bigint")).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@registry.query(
+    "scalar_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token_alpha,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized text (split/size/distinct/sort/contains)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token_alpha"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@registry.query(
+    "conditional_case_null",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status_label,
+           (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+           IF(o_orderpriority LIKE '1%', 1, 0) AS is_urgent
+    FROM orders
+    """,
+)
+def conditional_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")).alias(
+            "status_label"
+        ),
+        F.col("o_orderstatus").eqNullSafe("F").alias("is_f_nullsafe"),
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@registry.query(
+    "subquery_scalar_in",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                              / COUNT(c_acctbal) FROM customer)
+      AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries. AVG comparison is a filter (not an output),
+    so raw double avg is safe: both engines agree on the comparison except
+    for customers within one ulp of the mean — none exist in 2-decimal
+    acctbal data."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    avg_bal = c.agg(davg("c_acctbal").alias("a"))
+    return (
+        c.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory + per-session tuning.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for local runs (tests, bench).
+- :func:`configure` applies runtime-settable confs to an EXISTING session
+  (the correctness driver owns its own SparkSession and hands it to us, so
+  anything we rely on at query time must be runtime-settable).
+
+Scale stance (100 TB design point): every conf here is either a no-op or a
+win on a real cluster — AQE handles skew/coalescing at runtime, Arrow keeps
+the unavoidable pandas-UDF paths vectorized, and the nanos conf is required
+to scan the canonical ``events`` table (parquet TIMESTAMP(NANOS), which the
+Spark vectorized reader does not map natively).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and required/valuable regardless of who
+# built the SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS); read as long (ns) and convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-vectorized pandas UDF / toPandas transfer.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Session timezone pinned so epoch<->timestamp conversions are stable
+    # and match the DuckDB oracle (naive timestamps).
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; never fail configuration.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "quty-server-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster leave it unset and let AQE coalesce from a higher initial value.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,55 @@
+"""Batch sources: canonical parquet tables.
+
+The driver's fixture set (TESTDATA.md) is a TPC-H-ish star schema plus an
+``events`` message stream, a ``documents`` corpus and an ``embeddings``
+vector table. These loaders are the single place where schema quirks are
+normalized so every downstream operator sees clean types:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS); with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as int64 ns and is
+  converted here to a microsecond timestamp (truncation, matching DuckDB's
+  ``ts::TIMESTAMP`` cast of a TIMESTAMP_NS value).
+
+Scale note: loads are plain ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown / column pruning / partition pruning; do NOT cache or
+materialize here — the 100 TB design point relies on scans staying lazy and
+pruned per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quty_server_spark.session import configure
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table, normalizing schema quirks."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanoseconds -> microsecond timestamp. Integer division (DIV)
+        # is mandatory: float division would round the ~1.7e18 ns epoch value
+        # past double precision before truncating.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every canonical table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
