@@ -1,1 +1,490 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Pub/sub data plane of the reference, re-expressed relationally.
+
+The reference (quty-io/quty-server) is a channel-routing mesh; its core
+semantics (SURVEY.md §2.A) are preserved here as Spark DataFrame operators
+over a *derived* changelog built from the canonical ``events`` table:
+
+- ``signup``  → ``join``  (ChannelHub.subscribeClient, lib/ChannelHub.js:134-154)
+- ``error``   → ``leave`` (ChannelHub.unsubscribeClient, lib/ChannelHub.js:156-173)
+- ``purchase`` with value > 195 → ``kick`` — global removal from every
+  channel (ChannelHub.removeClient, lib/ChannelHub.js:187-199)
+- ``click``   → a routed message (ChannelHub.sendMessage, lib/ChannelHub.js:241-279)
+
+The channel key is ``'ch' || (props.k % 5)`` and the member is ``user_id``
+(the reference's ``cid``). The owning node of a member is
+``'node' || (user_id % 4)`` — mirroring "subscribe node first"
+(lib/ChannelHub.js:143-147).
+
+Scale notes: current-state resolution is one window pass per
+(channel, member) — at 100 TB this is an incremental compaction
+(streaming state / MERGE), see streaming/state.py; the routing join
+shuffles messages by channel with the subscription side broadcast when
+small; hot-channel skew is AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+# ---------------------------------------------------------------------------
+# Shared derivations (Spark) + their DuckDB CTE twins
+# ---------------------------------------------------------------------------
+
+# DuckDB CTE fragments reused by every oracle below.
+SQL_CHANGELOG = """
+changelog AS (
+    SELECT 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR) AS channel,
+           user_id AS member_id,
+           CASE WHEN event_type = 'signup' THEN 'join'
+                WHEN event_type = 'error' THEN 'leave'
+                ELSE 'kick' END AS op,
+           CAST(ts AS TIMESTAMP) AS ts,
+           event_id
+    FROM events
+    WHERE event_type IN ('signup', 'error')
+       OR (event_type = 'purchase' AND value > 195)
+)"""
+
+SQL_CURRENT_SUBS = """
+last_channel_op AS (
+    SELECT channel, member_id, op AS last_op, ts AS op_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY channel, member_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM changelog WHERE op IN ('join', 'leave'))
+    WHERE rn = 1
+),
+last_kick AS (
+    SELECT member_id, MAX(ts) AS kick_ts FROM changelog
+    WHERE op = 'kick' GROUP BY member_id
+),
+current_subs AS (
+    SELECT l.channel, l.member_id
+    FROM last_channel_op l
+    LEFT JOIN last_kick k ON l.member_id = k.member_id
+    WHERE l.last_op = 'join' AND (k.kick_ts IS NULL OR k.kick_ts < l.op_ts)
+)"""
+
+SQL_MESSAGES = """
+messages AS (
+    SELECT event_id,
+           'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 7 AS VARCHAR) AS channel,
+           'node' || CAST(user_id % 4 AS VARCHAR) AS origin_node,
+           user_id AS sender_id,
+           value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+)"""
+
+
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription changelog (join/leave/kick) derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(
+            F.col("event_type").isin("signup", "error")
+            | ((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        )
+        .select(
+            F.concat(F.lit("ch"), (k % 5).cast("string")).alias("channel"),
+            F.col("user_id").alias("member_id"),
+            F.when(F.col("event_type") == "signup", "join")
+            .when(F.col("event_type") == "error", "leave")
+            .otherwise("kick")
+            .alias("op"),
+            "ts",
+            "event_id",
+        )
+    )
+
+
+def current_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the reference's eventually-consistent subscription map
+    (lib/ChannelHub.js:23-30) as its deterministic fold: latest join/leave
+    per (channel, member), voided by any later global kick.
+
+    Idempotent joins (lib/ChannelHub.js:65-69) fall out of last-op-wins;
+    channel GC (lib/ChannelHub.js:85-88) falls out of empty groups simply
+    not existing in the aggregate.
+    """
+    log = changelog(spark, sf_dir)
+    w = Window.partitionBy("channel", "member_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_op = (
+        log.filter(F.col("op").isin("join", "leave"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("channel", "member_id", F.col("op").alias("last_op"), F.col("ts").alias("op_ts"))
+    )
+    last_kick = (
+        log.filter(F.col("op") == "kick")
+        .groupBy("member_id")
+        .agg(F.max("ts").alias("kick_ts"))
+    )
+    return (
+        last_op.join(broadcast(last_kick), "member_id", "left")
+        .filter(
+            (F.col("last_op") == "join")
+            & (F.col("kick_ts").isNull() | (F.col("kick_ts") < F.col("op_ts")))
+        )
+        .select("channel", "member_id")
+    )
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The message stream to route: click events addressed to a channel."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    # Channel space ch0..ch6 vs subscriptions' ch0..ch4: ch5/ch6 messages
+    # have no subscribers anywhere -> they exercise the flood fallback.
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.concat(F.lit("ch"), (k % 7).cast("string")).alias("channel"),
+        F.concat(F.lit("node"), (F.col("user_id") % 4).cast("string")).alias(
+            "origin_node"
+        ),
+        F.col("user_id").alias("sender_id"),
+        "value",
+        "ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# State operators (§2.A #7-#18)
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "subs_current_state",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}
+    SELECT channel, member_id FROM current_subs
+    """,
+)
+def subs_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #7/#8/#12/#13/#15/#17: the folded subscription table."""
+    return current_subs(spark, sf_dir)
+
+
+@registry.query(
+    "subs_member_channels",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}
+    SELECT member_id, COUNT(*) AS n_channels,
+           MIN(channel) AS first_channel, MAX(channel) AS last_channel
+    FROM current_subs GROUP BY member_id
+    """,
+)
+def subs_member_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #10/#16 `getClientSubscriptions`: per-member subscription scan.
+    The reference scans all channels O(channels) per member
+    (lib/ChannelHub.js:201-216); here it is one aggregation."""
+    return (
+        current_subs(spark, sf_dir)
+        .groupBy("member_id")
+        .agg(
+            F.count("*").alias("n_channels"),
+            F.min("channel").alias("first_channel"),
+            F.max("channel").alias("last_channel"),
+        )
+    )
+
+
+@registry.query(
+    "subs_channel_catalog",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}
+    SELECT channel FROM current_subs
+    UNION
+    SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS channel
+    FROM current_subs
+    """,
+)
+def subs_channel_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #18 `get channels()`: union+distinct of the client-channel key
+    set and the node-channel key set (lib/ChannelHub.js:32-51); node
+    channels mirror 'subscribe owning node first' (lib/ChannelHub.js:143-147).
+    """
+    subs = current_subs(spark, sf_dir)
+    client_side = subs.select("channel")
+    node_side = subs.select(
+        F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string")).alias(
+            "channel"
+        )
+    )
+    return client_side.unionByName(node_side).distinct()
+
+
+@registry.query(
+    "subs_kick_cascade",
+    oracle=f"""
+    WITH {SQL_CHANGELOG},
+    last_channel_op AS (
+        SELECT channel, member_id, op AS last_op, ts AS op_ts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY channel, member_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM changelog WHERE op IN ('join', 'leave'))
+        WHERE rn = 1),
+    kicked AS (SELECT DISTINCT member_id FROM changelog WHERE op = 'kick')
+    SELECT l.channel, l.member_id
+    FROM last_channel_op l
+    JOIN kicked k ON l.member_id = k.member_id
+    WHERE l.last_op = 'join'
+    """,
+)
+def subs_kick_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #15 `removeClient` audit: the (channel, member) rows a kick
+    cascade would touch — members currently joined per last join/leave who
+    have ever been kicked (lib/ChannelHub.js:187-199, CLIENT_KICK dispatch
+    lib/QutyCluster.js:618-626)."""
+    log = changelog(spark, sf_dir)
+    w = Window.partitionBy("channel", "member_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_op = (
+        log.filter(F.col("op").isin("join", "leave"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "join"))
+        .select("channel", "member_id")
+    )
+    kicked = log.filter(F.col("op") == "kick").select("member_id").distinct()
+    return last_op.join(broadcast(kicked), "member_id", "left_semi").select(
+        "channel", "member_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routing operators (§2.A #3-#6, #9, #14)
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "route_fanout",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}, {SQL_MESSAGES}
+    SELECT m.event_id, m.channel, s.member_id, m.sender_id, m.value
+    FROM messages m JOIN current_subs s ON m.channel = s.channel
+    """,
+)
+def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #3 `sendMessage`, targeted branch: one output row per
+    (message, subscriber) — the central routing operator
+    (lib/ChannelHub.js:251-261, 267-273). Messages to channels with no
+    subscribers are dropped by the inner join — the reference's
+    at-most-once drop (lib/ChannelHub.js:274).
+
+    Plan: shuffle messages by channel; the subscription side is broadcast
+    (it is the compacted state, small relative to traffic). Hot channels
+    (10^6 subscribers) are the skew risk — AQE skew-join splits them.
+    """
+    msgs = messages(spark, sf_dir)
+    subs = current_subs(spark, sf_dir)
+    return msgs.join(broadcast(subs), "channel").select(
+        "event_id", "channel", "member_id", "sender_id", "value"
+    )
+
+
+@registry.query(
+    "route_broadcast_fallback",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}, {SQL_MESSAGES},
+    nodes AS (SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS node_id
+              FROM current_subs),
+    orphans AS (
+        SELECT m.* FROM messages m
+        WHERE NOT EXISTS (SELECT 1 FROM current_subs s WHERE s.channel = m.channel))
+    SELECT o.event_id, o.channel, n.node_id
+    FROM orphans o CROSS JOIN nodes n
+    WHERE n.node_id <> o.origin_node
+    """,
+)
+def route_broadcast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #3 flood branch + #5 broadcast: messages whose channel has no
+    known subscriber flood every node except the origin (excludeSelf) —
+    lib/ChannelHub.js:262-266, lib/QutyCluster.js:88-102 (self-exclusion
+    at :99). Left-anti join → cross join with the node list."""
+    msgs = messages(spark, sf_dir)
+    subs = current_subs(spark, sf_dir)
+    nodes = subs.select(
+        F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string")).alias(
+            "node_id"
+        )
+    ).distinct()
+    orphans = msgs.join(subs, "channel", "left_anti")
+    return (
+        orphans.crossJoin(broadcast(nodes))
+        .filter(F.col("node_id") != F.col("origin_node"))
+        .select("event_id", "channel", "node_id")
+    )
+
+
+@registry.query(
+    "route_membership_recheck",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}, {SQL_MESSAGES}
+    SELECT m.event_id, m.channel, m.sender_id,
+           EXISTS (SELECT 1 FROM current_subs s
+                   WHERE s.channel = m.channel AND s.member_id = m.sender_id)
+               AS sender_subscribed
+    FROM messages m
+    """,
+)
+def route_membership_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #9/#14 membership test + #28 delivery-time re-check: is the
+    sender itself subscribed to the channel it published to?
+    (`isClientSubscribed`, lib/ChannelHub.js:175-185; re-check at delivery
+    example/engine-io.server.js:55,83). Left join + flag instead of a
+    per-row lookup."""
+    msgs = messages(spark, sf_dir)
+    subs = current_subs(spark, sf_dir).withColumn("hit", F.lit(1))
+    return (
+        msgs.join(
+            broadcast(subs),
+            (msgs.channel == subs.channel) & (msgs.sender_id == subs.member_id),
+            "left",
+        )
+        .select(
+            "event_id",
+            msgs.channel.alias("channel"),
+            "sender_id",
+            F.col("hit").isNotNull().alias("sender_subscribed"),
+        )
+    )
+
+
+@registry.query(
+    "route_loop_suppression",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}, {SQL_MESSAGES}
+    SELECT m.event_id, m.channel, s.member_id
+    FROM messages m JOIN current_subs s ON m.channel = s.channel
+    WHERE 'node' || CAST(s.member_id % 4 AS VARCHAR) = m.origin_node
+    """,
+)
+def route_loop_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #6 one-hop routing: a message forwarded from another node is
+    delivered only to LOCAL members of the receiving node
+    ({nodes:false, broadcast:false}, lib/QutyCluster.js:599-606). Modeled
+    as the fan-out restricted to subscribers whose owning node is the
+    message's origin node — a provenance-column filter, which is how loop
+    suppression degenerates once Spark's shuffle replaces the mesh."""
+    msgs = messages(spark, sf_dir)
+    subs = current_subs(spark, sf_dir).withColumn(
+        "owner_node",
+        F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string")),
+    )
+    return (
+        msgs.join(broadcast(subs), "channel")
+        .filter(F.col("owner_node") == F.col("origin_node"))
+        .select("event_id", "channel", "member_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wire envelope (§2.A #1-#2)
+# ---------------------------------------------------------------------------
+
+SQL_FRAMES = """
+frames AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'view' THEN 'corrupt frame without pipe'
+                ELSE 'M|' || to_json(struct_pack(
+                        c := 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR),
+                        m := printf('%.2f', value),
+                        s := CAST(user_id AS VARCHAR),
+                        _q := CAST((ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)) % 100 AS VARCHAR)))
+           END AS frame
+    FROM events
+    WHERE event_type IN ('click', 'view')
+)"""
+
+
+def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize click events into the reference's wire frames
+    ``"{event}|{json}"`` with a mod-100 sequence counter
+    (util.sendSocketEvent, lib/util.js:174-206; MAX_SEND_SEQ lib/util.js:13).
+    'view' events are corrupted on purpose so the parse side exercises the
+    malformed-drop path (util.parseSocketEvent → false, lib/util.js:208-246).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    w = Window.orderBy("ts", "event_id")
+    return ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit("corrupt frame without pipe"))
+        .otherwise(
+            F.concat(
+                F.lit("M|"),
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit("ch"), (k % 5).cast("string")).alias("c"),
+                        F.format_string("%.2f", F.col("value")).alias("m"),
+                        F.col("user_id").cast("string").alias("s"),
+                        (F.row_number().over(w) % 100).cast("string").alias("_q"),
+                    )
+                ),
+            )
+        )
+        .alias("frame"),
+    )
+
+
+@registry.query(
+    "envelope_serialize",
+    oracle=f"""
+    WITH {SQL_FRAMES}
+    SELECT event_id, frame FROM frames
+    """,
+)
+def envelope_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #2: the sink-side serializer (frame + seq injection)."""
+    return frames(spark, sf_dir)
+
+
+@registry.query(
+    "envelope_parse",
+    oracle=f"""
+    WITH {SQL_FRAMES}
+    SELECT event_id,
+           split_part(frame, '|', 1) AS event_code,
+           payload ->> '$.c' AS channel,
+           payload ->> '$.m' AS message,
+           payload ->> '$.s' AS sender,
+           CAST(payload ->> '$._q' AS INTEGER) AS seq
+    FROM (SELECT event_id,
+                 frame,
+                 substr(frame, strpos(frame, '|') + 1) AS payload
+          FROM frames
+          WHERE strpos(frame, '|') > 0)
+    WHERE json_valid(payload)
+    """,
+)
+def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #1: source-side parse — split at the FIRST '|', JSON-parse the
+    payload, lift out the seq; malformed frames are silently dropped
+    (lib/util.js:208-246). Round-trips the serializer's own output."""
+    fr = frames(spark, sf_dir)
+    pipe_pos = F.instr("frame", "|")
+    parsed = (
+        fr.filter(pipe_pos > 0)
+        .withColumn("event_code", F.expr("substring(frame, 1, instr(frame, '|') - 1)"))
+        .withColumn("payload", F.expr("substring(frame, instr(frame, '|') + 1)"))
+    )
+    return (
+        parsed.withColumn("c", F.get_json_object("payload", "$.c"))
+        .filter(F.col("c").isNotNull())  # JSON-parse failure → drop
+        .select(
+            "event_id",
+            "event_code",
+            F.col("c").alias("channel"),
+            F.get_json_object("payload", "$.m").alias("message"),
+            F.get_json_object("payload", "$.s").alias("sender"),
+            F.get_json_object("payload", "$._q").cast("int").alias("seq"),
+        )
+    )
