@@ -7,5 +7,6 @@ from quty_server_spark.operators import (  # noqa: F401
     similarity,
     textops,
     multimodal,
+    auth,
 )
 from quty_server_spark import streaming  # noqa: F401

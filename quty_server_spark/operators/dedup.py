@@ -1,1 +1,392 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Deduplication operators for the training-data pipeline surface.
+
+Four families (BASELINE.json north star; SURVEY.md §2.C "LLM-pipeline"):
+
+- exact dedup: hash-groupBy on md5(text) — at 100 TB you shuffle 16-byte
+  digests, never full documents;
+- MinHash + LSH near-dup: 3-word shingles → 16 md5-derived min-hashes →
+  8 bands × 2 rows → band-bucket self-join → exact-Jaccard verification;
+- n-gram Jaccard (exact): sparse inverted-index join on shingles — the
+  ground truth the LSH variant approximates;
+- SimHash: 48-bit fingerprint, near-pairs via 4×12-bit band join + Hamming
+  verification (bit_count(xor)).
+
+Everything is md5-based (functions/hashing.py) so DuckDB oracles compute
+bit-identical signatures. All expressions are JVM builtins — no Python
+UDFs — so whole-stage codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quty_server_spark.functions.hashing import (
+    MERSENNE31,
+    MINHASH_PARAMS,
+    hash28,
+    hash60,
+    minhash_expr,
+    sql_hash28,
+    sql_hash60,
+)
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+# The corpus has no exact duplicates, so dedup is exercised on a corpus with
+# injected copies: every doc_id % 10 == 0 document is duplicated with a
+# shifted id (+1_000_000). Deterministic and SQL-replicable.
+SQL_DUPED = """
+duped AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def duped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+@registry.query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {SQL_DUPED}
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM duped
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on md5(text), keep min doc_id.
+
+    Scale: the shuffle key is the 32-char digest (never the document), and
+    partial aggregation collapses copies map-side before the exchange.
+    """
+    return (
+        duped_corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash + exact Jaccard)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = """
+shingled AS (
+    SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+),
+doc_shingle AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+doc_size AS (
+    SELECT doc_id, len(shingles) AS n_sh FROM shingled
+)"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct 3-word shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2), i -> "
+                        "concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+                        "' ', element_at(toks, i + 2)))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def _pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing >=1 shingle, via an
+    inverted-index self-join (shuffle on shingle, never a cross join)."""
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+SQL_PAIR_JACCARD = """
+pair_inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM doc_shingle a
+    JOIN doc_shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pair_jaccard AS (
+    SELECT p.doc_a, p.doc_b,
+           p.n_inter / CAST(sa.n_sh + sb.n_sh - p.n_inter AS DOUBLE) AS jaccard
+    FROM pair_inter p
+    JOIN doc_size sa ON p.doc_a = sa.doc_id
+    JOIN doc_size sb ON p.doc_b = sb.doc_id
+)"""
+
+
+@registry.query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_SHINGLES}, {SQL_PAIR_JACCARD}
+    SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the ground
+    truth for the MinHash variant. Sparse inverted-index join: cost is
+    sum over shingles of df(shingle)^2, tiny when shingles are rare."""
+    return _pair_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM = 16
+N_BANDS = 8  # bands of r=2 rows: P(candidate | J=0.8) ≈ 0.9997, | J=0.5) ≈ 0.90
+
+_SIG_COLS = ", ".join(
+    f"MIN({minhash_expr(i)}) AS s{i}" for i in range(N_PERM)
+)
+_SQL_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"CAST(s{2*b} AS VARCHAR) || ',' || CAST(s{2*b+1} AS VARCHAR) AS sig FROM sigs"
+    for b in range(N_BANDS)
+)
+
+SQL_MINHASH = f"""
+hashed AS (
+    SELECT doc_id, {sql_hash28('shingle')} AS h FROM doc_shingle
+),
+sigs AS (
+    SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id
+),
+bands AS (
+    {_SQL_BANDS}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+                AND a.doc_id < b.doc_id
+)"""
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band signature."""
+    sh = doc_shingles(spark, sf_dir).withColumn("h", hash28(F.col("shingle")))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(minhash_expr(i))).alias(f"s{i}")
+            for i in range(N_PERM)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            F.col(f"s{2*b}").cast("string"),
+                            F.col(f"s{2*b+1}").cast("string"),
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@registry.query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_SHINGLES}, {SQL_MINHASH}, {SQL_PAIR_JACCARD}
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c
+    JOIN pair_jaccard j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded signature buckets propose candidates,
+    exact Jaccard verifies (>= 0.5). The scale path: signatures are 16
+    ints/doc, the self-join touches only colliding buckets — never all
+    pairs. Signature params are frozen literals so the DuckDB oracle
+    reproduces them bit-for-bit (functions/hashing.py)."""
+    cands = minhash_candidates(spark, sf_dir)
+    jac = _pair_jaccard(spark, sf_dir)
+    return cands.join(jac, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+HAMMING_MAX = 3
+
+_SQL_SIM_BITS = " + ".join(
+    f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j in range(SIMHASH_BITS)
+)
+
+SQL_SIMHASH = f"""
+tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents
+),
+tok_hashed AS (
+    SELECT doc_id, {sql_hash60('token')} AS h FROM tok
+),
+simhash AS (
+    SELECT doc_id, {_SQL_SIM_BITS} AS sig
+    FROM tok_hashed GROUP BY doc_id
+)"""
+
+
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash over distinct tokens: majority vote per bit of the
+    60-bit md5 token hash. One aggregation — no UDF, no cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("h", hash60(F.col("token")))
+    bit_sum = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sum)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+@registry.query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SQL_SIMHASH},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.sig, sb.sig)) AS hamming
+    FROM cands c
+    JOIN simhash sa ON c.doc_a = sa.doc_id
+    JOIN simhash sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs within Hamming distance 3 of the 48-bit
+    fingerprint. Pigeonhole banding (4 x 12-bit chunks - any pair within
+    distance 3 shares at least one intact chunk) proposes candidates;
+    bit_count(xor) verifies. DuckDB spells xor as ``xor()``."""
+    sigs = simhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("sig"), 12 * b).bitwiseAND(4095).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a modality tag
+and a metadata struct; decode / feature-extraction runs as Arrow-batched
+pandas over ``mapInPandas`` — the Spark-side plumbing (schema, batch
+iteration, partitioning) is real and oracle-tested. The actual codec calls
+are STUBBED (no image/audio libraries in this container): see
+:func:`decode_image` / :func:`decode_audio` which raise
+``NotImplementedError``, and :func:`_fake_decode` — the deterministic
+stand-in the queries use so results stay verifiable.
+
+The binary payload is synthesized from ``documents.text`` (utf-8 bytes) —
+the fixture set has no real media — so every byte-level feature has an
+exact SQL twin (ascii text ⇒ byte i == ascii(char i)).
+
+Scale: mapInPandas streams Arrow batches (default 10k rows) through one
+Python worker per core; payload bytes never hit the driver. For real
+media, partition by size-bucketed modality so one 4K video batch cannot
+OOM a worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+MODALITIES = ["image", "audio", "video"]
+
+
+def decode_image(payload: bytes) -> dict:
+    """STUB — real image decode (PIL/opencv) is unavailable in this
+    container. The plumbing that would call it is real; swap this body
+    for ``PIL.Image.open(io.BytesIO(payload))`` when the codec exists."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def decode_audio(payload: bytes) -> dict:
+    """STUB — real audio decode (soundfile/librosa) is unavailable."""
+    raise NotImplementedError("audio codecs not available in this environment")
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: derives 'media' features from raw
+    bytes only, so the DuckDB oracle can replicate them exactly."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    checksum = sum(payload[:16]) % 256
+    return {
+        "n_bytes": n,
+        "first_byte": first,
+        "checksum16": checksum,
+        "fake_width": n % 640 + 1,
+        "fake_height": n % 480 + 1,
+    }
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, modality, payload binary, meta struct)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("container"),
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("checksum16", IntegerType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in, feature batch out. Real decode
+    would dispatch on modality to decode_image/decode_audio; here every
+    modality goes through the deterministic fake decoder."""
+    for pdf in batches:
+        feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "modality", pdf["modality"].values)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@registry.query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+           CAST(list_sum(list_transform(range(1, LEAST(LENGTH(text), 16) + 1),
+                i -> ascii(substr(text, i, 1)))) % 256 AS INTEGER) AS checksum16,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through the real mapInPandas pipeline
+    (Arrow batches, python worker, declared output schema); the codec call
+    inside is the deterministic stub."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    )
+
+
+@registry.query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           n_chars % 30 + 1 AS duration_s,
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST((ascii(substr(text, 1, 1)) + 7 * f.frame_idx) % 256 AS INTEGER)
+               AS frame_feature
+    FROM documents, UNNEST(range(0, n_chars % 30 + 1)) AS f(frame_idx)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for 'video' payloads: fake duration from metadata,
+    one row per sampled frame (1 fps), per-frame feature derived from the
+    payload deterministically. Real frame extraction would be a
+    mapInPandas over (payload, frame_idx) batches — the explode shape,
+    which is the part that matters for partitioning, is identical."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    duration = (F.col("n_chars") % 30 + 1).cast("int")
+    return (
+        d.withColumn("duration_s", duration)
+        .select(
+            "doc_id",
+            "duration_s",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("duration_s").cast("bigint") - 1)).alias(
+                "frame_idx"
+            ),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("duration_s").cast("bigint").alias("duration_s"),
+            "frame_idx",
+            ((F.ascii(F.substring("text", 1, 1)) + 7 * F.col("frame_idx")) % 256)
+            .cast("int")
+            .alias("frame_feature"),
+        )
+    )

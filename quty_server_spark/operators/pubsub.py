@@ -103,16 +103,15 @@ def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def current_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the reference's eventually-consistent subscription map
-    (lib/ChannelHub.js:23-30) as its deterministic fold: latest join/leave
-    per (channel, member), voided by any later global kick.
+def fold_current_subs(log: DataFrame) -> DataFrame:
+    """Fold a (channel, member_id, op, ts, event_id) changelog into the
+    current subscription set: latest join/leave per (channel, member),
+    voided by any later global kick.
 
     Idempotent joins (lib/ChannelHub.js:65-69) fall out of last-op-wins;
     channel GC (lib/ChannelHub.js:85-88) falls out of empty groups simply
     not existing in the aggregate.
     """
-    log = changelog(spark, sf_dir)
     w = Window.partitionBy("channel", "member_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -135,6 +134,12 @@ def current_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("channel", "member_id")
     )
+
+
+def current_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's eventually-consistent subscription map
+    (lib/ChannelHub.js:23-30) materialized from the fixture changelog."""
+    return fold_current_subs(changelog(spark, sf_dir))
 
 
 def messages(spark: SparkSession, sf_dir: str) -> DataFrame:

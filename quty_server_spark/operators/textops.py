@@ -1,1 +1,218 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Text-analysis operators for the training-data pipeline surface.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + regex), and document fingerprinting (rolling polynomial
+hash). All JVM-builtin expressions (split/filter/aggregate/regexp) — no
+Python in the hot path; at 100 TB these are embarrassingly parallel scans
+with column pruning down to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quty_server_spark.functions.hashing import hash28, sql_hash28
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "de", "et", "est"],
+}
+
+
+@registry.query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+           list_aggregate(list_transform(string_split(text, ' '),
+               t -> LENGTH(t)), 'max') AS max_token_len,
+           (n_chars = LENGTH(text)) AS n_chars_ok
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/token/unique counts, distinct ratio,
+    longest token, and a consistency check against the stored n_chars."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+        (F.col("n_chars") == F.length("text")).alias("n_chars_ok"),
+    )
+
+
+@registry.query(
+    "text_tokenize",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+           len(list_filter(string_split(text, ' '), t -> LENGTH(t) > 5))
+               AS n_long_tokens,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex token
+    pass ([a-z0-9]+ runs), plus long-token and vowel counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]"), 0)).alias("n_vowels"),
+    )
+
+
+def _lang_hits_expr_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+@registry.query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_hits_expr_sql('en')} AS en_hits,
+           {_lang_hits_expr_sql('es')} AS es_hits,
+           {_lang_hits_expr_sql('de')} AS de_hits,
+           {_lang_hits_expr_sql('fr')} AS fr_hits,
+           CASE
+             WHEN {_lang_hits_expr_sql('en')} = 0 AND {_lang_hits_expr_sql('es')} = 0
+              AND {_lang_hits_expr_sql('de')} = 0 AND {_lang_hits_expr_sql('fr')} = 0
+             THEN 'und'
+             WHEN {_lang_hits_expr_sql('en')} >= {_lang_hits_expr_sql('es')}
+              AND {_lang_hits_expr_sql('en')} >= {_lang_hits_expr_sql('de')}
+              AND {_lang_hits_expr_sql('en')} >= {_lang_hits_expr_sql('fr')} THEN 'en'
+             WHEN {_lang_hits_expr_sql('es')} >= {_lang_hits_expr_sql('de')}
+              AND {_lang_hits_expr_sql('es')} >= {_lang_hits_expr_sql('fr')} THEN 'es'
+             WHEN {_lang_hits_expr_sql('de')} >= {_lang_hits_expr_sql('fr')} THEN 'de'
+             ELSE 'fr'
+           END AS guessed_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count hits against per-language
+    stopword sets, argmax with a fixed precedence (en > es > de > fr) and
+    'und' when nothing matches. (The fixture's `lang` labels are random
+    tags on English-ish text — the labeled lang is carried through so the
+    heuristic's disagreement is itself queryable.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, es, de, fr = (hits(lang) for lang in ("en", "es", "de", "fr"))
+    guess = (
+        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), "und")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        guess.alias("guessed_lang"),
+    )
+
+
+@registry.query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> {sql_hash28('t')})),
+               (acc, h) -> (acc * 31 + h) % 2147483648) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: rolling polynomial hash
+    (acc*31 + md5-hash(token)) mod 2^31 over the token sequence — unlike
+    the set-based MinHash/SimHash signatures, reordering words changes it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(toks, lambda t: hash28(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: (acc * 31 + h) % F.lit(2147483648).cast("bigint"),
+        ).alias("fingerprint"),
+    )
+
+
+@registry.query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           LEAST(len(string_split(text, ' ')) / 50.0, 1.0) AS length_score,
+           len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity_score,
+           LEAST(5.0 * len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
+               AS stopword_score,
+           0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+           + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           + 0.3 * LEAST(5.0 * len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
+               AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation, lexical diversity, and
+    a natural-language-likeness proxy (stopword density). Weighted sum of
+    deterministic double terms (identical op order on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n
+    stop_ratio = F.least(
+        F.lit(5.0) * F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n,
+        F.lit(1.0),
+    )
+    return d.select(
+        "doc_id",
+        length_score.alias("length_score"),
+        diversity.alias("diversity_score"),
+        stop_ratio.alias("stopword_score"),
+        (0.4 * length_score + 0.3 * diversity + 0.3 * stop_ratio).alias("quality"),
+    )

@@ -1,0 +1,487 @@
+"""Structured Streaming equivalents of the engine's operators.
+
+The reference is an always-on message router; its Spark-first restatement
+is Structured Streaming (SURVEY.md §7 Phase 3): sources → watermarked
+event-time windows / stateful subscription fold / stream-static routing
+joins → sinks.
+
+Verification strategy (SURVEY.md §5): every streaming query here runs the
+real streaming machinery — ``readStream`` file source, watermarks,
+``trigger(availableNow=True)``, memory or foreachBatch sink — then returns
+the materialized result as a batch DataFrame so the driver's DuckDB oracle
+can check it exactly like any batch query. With availableNow over one
+input file the stream processes everything in one micro-batch, so
+watermarks drop nothing and results are deterministic; the explicit
+late-data query (stream_watermark_late_drop) constructs a two-batch file
+sequence so the watermark *does* drop rows, deterministically.
+
+Scale: these are the operators that survive on an unbounded 100 TB/day
+feed — windowed aggs with watermark-bounded state, dropDuplicates keyed by
+event id, broadcast stream-static joins, and an applyInPandasWithState
+subscription fold whose per-key state is the live membership set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from quty_server_spark.operators import pubsub
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+from quty_server_spark.session import configure
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) scans as int64 ns
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (file source, explicit schema),
+    normalizing the ns-epoch column to a proper event-time timestamp."""
+    configure(spark)
+    # The fixture is a single FILE; FileStreamSource injects a basePath
+    # option for non-glob paths and basePath must be a directory, so a
+    # trailing glob char keeps the source on the plain-listing path.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the materialized table."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows + watermarks
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour window aggregation on the event stream.
+    State is bounded by the watermark (1h lag): closed windows are evicted
+    — the unbounded-feed survival property."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, "mem_tumbling", "complete")
+
+
+@registry.query(
+    "stream_sliding_window",
+    oracle="""
+    WITH contrib AS (
+        SELECT e.*, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    - to_hours(b.back) AS win_start
+        FROM events e, UNNEST(range(0, 2)) AS b(back))
+    SELECT win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM contrib GROUP BY win_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): each event lands in exactly 2
+    overlapping windows; the oracle replicates via the two contributing
+    window starts per event."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+    return run_to_memory(agg, "mem_sliding", "complete")
+
+
+@registry.query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — the streaming analog of
+    the reference's liveness sessions (heartbeat cadence, SURVEY §2.A #26).
+    Oracle reconstructs sessions via gaps-and-islands."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+    return run_to_memory(agg, "mem_session", "complete")
+
+
+@registry.query(
+    "stream_dedup",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once projection from an at-least-once feed: the
+    source is unioned with itself (every event delivered twice — the
+    reference's reconnect-flush duplication, lib/Publisher.js:110-124) and
+    dropDuplicates on the event key restores uniqueness."""
+    s = events_stream(spark, sf_dir).select("event_id", "event_type")
+    # Deliver every event twice inside the stream (explode beats a second
+    # file source: one scan, and no basePath conflict on a single-file path).
+    doubled = (
+        s.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    deduped = doubled.dropDuplicates(["event_id"])
+    return run_to_memory(deduped, "mem_dedup", "append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static joins (routing on a live feed)
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: purchases joined to the customer
+    dimension (broadcast — the static side ships to every task once)."""
+    s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = load_table(spark, sf_dir, "customer")
+    joined = s.join(broadcast(c), s.user_id == c.c_custkey).select(
+        "event_id", "user_id", "value", "c_name", "c_mktsegment"
+    )
+    return run_to_memory(joined, "mem_ssjoin", "append")
+
+
+@registry.query(
+    "stream_route_fanout",
+    oracle=f"""
+    WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS}
+    SELECT e.event_id,
+           'ch' || CAST(CAST(e.props ->> '$.k' AS INTEGER) % 7 AS VARCHAR) AS channel,
+           s.member_id
+    FROM events e
+    JOIN current_subs s
+      ON 'ch' || CAST(CAST(e.props ->> '$.k' AS INTEGER) % 7 AS VARCHAR) = s.channel
+    WHERE e.event_type = 'click'
+    """,
+)
+def stream_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's routing core (#3) on a live feed: streaming messages
+    × static subscription state, one output row per (message, subscriber);
+    subscriber-less messages drop (at-most-once, lib/ChannelHub.js:274).
+    In production the static side is the continuously-compacted state of
+    stream_subscriptions_stateful."""
+    s = events_stream(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    msgs = s.filter(F.col("event_type") == "click").select(
+        "event_id", F.concat(F.lit("ch"), (k % 7).cast("string")).alias("channel")
+    )
+    subs = pubsub.current_subs(spark, sf_dir)  # static side
+    routed = msgs.join(broadcast(subs), "channel").select(
+        "event_id", "channel", "member_id"
+    )
+    return run_to_memory(routed, "mem_routed", "append")
+
+
+# ---------------------------------------------------------------------------
+# Stateful subscription fold (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_SUBS_OUT_SCHEMA = StructType(
+    [
+        StructField("channel", StringType()),
+        StructField("member_id", LongType()),
+    ]
+)
+_SUBS_STATE_SCHEMA = StructType([StructField("members", StringType())])
+
+
+def _fold_subscriptions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-channel state function: fold join/leave ops in event-time order
+    into the channel's member set — the reference's ChannelHub mutations
+    (subscribe idempotence lib/ChannelHub.js:65-69, unsubscribe + GC
+    lib/ChannelHub.js:85-88) as keyed streaming state (JSON-encoded set)."""
+    import json
+
+    (channel,) = key
+    members: set[int] = set(json.loads(state.get[0]) if state.exists else [])
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+            if row["op"] == "join":
+                members.add(int(row["member_id"]))  # idempotent add
+            else:  # leave / kick (kick pre-fanned to every channel)
+                members.discard(int(row["member_id"]))
+    if members:
+        state.update((json.dumps(sorted(members)),))
+        yield pd.DataFrame(
+            {"channel": channel, "member_id": sorted(members)}
+        )
+    else:
+        # last member left -> destroy the channel (GC, ChannelHub.js:85-88)
+        state.remove()
+
+
+@registry.query(
+    "stream_subscriptions_stateful",
+    oracle=f"""
+    WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS}
+    SELECT channel, member_id FROM current_subs
+    """,
+)
+def stream_subscriptions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subscription lifecycle as REAL keyed streaming state:
+    applyInPandasWithState per channel folds the join/leave/kick changelog
+    into a live membership set. Kicks are global (removeClient —
+    lib/ChannelHub.js:187-199), so they are pre-fanned-out to the member's
+    channels exactly as the reference iterates them. The oracle is the
+    same batch fold — sequential fold and last-op-wins agree on every
+    (channel, member) history."""
+    ev = events_stream(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    changelog = (
+        ev.filter(
+            F.col("event_type").isin("signup", "error")
+            | ((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        )
+        .select(
+            F.concat(F.lit("ch"), (k % 5).cast("string")).alias("channel"),
+            F.col("user_id").alias("member_id"),
+            F.when(F.col("event_type") == "signup", "join")
+            .when(F.col("event_type") == "error", "leave")
+            .otherwise("kick")
+            .alias("op"),
+            "ts",
+            "event_id",
+        )
+    )
+    # Global kick -> per-channel leave rows, one per channel (the member's
+    # channels are unknowable mid-stream, so fan to all channels: the fold
+    # discards no-op leaves, matching removeClient's iterate-and-remove).
+    channels = pubsub.changelog(spark, sf_dir).select("channel").distinct()
+    kicks = (
+        changelog.filter(F.col("op") == "kick")
+        .drop("channel")
+        .crossJoin(broadcast(channels))
+        .select("channel", "member_id", F.lit("leave").alias("op"), "ts", "event_id")
+    )
+    folded = (
+        changelog.filter(F.col("op") != "kick")
+        .unionByName(kicks)
+        .groupBy("channel")
+        .applyInPandasWithState(
+            _fold_subscriptions,
+            outputStructType=_SUBS_OUT_SCHEMA,
+            stateStructType=_SUBS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(folded, "mem_subs_state", "update")
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data drop (two deterministic micro-batches)
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH split AS (
+        SELECT *, CAST(ts AS TIMESTAMP) AS tts,
+               (EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))
+                < EXTRACT(EPOCH FROM (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events))
+                  + 0.5 * (EXTRACT(EPOCH FROM (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
+                           - EXTRACT(EPOCH FROM (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events))))
+                   AS in_batch1
+        FROM events),
+    wm AS (SELECT MAX(tts) - INTERVAL 2 HOUR AS cutoff FROM split WHERE in_batch1)
+    SELECT date_trunc('hour', tts) AS hour_start, COUNT(*) AS n
+    FROM split, wm
+    WHERE in_batch1 OR tts > wm.cutoff
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics made deterministic: the events table is split
+    into two parquet files (first half / second half by event time) that a
+    file-source stream consumes as two ordered micro-batches
+    (maxFilesPerTrigger=1). After batch 1 the watermark advances to
+    max(batch1.ts) - 2h, so batch-2 rows at or before the watermark are
+    dropped — precisely the reference's at-most-once discard restated in
+    event time. The oracle replicates the drop rule in SQL."""
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    workdir = os.path.join(
+        tempfile.gettempdir(), "quty_stream_late", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    b1 = os.path.join(workdir, "b1")
+    b2 = os.path.join(workdir, "b2")
+    # Write ts back as int64 ns so the split files scan under
+    # EVENTS_RAW_SCHEMA (Spark would otherwise write TimestampType as INT96).
+    def as_ns(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    as_ns(ev.filter(F.col("ts") < F.lit(cut))).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(b1)
+    as_ns(ev.filter(F.col("ts") >= F.lit(cut))).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(b2)
+    indir = os.path.join(workdir, "in")
+    os.makedirs(indir)
+    # One file per micro-batch, ordered by modification time: b1 then b2.
+    for i, src in enumerate([b1, b2]):
+        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.copy(os.path.join(src, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    s = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+    return run_to_memory(agg, "mem_late_drop", "complete")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the engine's delivery tier (§2.A #28): each
+    micro-batch is written idempotently (epoch-keyed path, overwrite) to
+    parquet, then read back. This is the pattern that replaces the
+    reference's per-socket delivery loop with exactly-once batch writes."""
+    configure(spark)
+    outdir = os.path.join(
+        tempfile.gettempdir(), "quty_feb_sink", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(outdir, ignore_errors=True)
+    s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(outdir, f"epoch={epoch_id}"))
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(outdir, "epoch=*")).select(
+        "event_id", "event_type", "value"
+    )

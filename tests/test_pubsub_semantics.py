@@ -1,0 +1,155 @@
+"""Subscription state-machine property tests (SURVEY.md §5.3).
+
+These check the reference's ChannelHub invariants on hand-built
+changelogs, independent of the fixture tables and of any oracle:
+
+- idempotent join (lib/ChannelHub.js:65-69)
+- channel GC when the last member leaves (lib/ChannelHub.js:85-88)
+- kick cascade removes the member everywhere (lib/ChannelHub.js:187-199)
+- rejoin after kick is effective (kick voids only earlier joins)
+- messages to subscriber-less channels are dropped (lib/ChannelHub.js:274)
+- loop-suppressed delivery is a subset of full fan-out
+  (lib/QutyCluster.js:599-606)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from quty_server_spark.operators.pubsub import fold_current_subs
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def mklog(spark, rows):
+    """rows: (channel, member_id, op, seconds_offset, event_id)"""
+    data = [
+        (c, m, op, T0 + dt.timedelta(seconds=s), e) for c, m, op, s, e in rows
+    ]
+    return spark.createDataFrame(
+        data, "channel string, member_id long, op string, ts timestamp, event_id long"
+    )
+
+
+def subs_set(spark, rows):
+    return {
+        (r.channel, r.member_id)
+        for r in fold_current_subs(mklog(spark, rows)).collect()
+    }
+
+
+def test_idempotent_join(spark):
+    # Double-join is a single membership; a later leave still clears it.
+    assert subs_set(
+        spark,
+        [("ch1", 1, "join", 0, 1), ("ch1", 1, "join", 1, 2)],
+    ) == {("ch1", 1)}
+    assert (
+        subs_set(
+            spark,
+            [
+                ("ch1", 1, "join", 0, 1),
+                ("ch1", 1, "join", 1, 2),
+                ("ch1", 1, "leave", 2, 3),
+            ],
+        )
+        == set()
+    )
+
+
+def test_channel_gc_on_last_leave(spark):
+    # After the only member leaves, the channel does not exist at all.
+    df = fold_current_subs(
+        mklog(
+            spark,
+            [
+                ("ch1", 1, "join", 0, 1),
+                ("ch2", 2, "join", 1, 2),
+                ("ch1", 1, "leave", 2, 3),
+            ],
+        )
+    )
+    channels = {r.channel for r in df.select("channel").distinct().collect()}
+    assert channels == {"ch2"}
+
+
+def test_kick_cascades_all_channels(spark):
+    # One kick removes the member from every channel; others unaffected.
+    rows = [
+        ("ch1", 1, "join", 0, 1),
+        ("ch2", 1, "join", 1, 2),
+        ("ch3", 1, "join", 2, 3),
+        ("ch1", 2, "join", 3, 4),
+        ("ch1", 1, "kick", 4, 5),
+    ]
+    assert subs_set(spark, rows) == {("ch1", 2)}
+
+
+def test_rejoin_after_kick(spark):
+    # A join strictly after the kick re-subscribes (kick is not a ban).
+    rows = [
+        ("ch1", 1, "join", 0, 1),
+        ("ch1", 1, "kick", 1, 2),
+        ("ch2", 1, "join", 2, 3),
+    ]
+    assert subs_set(spark, rows) == {("ch2", 1)}
+
+
+def test_unsubscribed_message_drops(spark):
+    # Routing = inner join; a channel with no subscribers delivers nothing.
+    subs = fold_current_subs(mklog(spark, [("ch1", 1, "join", 0, 1)]))
+    msgs = spark.createDataFrame(
+        [("ch1", 100), ("ch9", 101)], "channel string, event_id long"
+    )
+    routed = msgs.join(subs, "channel")
+    assert [r.event_id for r in routed.collect()] == [100]
+
+
+def test_loop_suppression_subset(spark):
+    # Loop-suppressed delivery (origin-node members only) is a subset of
+    # full fan-out, and their union over all origin nodes equals fan-out.
+    subs = fold_current_subs(
+        mklog(
+            spark,
+            [("ch1", 1, "join", 0, 1), ("ch1", 2, "join", 1, 2), ("ch1", 6, "join", 2, 3)],
+        )
+    ).withColumn(
+        "owner_node", F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string"))
+    )
+    msgs = spark.createDataFrame(
+        [("ch1", 100, "node1"), ("ch1", 101, "node2")],
+        "channel string, event_id long, origin_node string",
+    )
+    fanout = msgs.join(subs, "channel")
+    suppressed = fanout.filter(F.col("owner_node") == F.col("origin_node"))
+    full = {(r.event_id, r.member_id) for r in fanout.collect()}
+    local = {(r.event_id, r.member_id) for r in suppressed.collect()}
+    assert local <= full
+    # msg 100 from node1: members 1 (node1) and also 6? 6%4=2 -> node2. So local= {(100,1),(101,2),(101,6)}
+    assert local == {(100, 1), (101, 2), (101, 6)}
+
+
+@pytest.mark.parametrize(
+    "token_mutator,expect",
+    [
+        (lambda t: t, 2),  # valid CLUSTER token verifies to type 2
+        (lambda t: t + "x", None),  # tampered signature
+        (lambda t: t.replace(".", "", 1), None),  # malformed shape
+    ],
+)
+def test_token_verify(token_mutator, expect):
+    from quty_server_spark.functions.token import sign_token, verify_token
+
+    tok = token_mutator(sign_token("node-a", 2, 2_000_000_000_000))
+    got = verify_token(tok, 1_700_000_000_000)
+    assert (got["_t"] if got else None) == expect
+
+
+def test_token_expiry():
+    from quty_server_spark.functions.token import sign_token, verify_token
+
+    tok = sign_token("node-a", 2, 1_000)
+    assert verify_token(tok, 2_000) is None
