@@ -2,6 +2,7 @@
 
 from quty_server_spark.operators import (  # noqa: F401
     relational,
+    analytics,
     pubsub,
     dedup,
     similarity,
@@ -10,3 +11,4 @@ from quty_server_spark.operators import (  # noqa: F401
     auth,
 )
 from quty_server_spark import streaming  # noqa: F401
+from quty_server_spark.sources import formats  # noqa: F401
