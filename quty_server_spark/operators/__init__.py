@@ -9,6 +9,7 @@ from quty_server_spark.operators import (  # noqa: F401
     textops,
     multimodal,
     auth,
+    udfs,
 )
 from quty_server_spark import streaming  # noqa: F401
 from quty_server_spark.sources import formats  # noqa: F401

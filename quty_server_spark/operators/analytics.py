@@ -225,6 +225,40 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n, {osum('value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (date_trunc('day', CAST(ts AS TIMESTAMP))),
+        (date_trunc('day', CAST(ts AS TIMESTAMP)),
+         date_trunc('hour', CAST(ts AS TIMESTAMP))))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces both the
+    hourly and the daily rollup of the event stream (rollup minus the
+    grand total). At scale this is the materialization query behind a
+    multi-resolution dashboard — partial aggregation collapses rows
+    map-side at the finest grain, and coarser grains reuse the same
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .filter(F.grouping_id() < 3)  # drop the grand-total row
+        .select("day", "hour", "n", "total_value")
+    )
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal

@@ -1,0 +1,92 @@
+"""Pandas-UDF operator surface (SURVEY.md §2.C last row).
+
+The engine's extension points, one query per UDF flavor:
+
+- grouped-map ``applyInPandas``: per-group normalization (z-score within
+  label) — the shape used for per-entity model scoring at 100 TB: one
+  shuffle by the group key, then embarrassingly parallel Arrow batches;
+- grouped-agg ``pandas_udf``: a custom aggregate (value-weighted mean)
+  that Spark's builtins don't provide directly;
+- scalar ``pandas_udf`` lives in operators/auth.py (HMAC verification);
+  ``mapInPandas`` in operators/multimodal.py; ``applyInPandasWithState``
+  in streaming/ops.py.
+
+Every UDF here is Arrow-batched (vectorized numpy inside), never
+row-at-a-time Python. Oracles replicate the math in SQL, which keeps the
+UDFs honest: same groups, same values, bit-stable output (rounded to a
+fixed scale on both sides where float order could differ).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-label z-score of the document length (population stddev).
+    Rounded to 6 decimals so Spark's and DuckDB's float reduction order
+    cannot produce differing last bits."""
+    mu = pdf["n_chars"].mean()
+    sd = pdf["n_chars"].std(ddof=0)
+    z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+    return pd.DataFrame(
+        {
+            "lang": pdf["lang"],
+            "doc_id": pdf["doc_id"],
+            "n_chars": pdf["n_chars"],
+            "z_len": z.round(6),
+        }
+    )
+
+
+@registry.query(
+    "udf_grouped_zscore",
+    oracle="""
+    SELECT lang, doc_id, n_chars,
+           ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                 THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                      / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                 ELSE 0.0 END, 6) AS z_len
+    FROM documents
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score document length within each
+    language group. One shuffle on the group key; each group is a single
+    Arrow batch processed vectorized."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        _zscore, schema="lang string, doc_id long, n_chars long, z_len double"
+    )
+
+
+@registry.query(
+    "udf_grouped_agg_wmean",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * user_id) / SUM(user_id), 6) AS weighted_mean
+    FROM events
+    WHERE user_id > 0
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf: user-weighted mean of event value — a
+    custom aggregate with partial-aggregation-free semantics (the whole
+    group's arrays arrive in one Arrow batch). Rounded on both engines."""
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return round(float((v * w).sum() / w.sum()), 6)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") > 0)
+    return ev.groupBy("event_type").agg(
+        wmean("value", "user_id").alias("weighted_mean")
+    )
