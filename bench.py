@@ -20,6 +20,7 @@ import __spark_entry__ as se  # noqa: E402
 from quty_server_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "flagship_delivery_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -30,6 +31,18 @@ HEADLINE = [
     "join_asof",
     "sort_limit_topn",
     "scalar_json",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "events_time_rollup",
+    # pub/sub data plane
+    "subs_current_state",
+    "route_fanout",
+    # LLM-pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "sim_ann_lsh",
+    "mm_decode_features",
 ]
 
 

@@ -267,11 +267,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded signature buckets propose candidates,
     exact Jaccard verifies (>= 0.5). The scale path: signatures are 16
     ints/doc, the self-join touches only colliding buckets — never all
-    pairs. Signature params are frozen literals so the DuckDB oracle
-    reproduces them bit-for-bit (functions/hashing.py)."""
+    pairs — and Jaccard is computed ONLY for candidate pairs (shingle
+    intersection via two candidate-restricted joins), so verification
+    cost scales with LSH recall, not with corpus pair density. Signature
+    params are frozen literals so the DuckDB oracle reproduces them
+    bit-for-bit (functions/hashing.py)."""
     cands = minhash_candidates(spark, sf_dir)
-    jac = _pair_jaccard(spark, sf_dir)
-    return cands.join(jac, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= 0.5)
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 # ---------------------------------------------------------------------------
