@@ -37,8 +37,12 @@ def _mint_udf():
     # Built lazily: pandas_udf construction requires an active Spark context.
     @pandas_udf("string")
     def _mint(principal: pd.Series, ttype: pd.Series, expires: pd.Series) -> pd.Series:
-        return pd.DataFrame({"p": principal, "t": ttype, "e": expires}).apply(
-            lambda r: sign_token(r["p"], int(r["t"]), int(r["e"])), axis=1
+        return pd.Series(
+            [
+                sign_token(p, int(t), int(e))
+                for p, t, e in zip(principal, ttype, expires)
+            ],
+            index=principal.index,
         )
 
     return _mint

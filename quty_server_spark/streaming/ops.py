@@ -366,6 +366,120 @@ def stream_subscriptions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x arbitrary state API)
+# ---------------------------------------------------------------------------
+
+
+def _make_seq_processor():
+    """Built lazily: importing StatefulProcessor is cheap, but keeping the
+    class local avoids import-order issues in environments without the
+    RocksDB provider."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeqProcessor(StatefulProcessor):
+        """Per-channel monotone sequence counter wrapping at 100 — the
+        reference's outbound ``_q`` injection (MAX_SEND_SEQ,
+        lib/util.js:13,186-196) restated as keyed streaming state: the
+        counter survives micro-batches in a ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            start = self._count.get()[0] if self._count.exists() else 0
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "channel": key[0],
+                    "event_id": pdf["event_id"].values,
+                    "seq": [(start + i) % 100 for i in range(1, n + 1)],
+                }
+            )
+            self._count.update((start + n,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return SeqProcessor()
+
+
+_SEQ_OUT_SCHEMA = StructType(
+    [
+        StructField("channel", StringType()),
+        StructField("event_id", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas drives its state protocol over protobuf;
+    # without google.protobuf the driver-side worker crashes at init.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_seq_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel wire sequence numbers via transformWithStateInPandas —
+    the second arbitrary-state API (alongside applyInPandasWithState),
+    requiring the RocksDB state store and google.protobuf (registered
+    only when available — absent in this container, so the
+    applyInPandasWithState fold is the tested arbitrary-state path).
+    State is one long per channel; at scale that is O(channels), not
+    O(messages)."""
+    configure(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir)
+        k = F.get_json_object("props", "$.k").cast("int")
+        msgs = s.filter(F.col("event_type") == "click").select(
+            F.concat(F.lit("ch"), (k % 7).cast("string")).alias("channel"),
+            "event_id",
+            "ts",
+        )
+        seq = msgs.groupBy("channel").transformWithStateInPandas(
+            statefulProcessor=_make_seq_processor(),
+            outputStructType=_SEQ_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        return run_to_memory(seq, "mem_seq_tws", "append")
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+
+
+if _protobuf_available():  # pragma: no cover - environment-dependent
+    registry.register(
+        "stream_seq_counter_tws",
+        stream_seq_counter_tws,
+        oracle=f"""
+        WITH {pubsub.SQL_MESSAGES}
+        SELECT channel, event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                                       ORDER BY ts, event_id) % 100 AS BIGINT) AS seq
+        FROM messages
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermark late-data drop (two deterministic micro-batches)
 # ---------------------------------------------------------------------------
 
