@@ -391,6 +391,36 @@ def route_loop_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALTS = 8
+
+
+@registry.query(
+    "route_fanout_salted",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}, {SQL_MESSAGES}
+    SELECT m.event_id, m.channel, s.member_id, m.sender_id, m.value
+    FROM messages m JOIN current_subs s ON m.channel = s.channel
+    """,
+)
+def route_fanout_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #3 again, with hot-channel skew mitigation: messages carry a
+    salt (event_id mod 8), the subscription side is exploded across all 8
+    salts, and the join key becomes (channel, salt) — a hot channel's
+    fan-out spreads over 8 tasks instead of one straggler. Result is
+    bit-identical to route_fanout (same oracle); only the partitioning
+    changes. This is the fallback when the state side is too large to
+    broadcast and AQE's skew split is not enough."""
+    msgs = messages(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    subs = current_subs(spark, sf_dir).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return msgs.join(subs, ["channel", "salt"]).select(
+        "event_id", "channel", "member_id", "sender_id", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wire envelope (§2.A #1-#2)
 # ---------------------------------------------------------------------------

@@ -212,6 +212,30 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "mem_dedup", "append")
 
 
+@registry.query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like stream_dedup, but the dedup
+    state is EVICTED once the watermark passes an event's time — the
+    variant that survives an unbounded feed, because state holds only the
+    watermark-width window of keys instead of every key ever seen.
+    Duplicates here arrive in the same micro-batch (well inside the 1-hour
+    watermark), so the result equals plain dedup."""
+    s = events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    doubled = (
+        s.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return run_to_memory(deduped, "mem_dedup_wm", "append")
+
+
 # ---------------------------------------------------------------------------
 # Stream-static joins (routing on a live feed)
 # ---------------------------------------------------------------------------
