@@ -356,6 +356,88 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the SimHash
+    near-pair graph, each doc labeled with the min doc_id of its
+    component (the canonical keeper). Iterative min-label propagation —
+    each superstep is one distributed join+aggregate, converging in
+    O(component diameter) steps (near-dup clusters are shallow). The
+    oracle is a recursive CTE computing min reachable label. This is the
+    keeper-assignment step a 100 TB dedup pipeline runs after pair
+    mining; the driver only coordinates supersteps, all data movement is
+    shuffle-side."""
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)  # pair mining runs once
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(20):  # cap >> any real component diameter
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per superstep
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@registry.query(
     "dedup_simhash",
     oracle=f"""
     WITH {SQL_SIMHASH},
