@@ -137,6 +137,42 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "mm_resize_dims",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               octet_length(encode(text)) % 480 + 1 AS h
+        FROM documents WHERE doc_id % 3 = 0)
+    SELECT doc_id, w AS src_width, h AS src_height,
+           CAST(FLOOR(224.0 * w / GREATEST(w, h)) AS INTEGER) AS dst_width,
+           CAST(FLOOR(224.0 * h / GREATEST(w, h)) AS INTEGER) AS dst_height
+    FROM dims
+    """,
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for 'image' payloads: aspect-preserving fit into a
+    224x224 budget (long side scaled to 224). The pixel resample itself
+    would run inside the mapInPandas decode stub (operators above); the
+    dimension arithmetic — the part a planner needs for batch sizing and
+    memory budgeting at scale — is pure column math, oracle-checked."""
+    feats = media_table(spark, sf_dir).filter(F.col("modality") == "image")
+    n = F.octet_length("payload")
+    w = (n % 640 + 1).cast("int")
+    h = (n % 480 + 1).cast("int")
+    longest = F.greatest(w, h)
+    return feats.select(
+        "doc_id",
+        w.alias("src_width"),
+        h.alias("src_height"),
+        # floor, not round: 224*w/max hits exact halves, where Spark
+        # (half-up) and DuckDB (banker's) disagree.
+        F.floor(F.lit(224.0) * w / longest).cast("int").alias("dst_width"),
+        F.floor(F.lit(224.0) * h / longest).cast("int").alias("dst_height"),
+    )
+
+
+@registry.query(
     "mm_frame_sample",
     oracle="""
     SELECT doc_id,

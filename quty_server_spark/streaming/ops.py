@@ -261,6 +261,62 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', CAST(c.ts AS TIMESTAMP),
+                          CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the same
+    user within 30 minutes, both sides watermarked — the attribution-join
+    shape. The watermarks + time-range condition bound both join-state
+    buffers (rows age out once the other side's watermark passes the
+    interval), which is what lets this run forever on unbounded feeds."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_s"
+        ),
+    )
+    return run_to_memory(joined, "mem_ssj", "append")
+
+
+@registry.query(
     "stream_route_fanout",
     oracle=f"""
     WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS}
