@@ -225,6 +225,39 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {osum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_total,
+           {osum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_total,
+           {osum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS pending_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order totals by market segment × order status, statuses as
+    columns. Spark's pivot with an explicit value list compiles to the
+    same single-pass conditional aggregation the oracle spells out — no
+    second scan to discover pivot values (which at 100 TB would be a full
+    extra pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    piv = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("open_total"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("finished_total"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("pending_total"),
+    )
+
+
+@registry.query(
     "events_time_rollup",
     oracle=f"""
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
