@@ -10,6 +10,7 @@ from quty_server_spark.operators import (  # noqa: F401
     multimodal,
     auth,
     udfs,
+    sampling,
 )
 from quty_server_spark import streaming  # noqa: F401
 from quty_server_spark.sources import formats  # noqa: F401
