@@ -176,6 +176,43 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+                     AS scale
+          FROM c)
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000) AS BIGINT) AS scale_micro,
+           list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q8
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, values mapped by floor(x/scale + 0.5) (explicit
+    half-up on both engines — ROUND differs between them at halves).
+    This is the storage/throughput lever for ANN at 100 TB: 4x smaller
+    vectors, SIMD-friendly int8 dot products, scale kept for dequantize.
+    Scale is emitted as floor-micros so no float rounding is compared."""
+    c = _corpus(spark, sf_dir)
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q8 = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    return (
+        c.withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_micro"),
+            q8.alias("q8"),
+        )
+    )
+
+
+@registry.query(
     "sim_label_cohesion",
     oracle=f"""
     WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

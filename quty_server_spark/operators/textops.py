@@ -174,6 +174,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # window width over 3-gram hashes (MOSS-style winnowing)
+
+_SQL_KGRAM_HASH = (
+    "CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),"
+    " 1, 7) AS BIGINT)"
+)
+
+
+@registry.query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    k AS (SELECT doc_id,
+                 list_transform(range(1, len(toks) - 1),
+                                i -> {_SQL_KGRAM_HASH}) AS kh
+          FROM t WHERE len(toks) >= {WINNOW_W + 2}),
+    w AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                     range(1, len(kh) - {WINNOW_W} + 2),
+                     i -> list_aggregate(kh[i:i+{WINNOW_W - 1}], 'min')))) AS fp
+          FROM k)
+    SELECT doc_id, fp, len(fp) AS fp_size FROM w
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    3-gram, slide a width-4 window over the hash sequence, keep each
+    window's minimum — guarantees any shared substring of >= w+k-1 tokens
+    between two documents shares a fingerprint, with ~2/(w+1) selection
+    density. Pure array-expression pipeline (transform/slice/array_min),
+    one scan, no shuffle; the fingerprint set is the shuffle-friendly
+    join key for plagiarism-style containment detection at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kh = F.expr(
+        "transform(sequence(1, size(toks) - 2), i -> "
+        "CAST(conv(substring(md5(concat(element_at(toks, i), ' ', "
+        "element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 7), 16, 10)"
+        " AS BIGINT))"
+    )
+    wins = F.expr(
+        f"transform(sequence(1, size(kh) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice(kh, i, {WINNOW_W})))"
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= WINNOW_W + 2)
+        .withColumn("kh", kh)
+        .select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp"))
+        .withColumn("fp_size", F.size("fp"))
+    )
+
+
 @registry.query(
     "text_quality_score",
     oracle="""
