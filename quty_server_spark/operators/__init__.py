@@ -3,6 +3,7 @@
 from quty_server_spark.operators import (  # noqa: F401
     relational,
     analytics,
+    tpch_more,
     pubsub,
     dedup,
     similarity,
