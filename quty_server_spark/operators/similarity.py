@@ -176,6 +176,74 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell
+          FROM cells WHERE vec_id % 20 = 0),
+    scored AS (
+        SELECT q.query_id, m.vec_id AS neighbor_id, q.cell,
+               list_cosine_similarity(q.qv, m.v) AS cos_sim
+        FROM q JOIN cells m ON q.cell = m.cell AND q.query_id <> m.vec_id)
+    SELECT query_id, neighbor_id, cell, cos_sim, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer — every
+    50th vector is a centroid (~sqrt(n) cells as n grows) — assigns each
+    vector to its nearest centroid by cosine (argmax via per-vector
+    window, centroid-id tiebreak); queries probe only their own cell
+    (nprobe=1) and take window top-3. Complements sim_ann_lsh: data-
+    dependent cells follow the corpus distribution where LSH's fixed
+    hyperplanes don't. At scale the assignment is one broadcast pass
+    (centroid set is small), the posting lists are hash-partitioned by
+    cell, and a query's scan is |corpus|/n_cells."""
+    c = _corpus(spark, sf_dir)
+    cent = c.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_cos"), F.asc("cid")
+    )
+    cells = (
+        c.join(broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        cells.join(
+            broadcast(q),
+            (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@registry.query(
     "embed_quantize_int8",
     oracle="""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
