@@ -292,6 +292,98 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "events_user_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.t_signup
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: signup → first
+    click strictly after it → first purchase strictly after that click,
+    counted per stage. Each stage is a per-user MIN keyed the same way,
+    so at scale all three aggregations reuse one hash partitioning by
+    user_id (no re-shuffle between stages); the stage outputs are
+    single-row aggregates cross-joined at the end — the classic
+    sessionized-funnel shape of product analytics at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@registry.query(
+    "events_retention_cohort",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+        FROM events),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, and
+    for each (cohort, day-offset) the count of users still active. The
+    distinct-activity set and the cohort MIN share the user_id
+    partitioning; the final group-by is over a tiny (cohort × offset)
+    domain. COUNT(*) over the distinct set replaces COUNT(DISTINCT) —
+    same answer, one fewer dedup pass."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("day"), F.to_date("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal

@@ -683,6 +683,46 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "window_value_fns",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w_full AS first_val,
+           last_value(value) OVER w_full AS last_val,
+           nth_value(value, 2) OVER w_full AS second_val,
+           percent_rank() OVER w_run AS pct_rank,
+           cume_dist() OVER w_run AS cume
+    FROM events
+    WINDOW w_full AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w_run AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value/distribution functions: first/last/nth over the full
+    partition frame plus percent_rank/cume_dist on the running frame.
+    One shuffle by user_id serves all five functions (same partitioning,
+    same sort — Spark evaluates them in a single Window node). The
+    distribution functions are exact rank ratios, so they hash-match the
+    oracle bit-for-bit. Ordering carries event_id as unique tiebreaker."""
+    ev = load_table(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w_full).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w_full).alias("second_val"),
+        F.percent_rank().over(w_run).alias("pct_rank"),
+        F.cume_dist().over(w_run).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / set ops / distinct
 # ---------------------------------------------------------------------------
