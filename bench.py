@@ -33,6 +33,7 @@ HEADLINE = [
     "scalar_json",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q7_nation_volume",
     "events_time_rollup",
     # pub/sub data plane
     "subs_current_state",
@@ -42,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "mm_decode_features",
 ]
 

@@ -384,6 +384,106 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                        > INTERVAL 30 MINUTE
+                         OR lag(CAST(ts AS TIMESTAMP))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    sess AS (
+        SELECT user_id, event_id, value, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_no
+        FROM seq)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           {osum('value')} AS session_value,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (the offline twin of
+    stream_session_window): a session break is a >30-minute silence per
+    user; session ids are a running sum over break flags. Both window
+    passes and the final aggregate share ONE shuffle by user_id — the
+    sort order (ts, event_id) is reused, so at 100 TB this is a single
+    exchange + sort regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "value", "ts")
+        .withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@registry.query(
+    "agg_histogram_mode",
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN o_totalprice >= 500000.0 THEN 11
+                    ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+               o_totalprice
+        FROM orders),
+    h AS (SELECT bucket, COUNT(*) AS n, {osum('o_totalprice')} AS bucket_total
+          FROM b GROUP BY bucket)
+    SELECT bucket, n, bucket_total,
+           CASE WHEN n = (SELECT MAX(n) FROM h) THEN 1 ELSE 0 END AS is_mode
+    FROM h
+    """,
+)
+def agg_histogram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets of 50k over
+    [0, 500000), overflow clamped into the last) with the modal bucket
+    flagged. width_bucket(x, 0, 500000, 10) semantics, spelled as
+    floor-division on both engines (DuckDB has no width_bucket builtin
+    and Spark's operand order inside the builtin is not bit-specified —
+    the explicit form is engine-portable). One map-side-combined
+    aggregation; the mode flag is a broadcast of the single-row MAX back
+    over the (tiny) bucket table, not a second scan of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.when(F.col("o_totalprice") >= 500000.0, F.lit(11)).otherwise(
+        F.floor(F.col("o_totalprice") / 50000.0) + 1
+    )
+    h = (
+        o.select(bucket.cast("bigint").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("bucket_total"))
+    )
+    mx = h.agg(F.max("n").alias("mx"))
+    return h.join(broadcast(mx)).select(
+        "bucket",
+        "n",
+        "bucket_total",
+        F.when(F.col("n") == F.col("mx"), 1).otherwise(0).alias("is_mode"),
+    )
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
