@@ -684,6 +684,48 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT event_id,
+                      NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 5, 0)
+                          AS bucket
+               FROM events WHERE event_type = 'click'),
+    d AS (SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 5, 0)
+                     AS bucket,
+                 COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 5, 0))
+    SELECT l.bucket, COUNT(*) AS n_clicks, MAX(d.n_purchases) AS n_purchases
+    FROM l JOIN d ON l.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY l.bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): click and
+    purchase events bucketed by a JSON property with bucket 0 mapped to
+    NULL — the null-safe operator makes NULL a real join key (a plain
+    equi-join would silently drop that group). Spark plans eqNullSafe as
+    a hash join on a null-tolerant key, so it broadcasts and shuffles
+    exactly like `=` — no nested-loop penalty at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
+    ).alias("bucket")
+    l = ev.filter(F.col("event_type") == "click").select("event_id", bucket)
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        l.join(broadcast(d), l["bucket"].eqNullSafe(d["bucket"]))
+        .groupBy(l["bucket"])
+        .agg(F.count("*").alias("n_clicks"), F.max("n_purchases").alias("n_purchases"))
+    )
+
+
+@registry.query(
     "window_value_fns",
     oracle="""
     SELECT event_id, user_id,

@@ -9,8 +9,9 @@ with column pruning down to (doc_id, text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from quty_server_spark.functions.hashing import hash28, sql_hash28
 from quty_server_spark.operators._helpers import load_table
@@ -225,6 +226,85 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp"))
         .withColumn("fp_size", F.size("fp"))
     )
+
+
+@registry.query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c_xy
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+            GROUP BY toks[i], toks[i + 1]),
+    uni AS (SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+                   (SELECT SUM(c_xy) FROM big) AS n_big),
+    scored AS (
+        SELECT b.w1, b.w2, b.c_xy,
+               CAST(b.c_xy * t.n_uni * t.n_uni AS DOUBLE)
+                   / CAST(t.n_big * u1.c * u2.c AS DOUBLE) AS pmi_ratio
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN tot t
+        WHERE b.c_xy >= 5)
+    SELECT w1, w2, c_xy, pmi_ratio, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, w1, w2) AS rn
+          FROM scored)
+    WHERE rn <= 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise-mutual-information
+    ratio P(x,y)/(P(x)P(y)), support >= 5. PMI is emitted as the raw
+    probability ratio, not its log — the ratio is two exact int64
+    products and ONE double division, so it hash-matches the oracle
+    (libm log() is not bit-specified across engines). Unigram and total
+    counts are tiny aggregates broadcast into the bigram table; at scale
+    the only real shuffle is the bigram group-by, and the top-50 is a
+    TakeOrdered, not a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_df = d.select(F.split("text", " ").alias("toks"))
+    big = (
+        toks_df.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = toks_df.agg(
+        F.sum(F.size("toks")).alias("n_uni"),
+        F.sum(F.size("toks") - 1).alias("n_big"),
+    )
+    u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c").alias("c_y"))
+    scored = (
+        big.join(broadcast(u1), F.col("w1") == F.col("u1w"))
+        .join(broadcast(u2), F.col("w2") == F.col("u2w"))
+        .join(broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_big") * F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
 
 
 @registry.query(
