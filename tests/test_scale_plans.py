@@ -93,6 +93,43 @@ def test_whole_stage_codegen(spark):
         assert "*(" in plan, name
 
 
+def test_tpch_wide_joins_broadcast_dimensions(spark):
+    # Q7/Q8: five- and eight-table joins where every dimension side must
+    # broadcast — the only sort-merge-eligible edge is lineitem<->orders.
+    for name, min_bhj in [("q7_nation_volume", 4), ("q8_market_share", 5)]:
+        plan = plan_of(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sessionize_single_exchange(spark):
+    # Gap-based sessionization: both window passes and the final aggregate
+    # share one shuffle by user_id — a second Exchange on user_id would mean
+    # the sort order was lost between the window and the group-by.
+    plan = plan_of(spark, "events_sessionize_batch")
+    # Exactly one Exchange node in the whole plan, and it keys on user_id
+    # (formatted mode lists each node once as "(n) Exchange" with its
+    # Arguments on a separate line).
+    assert plan.count(") Exchange") == 1
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+
+
+def test_ivf_probe_joins_on_cell(spark):
+    # IVF: the probe joins posting lists on cell equality (hash join),
+    # never a cross product; assignment uses the broadcast centroid set.
+    plan = plan_of(spark, "sim_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_ships_keys_only(spark):
+    # Q22's NOT EXISTS: the anti join's right side must project only
+    # o_custkey — shipping full order rows to an anti join is pure waste.
+    plan = plan_of(spark, "q22_sales_opportunity")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l]
+    assert read and all("o_totalprice" not in l for l in read)
+
+
 def test_exactly_one_python_udf_surface(spark):
     # Auth is the only operator allowed a scalar Python UDF; relational and
     # LLM-pipeline hot paths must not contain any.
