@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.operators._helpers import dsum, load_table, osum
 from quty_server_spark.plans.registry import registry
 
 
@@ -94,3 +94,47 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.partitionBy("event_type").parquet(out)
     return spark.read.parquet(out).filter(F.col("event_type") == "click")
+
+
+@registry.query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_lines,
+           {osum('l.l_extendedprice')} AS lines_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: orders and lineitem are
+    written as bucketed tables (8 buckets, sorted, hashed on orderkey) and
+    re-joined. Because both sides share bucket count and key, the join
+    and the following per-order aggregate need NO Exchange — the plan is
+    scan→SMJ→agg per bucket (asserted in tests/test_scale_plans.py). At
+    100 TB this is THE technique for repeated fact-fact joins: pay the
+    shuffle once at layout time, never per query. Tables are external
+    (explicit /tmp path) so the driver's session needs no warehouse."""
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "quty_bucketed", suffix)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for df, tbl, key in [(o, f"qss_orders_{suffix}", "o_orderkey"),
+                         (li, f"qss_lineitem_{suffix}", "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, tbl))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    ob = spark.table(f"qss_orders_{suffix}")
+    lb = spark.table(f"qss_lineitem_{suffix}")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("lines_total"),
+        )
+    )

@@ -130,6 +130,22 @@ def test_anti_join_ships_keys_only(spark):
     assert read and all("o_totalprice" not in l for l in read)
 
 
+def test_bucketed_join_needs_no_exchange(spark):
+    # Both sides bucketed+sorted on orderkey: join AND the per-order
+    # aggregate must run without any shuffle Exchange. Broadcast is
+    # disabled so the small test tables cannot cheat their way out of
+    # demonstrating the bucketed sort-merge path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Arguments: hashpartitioning" not in plan
+
+
 def test_exactly_one_python_udf_surface(spark):
     # Auth is the only operator allowed a scalar Python UDF; relational and
     # LLM-pipeline hot paths must not contain any.
