@@ -308,6 +308,57 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf, df.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+                   AS tfidf_ratio
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+    SELECT doc_id, w AS keyword, tf, df, tfidf_ratio, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf_ratio DESC, w) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF with a
+    linear IDF (tf·N/df rather than tf·log(N/df)) — same selectivity
+    signal, and exactly reproducible across engines (one int64 product,
+    one double division; no libm log whose rounding is unspecified). The
+    document
+    frequency table is a tiny aggregate broadcast back onto the term
+    table; the per-doc top-3 is a window over the doc_id partitioning
+    that the TF group-by already established — one real shuffle total."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = terms.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(broadcast(df.withColumnRenamed("w", "dfw")), F.col("w") == F.col("dfw"))
+        .join(broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf_ratio"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ratio"), F.asc("keyword"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@registry.query(
     "text_quality_score",
     oracle="""
     SELECT doc_id,
