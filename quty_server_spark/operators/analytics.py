@@ -484,6 +484,58 @@ def agg_histogram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "agg_skew_profile",
+    oracle="""
+    WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k),
+    ranked AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn,
+               SUM(n) OVER (ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM k)
+    SELECT r.user_id, r.n, r.rn,
+           CAST(r.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share,
+           t.n_keys
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rn <= 20
+    """,
+)
+def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the top-20 heaviest keys with their absolute
+    counts, share of total rows, and cumulative share — the measurement
+    that decides whether a join/agg on this key needs salting or AQE skew
+    handling BEFORE the 100 TB run, instead of discovering it from a
+    straggler task. Per-key counts are one map-side-combined aggregation;
+    ranking and the running share operate on the (tiny) key histogram,
+    and shares are exact int64 counts with a single double division."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = k.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    cum = Window.orderBy(F.desc("n"), F.asc("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(cum))
+        .filter(F.col("rn") <= 20)
+        .join(broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            "rn",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+            "n_keys",
+        )
+    )
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
