@@ -211,3 +211,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("frame_feature"),
         )
     )
+
+
+CHUNK = 256  # bytes per audio chunk (stands in for a fixed sample window)
+
+
+@registry.query(
+    "mm_audio_chunks",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, text, n_chars FROM documents
+               WHERE doc_id % 3 = 1 AND n_chars >= {CHUNK}),
+    idx AS (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(n_chars / {CHUNK}.0) AS BIGINT)))
+                       AS chunk_idx
+            FROM a)
+    SELECT doc_id, chunk_idx,
+           LENGTH(substring(text, CAST(chunk_idx * {CHUNK} + 1 AS INT), {CHUNK}))
+               AS chunk_len,
+           md5(substring(text, CAST(chunk_idx * {CHUNK} + 1 AS INT), {CHUNK}))
+               AS chunk_md5
+    FROM idx
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking of 'audio' binary payloads (doc_id % 3 == 1
+    is the audio modality slice of media_table): each payload is split
+    into 256-byte windows — the shape of sample-frame extraction before a
+    feature UDF — emitting per-chunk length and content hash. Pure
+    JVM-side byte slicing: explode(sequence) × substring on the binary
+    column, no Python; one row per chunk keeps batches bounded no matter
+    how long one recording is (a 10 GB audio file becomes 40M rows, not
+    one 10 GB cell per operator). The oracle mirrors the slicing on the
+    source text (payload bytes ARE the utf-8 text, ascii ⇒ 1 byte/char)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter((F.col("doc_id") % 3 == 1) & (F.col("n_chars") >= CHUNK)).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    n_chunks = F.ceil(F.octet_length("payload") / float(CHUNK)).cast("bigint")
+    chunk = F.expr(f"substring(payload, CAST(chunk_idx * {CHUNK} + 1 AS INT), {CHUNK})")
+    return (
+        a.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.octet_length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -138,3 +138,38 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("lines_total"),
         )
     )
+
+
+@registry.query(
+    "sink_compacted_parquet",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {osum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance operator every
+    100 TB lake needs: a fragmented partitioned write (16 shuffle
+    partitions per event_type ⇒ ~16 small files each) is compacted by
+    re-reading and re-writing repartitioned BY the partition column, so
+    each partition directory collapses to one right-sized file (at real
+    scale: repartition(target_file_count, col)). Readback of the
+    compacted layout is verified against the source aggregate; the
+    file-count collapse itself is pinned in tests/test_scale_plans.py."""
+    frag = _workdir(sf_dir, "frag_parquet")
+    compact = _workdir(sf_dir, "compact_parquet")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.repartition(16).write.partitionBy("event_type").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartition("event_type")
+        .write.partitionBy("event_type")
+        .parquet(compact)
+    )
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )

@@ -146,6 +146,25 @@ def test_bucketed_join_needs_no_exchange(spark):
     assert "Arguments: hashpartitioning" not in plan
 
 
+def test_compaction_collapses_files(spark):
+    # sink_compacted_parquet: the fragmented layout has many files per
+    # partition directory; the compacted one exactly 1.
+    import glob
+    import os
+    import tempfile
+
+    se.queries()["sink_compacted_parquet"](spark, SF_DIR).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "quty_formats", os.path.basename(SF_DIR.rstrip("/"))
+    )
+    frag = glob.glob(os.path.join(base, "frag_parquet", "event_type=click", "*.parquet"))
+    compact = glob.glob(
+        os.path.join(base, "compact_parquet", "event_type=click", "*.parquet")
+    )
+    assert len(frag) > 1
+    assert len(compact) == 1
+
+
 def test_exactly_one_python_udf_surface(spark):
     # Auth is the only operator allowed a scalar Python UDF; relational and
     # LLM-pipeline hot paths must not contain any.
