@@ -679,3 +679,34 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(outdir, "epoch=*")).select(
         "event_id", "event_type", "value"
     )
+
+
+@registry.query("stream_rate_source")
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate source smoke: the built-in load-generator source (the stand-in
+    for a Kafka ingress in this container — no broker available; the
+    rate-micro-batch variant emits a fixed row count per batch) feeding a
+    real micro-batch pipeline: projection + modulo bucketing + windowless
+    aggregation, availableNow to a memory sink. Rows-only check by design
+    (row content depends on the trigger wall-clock, so no SQL twin): what
+    it verifies is that a non-file streaming source drives the same
+    operator surface the file-source queries use. At scale the rate
+    source is also the backpressure-calibration tool: crank
+    the per-batch row count until the sink lags, and that is the pipeline's
+    throughput ceiling."""
+    from quty_server_spark.session import configure
+
+    configure(spark)
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = (
+        rate.select((F.col("value") % 16).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+    )
+    return run_to_memory(agg, "rate_smoke", "complete")
