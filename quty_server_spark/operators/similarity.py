@@ -316,3 +316,41 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DEDUP_COS_THRESHOLD = 0.35
+
+
+@registry.query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {DEDUP_COS_THRESHOLD})
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL (the decision operator on
+    top of sim_cosine_pairs' mining): greedy keep-lowest-id — a vector is
+    dropped when any lower-id vector sits within cosine >= 0.35; the
+    survivor set is the deduplicated corpus handed to training. Pair
+    scoring here is the exact O(n^2) baseline; at 100 TB the identical
+    drop rule runs over LSH- or IVF-restricted candidate pairs
+    (sim_ann_lsh / sim_ann_ivf buckets) so the quadratic never
+    materializes — same semantics, pruned candidate generation."""
+    c = _corpus(spark, sf_dir)
+    a = c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = c.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= DEDUP_COS_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
