@@ -536,6 +536,73 @@ def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema — the data-quality gate a pipeline runs
+    before joining 100 TB of facts against dimensions (orphans silently
+    vanish from inner joins, skewing every downstream aggregate). Each
+    edge is a left-anti join counting misses; dimension key sets
+    broadcast, so the audit costs one pass over each fact table for ALL
+    edges of that table (Spark unions the three lineitem branches into
+    one stage group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    checks = [
+        ("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey"),
+        (
+            "lineitem->part",
+            li,
+            load_table(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+        ),
+        (
+            "lineitem->supplier",
+            li,
+            load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+            "l_suppkey",
+            "s_suppkey",
+        ),
+        (
+            "orders->customer",
+            o,
+            load_table(spark, sf_dir, "customer").select("c_custkey"),
+            "o_custkey",
+            "c_custkey",
+        ),
+    ]
+    parts = [
+        fact.join(broadcast(dim), fact[fk] == dim[pk], "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit(edge).alias("fk"), "n_orphans")
+        for edge, fact, dim, fk, pk in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
