@@ -987,6 +987,42 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "scalar_maps",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(string_split(text, ' '))) AS d
+               FROM documents)
+    SELECT doc_id,
+           len(d) AS n_entries,
+           LENGTH(d[1]) AS first_key_len,
+           len(list_filter(d, w -> LENGTH(w) > 5)) AS n_long_entries,
+           len(d) + 1 AS n_after_concat
+    FROM t
+    """,
+)
+def scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: build a token->length map per document
+    (map_from_arrays), then size / element_at / map_filter / map_concat.
+    The oracle computes the same VALUES from the underlying list (DuckDB's
+    MAP functions differ enough that the list form is the portable twin);
+    what is under test is Spark's map surface producing them. Maps stay
+    inside codegen — this is the pattern for carrying typed metadata
+    (multimodal meta, feature dictionaries) without exploding to rows."""
+    d = load_table(spark, sf_dir, "documents")
+    dk = F.array_sort(F.array_distinct(F.split("text", " ")))
+    m = F.map_from_arrays(dk, F.transform(dk, lambda w: F.length(w)))
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.element_at(dk, 1)).alias("first_key_len"),
+        F.size(F.map_filter(m, lambda k, v: v > 5)).alias("n_long_entries"),
+        F.size(
+            F.map_concat(m, F.create_map(F.lit("sentinel"), F.lit(-1)))
+        ).alias("n_after_concat"),
+    )
+
+
+@registry.query(
     "scalar_array",
     oracle="""
     SELECT doc_id,
