@@ -146,6 +146,17 @@ def test_bucketed_join_needs_no_exchange(spark):
     assert "Arguments: hashpartitioning" not in plan
 
 
+def test_text_mining_joins_broadcast(spark):
+    # PMI and TF-IDF: the unigram/df/total side-tables are tiny aggregates
+    # and must broadcast back onto the term tables — a sort-merge join
+    # here would re-shuffle the full term distribution per side-table.
+    for name in ["text_pmi_collocations", "text_tfidf_keywords"]:
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_compaction_collapses_files(spark):
     # sink_compacted_parquet: the fragmented layout has many files per
     # partition directory; the compacted one exactly 1.
