@@ -603,6 +603,58 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "events_densified_hourly",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+                      date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+               FROM events),
+    cal AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+            FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT hour, event_type FROM cal CROSS JOIN types),
+    c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT g.hour, g.event_type, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN c ON g.hour = c.hour AND g.event_type = c.event_type
+    """,
+)
+def events_densified_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: the complete hour × event-type grid with
+    zero-filled counts for silent hours — the gap-filling step charting
+    and anomaly detection need (a missing bucket and a zero bucket are
+    different signals). The calendar spine is generated from the data's
+    own bounds (sequence + explode — one row per hour, never a driver
+    loop); the type dimension and the spine both broadcast against the
+    aggregated counts, so the fact table is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    cal = b.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(broadcast(types))
+    c = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("c_hour"),
+            F.col("event_type").alias("c_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(
+            c,
+            (grid.hour == c.c_hour) & (grid.event_type == c.c_type),
+            "left_outer",
+        )
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@registry.query(
     "min_cost_supplier",
     oracle="""
     SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
