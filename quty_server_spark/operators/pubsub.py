@@ -433,7 +433,9 @@ frames AS (
                         c := 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR),
                         m := printf('%.2f', value),
                         s := CAST(user_id AS VARCHAR),
-                        _q := CAST((ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)) % 100 AS VARCHAR)))
+                        _q := CAST((ROW_NUMBER() OVER (
+                                PARTITION BY 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR)
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)) % 100 AS VARCHAR)))
            END AS frame
     FROM events
     WHERE event_type IN ('click', 'view')
@@ -442,14 +444,19 @@ frames AS (
 
 def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize click events into the reference's wire frames
-    ``"{event}|{json}"`` with a mod-100 sequence counter
-    (util.sendSocketEvent, lib/util.js:174-206; MAX_SEND_SEQ lib/util.js:13).
-    'view' events are corrupted on purpose so the parse side exercises the
-    malformed-drop path (util.parseSocketEvent → false, lib/util.js:208-246).
+    ``"{event}|{json}"`` with a mod-100 PER-CHANNEL sequence counter.
+    The reference keeps an independent ``_q`` counter per socket
+    (util.sendSocketEvent, lib/util.js:174-206; MAX_SEND_SEQ lib/util.js:13),
+    so the seq window partitions by channel — a global counter would both
+    diverge from the reference and force every wire frame through a single
+    ``Exchange SinglePartition`` task at scale. 'view' events are corrupted
+    on purpose so the parse side exercises the malformed-drop path
+    (util.parseSocketEvent → false, lib/util.js:208-246).
     """
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    w = Window.orderBy("ts", "event_id")
+    channel = F.concat(F.lit("ch"), (k % 5).cast("string"))
+    w = Window.partitionBy(channel).orderBy("ts", "event_id")
     return ev.filter(F.col("event_type").isin("click", "view")).select(
         "event_id",
         F.when(F.col("event_type") == "view", F.lit("corrupt frame without pipe"))
@@ -458,7 +465,7 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("M|"),
                 F.to_json(
                     F.struct(
-                        F.concat(F.lit("ch"), (k % 5).cast("string")).alias("c"),
+                        channel.alias("c"),
                         F.format_string("%.2f", F.col("value")).alias("m"),
                         F.col("user_id").cast("string").alias("s"),
                         (F.row_number().over(w) % 100).cast("string").alias("_q"),

@@ -153,3 +153,48 @@ def test_token_expiry():
 
     tok = sign_token("node-a", 2, 1_000)
     assert verify_token(tok, 2_000) is None
+
+
+def test_envelope_seq_per_channel_mod100(spark):
+    # The wire seq counter is independent per channel and wraps at 100
+    # (MAX_SEND_SEQ, lib/util.js:13; per-socket _q lib/util.js:186-196).
+    # Ground truth computed in pandas, independent of the Spark window.
+    import json
+
+    import pandas as pd
+
+    from quty_server_spark.operators.pubsub import frames
+
+    # sf0.01: ~800 click/view rows per channel, so the mod-100 counter
+    # demonstrably wraps (sf0.001 stays under 100 per channel).
+    SF_DIR = "/root/testdata/sf0.01"
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .toPandas()
+    )
+    ev["channel"] = "ch" + (ev["k"] % 5).astype(str)
+    ev = ev.sort_values(["ts", "event_id"])
+    ev["seq"] = ev.groupby("channel").cumcount().add(1).mod(100)
+    expected = {
+        int(r.event_id): int(r.seq)
+        for r in ev.itertuples()
+        if r.event_type == "click"  # views become corrupt frames (no seq)
+    }
+
+    got = {}
+    for r in frames(spark, SF_DIR).collect():
+        if "|" in r.frame:
+            got[r.event_id] = int(json.loads(r.frame.split("|", 1)[1])["_q"])
+
+    assert got == expected
+    # The fixture is big enough that the counter actually wraps, and every
+    # channel runs its own counter (same seq value reused across channels).
+    assert min(got.values()) == 0 and max(got.values()) == 99
