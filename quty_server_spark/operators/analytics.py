@@ -513,14 +513,18 @@ def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     tot = k.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"))
+    # Top-20 via orderBy().limit() → TakeOrderedAndProject, NOT a global
+    # row_number window: the per-key histogram can be 10^9 keys at scale
+    # and must never be sorted in a single partition. Rank and running sum
+    # are then computed over the 20 survivors only — the cumulative sum at
+    # rank r depends only on rows ranked <= r, so restricting the window
+    # to the top-20 is exact.
+    top = k.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    cum = Window.orderBy(F.desc("n"), F.asc("user_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        k.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .withColumn("cum", F.sum("n").over(cum))
-        .filter(F.col("rn") <= 20)
         .join(broadcast(tot))
         .select(
             "user_id",

@@ -303,8 +303,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
+    # Top-50 via orderBy().limit() → TakeOrderedAndProject: each task ships
+    # only its local 50 candidates, so the full bigram vocabulary is never
+    # sorted in one partition. The rank window then runs over 50 rows only.
+    top = scored.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2")).limit(50)
     w = Window.orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @registry.query(

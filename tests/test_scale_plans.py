@@ -198,3 +198,13 @@ def test_envelope_no_single_partition_exchange(spark):
     for name in ["envelope_serialize", "envelope_parse"]:
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
+
+
+def test_global_topk_is_take_ordered(spark):
+    # Top-k over an unbounded key space (bigram vocabulary, per-user
+    # histogram) must plan as TakeOrderedAndProject — each task ships only
+    # its local k — never as a rank window over a single-partition sort of
+    # the full data. The residual window runs over <= k rows post-limit.
+    for name in ["text_pmi_collocations", "agg_skew_profile"]:
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
