@@ -85,28 +85,18 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
-@registry.query(
-    "sim_cosine_pairs",
-    oracle=f"""
-    WITH c AS {SQL_CORPUS}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_cosine_similarity(a.v, b.v) AS cos_sim
-    FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-    """,
-)
-def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup mining: all pairs with cos >= 0.4.
+def all_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(n^2/2) pair scoring — UNREGISTERED ground-truth baseline.
 
-    Note: O(n^2/2) scoring — correct as a small-corpus baseline; the scale
-    path is sim_ann_lsh (bucket first, score within bucket)."""
+    Kept only for pytest recall/exactness checks against the banded
+    canonical queries below (tests/test_similarity_semantics.py); never
+    part of the driver surface because an all-pairs BroadcastNestedLoopJoin
+    is a cartesian at 100 TB."""
     c = _corpus(spark, sf_dir)
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+    return a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     )
 
 
