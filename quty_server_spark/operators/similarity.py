@@ -4,7 +4,10 @@ Three tiers (SURVEY.md §2.C "LLM-pipeline"; BASELINE.json north star):
 
 - brute-force cosine top-k: the exactness baseline — broadcast the query
   set, one partition-parallel scan of the corpus, per-query window top-k;
-- threshold pair mining (embedding-cosine near-dup);
+- banded sign-LSH pair mining (embedding-cosine near-dup): candidate
+  pairs share >= 1 of 4 two-plane bands, an equality-join key — recall
+  vs the all-pairs ground truth is gated in
+  tests/test_similarity_semantics.py;
 - sign-LSH (random hyperplane) bucketed ANN: the 100 TB path — queries
   only touch their own bucket, so the scan shrinks by ~2^n_planes; the
   hyperplanes are frozen ±1 literals so the DuckDB oracle reproduces
@@ -88,10 +91,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def all_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact O(n^2/2) pair scoring — UNREGISTERED ground-truth baseline.
 
-    Kept only for pytest recall/exactness checks against the banded
-    canonical queries below (tests/test_similarity_semantics.py); never
-    part of the driver surface because an all-pairs BroadcastNestedLoopJoin
-    is a cartesian at 100 TB."""
+    Used only by tests/test_similarity_semantics.py to measure the recall
+    of the banded canonical queries (dedup_embedding_cosine's band-
+    restricted candidates, sim_ann_lsh/sim_ann_ivf top-k); never part of
+    the driver surface because an all-pairs BroadcastNestedLoopJoin is a
+    cartesian at 100 TB."""
     c = _corpus(spark, sf_dir)
     a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -118,6 +122,58 @@ def _bucket_col() -> F.Column:
         term = F.when(dot(F.col("v"), plane_col) > 0, F.lit(1 << j)).otherwise(0)
         bucket = term if bucket is None else bucket + term
     return bucket
+
+
+# Banded sign-LSH for PAIR mining (vs the single 256-way bucket above,
+# which is the point-query layout): the 8 hyperplanes split into 4 bands
+# of 2; a pair is a candidate when ALL planes of at least one band agree.
+# OR-of-ANDs is the classic LSH amplification — per-plane agreement for a
+# pair at cosine t is 1 - acos(t)/pi, so at the 0.35 dedup threshold a
+# band matches with p ~= 0.38 and any-of-4 gives ~0.85 recall at the
+# threshold edge (rising fast above it; measured exactly in
+# tests/test_similarity_semantics.py against all_pairs_cosine).
+N_COS_BANDS = 4
+PLANES_PER_BAND = N_PLANES // N_COS_BANDS
+
+
+def _band_code_col(b: int) -> F.Column:
+    code = None
+    for r in range(PLANES_PER_BAND):
+        plane = HYPERPLANES[b * PLANES_PER_BAND + r]
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        term = F.when(dot(F.col("v"), plane_col) > 0, F.lit(1 << r)).otherwise(0)
+        code = term if code is None else code + term
+    return code
+
+
+def banded_corpus(c: DataFrame) -> DataFrame:
+    """(vec_id, v, band, code): each vector exploded to its 4 band codes.
+    Candidate pairs join on (band, code) equality — a hash-partitionable
+    key, so candidate generation is a shuffle join, never a cross join."""
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_code_col(b).alias("code"))
+            for b in range(N_COS_BANDS)
+        ]
+    )
+    return c.select("vec_id", "v", F.explode(bands).alias("bc")).select(
+        "vec_id", "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    )
+
+
+def _sql_band_code(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"{_sql_plane_literal(HYPERPLANES[b * PLANES_PER_BAND + r])}) > 0 "
+        f"THEN {1 << r} ELSE 0 END)"
+        for r in range(PLANES_PER_BAND)
+    )
+
+
+SQL_COS_BANDED = "\n        UNION ALL\n".join(
+    f"        SELECT vec_id, v, {b} AS band, {_sql_band_code(b)} AS code FROM c"
+    for b in range(N_COS_BANDS)
+)
 
 
 @registry.query(
@@ -191,26 +247,34 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a deterministic coarse quantizer — every
     50th vector is a centroid (~sqrt(n) cells as n grows) — assigns each
-    vector to its nearest centroid by cosine (argmax via per-vector
-    window, centroid-id tiebreak); queries probe only their own cell
-    (nprobe=1) and take window top-3. Complements sim_ann_lsh: data-
-    dependent cells follow the corpus distribution where LSH's fixed
-    hyperplanes don't. At scale the assignment is one broadcast pass
-    (centroid set is small), the posting lists are hash-partitioned by
-    cell, and a query's scan is |corpus|/n_cells."""
+    vector to its nearest centroid by cosine (argmax via a min_by
+    aggregate over struct(-cos, cid) — unique because cid tiebreaks);
+    queries probe only their own cell (nprobe=1) and take window top-3.
+    Complements sim_ann_lsh: data-dependent cells follow the corpus
+    distribution where LSH's fixed hyperplanes don't. At scale the
+    assignment is one broadcast pass (centroid set is small) whose
+    partial aggregation collapses the corpus-x-centroids rows back to
+    one row per vector BEFORE the shuffle (map-side combine — a window
+    argmin would ship the whole cross product); the posting lists are
+    hash-partitioned by cell, and a query's scan is |corpus|/n_cells."""
     c = _corpus(spark, sf_dir)
     cent = c.filter(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_cos"), F.asc("cid")
-    )
     cells = (
         c.join(broadcast(cent))
         .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cent_cos")).alias("neg_cos"), F.col("cid")),
+            ).alias("cell"),
+            # v is functionally determined by vec_id (it is the corpus
+            # row's own vector), so first() is deterministic in value.
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", "cell")
     )
     q = cells.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -270,28 +334,67 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-label cohesion is estimated on a bounded deterministic sample: the
+# COHESION_SAMPLE members with the lowest multiplicative hash of vec_id.
+# An all-pairs-within-label join is quadratic in the hottest label (one
+# 1B-doc label on a 100 TB corpus = 5e17 pairs); capping the sample bounds
+# every label at C(64,2) = 2016 pairs no matter how hot it gets, and the
+# hash (Knuth 2^32/phi multiplier, identical integer arithmetic in Spark
+# and DuckDB) makes the sample — hence the answer — engine-reproducible.
+COHESION_SAMPLE = 64
+_HASH_MULT = 2654435761  # floor(2^32 / golden ratio), coprime to 2^20
+_HASH_MOD = 1048576
+
+
 @registry.query(
     "sim_label_cohesion",
     oracle=f"""
-    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, label, v FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY (vec_id * {_HASH_MULT}) % {_HASH_MOD}, vec_id) AS rn
+            FROM c)
+        WHERE rn <= {COHESION_SAMPLE})
     SELECT a.label,
            COUNT(*) AS n_pairs,
            CAST(SUM(CAST(ROUND(list_cosine_similarity(a.v, b.v), 6)
                          AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_cos
-    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
     GROUP BY a.label
     """,
 )
 def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped similarity check: average pairwise cosine within each label
-    (rounded per-pair then decimal-summed so the aggregate is
-    order-independent and engine-exact)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("ia"), "label", as_double(F.col("embedding")).alias("va"))
-    b = e.select(
+    over a bounded deterministic per-label sample (hash-lowest
+    COHESION_SAMPLE members — see the sampling note above), rounded
+    per-pair then decimal-summed so the aggregate is order-independent
+    and engine-exact.
+
+    Plan: the sample ids are picked on skinny (vec_id, label) rows, then
+    joined back (broadcast — labels x 64 rows) to fetch vectors, so the
+    per-label rank never sorts the 64-dim vectors; the pair join keys on
+    label equality over the bounded sample — a hash join whose biggest
+    group is fixed at COHESION_SAMPLE rows, immune to label skew."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    rank_w = Window.partitionBy("label").orderBy(
+        (F.col("vec_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD), "vec_id"
+    )
+    sample_ids = (
+        e.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= COHESION_SAMPLE)
+        .select("vec_id")
+    )
+    s = e.join(broadcast(sample_ids), "vec_id")
+    a = s.select(F.col("vec_id").alias("ia"), "label", F.col("v").alias("va"))
+    b = s.select(
         F.col("vec_id").alias("ib"),
         F.col("label").alias("label_b"),
-        as_double(F.col("embedding")).alias("vb"),
+        F.col("v").alias("vb"),
     )
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("ia") < F.col("ib")))
     return (
@@ -315,9 +418,14 @@ DEDUP_COS_THRESHOLD = 0.35
     "dedup_embedding_cosine",
     oracle=f"""
     WITH c AS {SQL_CORPUS},
+    banded AS (
+{SQL_COS_BANDED}
+    ),
     dropped AS (
         SELECT DISTINCT b.vec_id
-        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.code = b.code
+                     AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= {DEDUP_COS_THRESHOLD})
     SELECT e.vec_id, e.label
     FROM embeddings e
@@ -325,19 +433,36 @@ DEDUP_COS_THRESHOLD = 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate REMOVAL (the decision operator on
-    top of sim_cosine_pairs' mining): greedy keep-lowest-id — a vector is
-    dropped when any lower-id vector sits within cosine >= 0.35; the
-    survivor set is the deduplicated corpus handed to training. Pair
-    scoring here is the exact O(n^2) baseline; at 100 TB the identical
-    drop rule runs over LSH- or IVF-restricted candidate pairs
-    (sim_ann_lsh / sim_ann_ivf buckets) so the quadratic never
-    materializes — same semantics, pruned candidate generation."""
+    """Embedding-cosine near-duplicate REMOVAL, banded-LSH canonical form:
+    greedy keep-lowest-id — a vector is dropped when a LOWER-ID vector
+    with cosine >= 0.35 shares at least one sign-LSH band with it (4 bands
+    x 2 hyperplanes; see banded_corpus). Candidates come from a (band,
+    code) equality self-join — hash-partitionable, so at 100 TB this is a
+    shuffle join on band codes whose cost tracks the duplicate density,
+    never the O(n^2) cross product (same banding idea as
+    dedup_minhash_lsh, dedup.py). Recall vs the exact all-pairs drop rule
+    is measured in tests/test_similarity_semantics.py against
+    all_pairs_cosine; the oracle replicates the banding bit-for-bit, so
+    the query is deterministically exact for what it claims: the banded
+    drop rule."""
     c = _corpus(spark, sf_dir)
-    a = c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = c.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    banded = banded_corpus(c)
+    a = banded.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "band", "code"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("band").alias("band_b"),
+        F.col("code").alias("code_b"),
+    )
     dropped = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
         .filter(cosine(F.col("va"), F.col("vb")) >= DEDUP_COS_THRESHOLD)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()

@@ -200,6 +200,30 @@ def test_envelope_no_single_partition_exchange(spark):
         assert "SinglePartition" not in plan, name
 
 
+def test_no_all_pairs_joins_in_similarity(spark):
+    # The round-1/2 scale-killers: dedup_embedding_cosine and
+    # sim_label_cohesion must generate candidates via equality keys (LSH
+    # band codes / label over a bounded sample) — a BroadcastNestedLoopJoin
+    # or CartesianProduct here is the O(n^2) cross product at 100 TB.
+    for name in ["dedup_embedding_cosine", "sim_label_cohesion"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    # Centroid assignment must be a min_by aggregate (partial aggregation
+    # collapses corpus x centroids map-side); the only Window left is the
+    # final per-query top-k. A second Window means the argmin regressed to
+    # shuffling the whole cross product.
+    import re
+
+    plan = plan_of(spark, "sim_ann_ivf")
+    # \b keeps WindowGroupLimit (the rank-pushdown helper) out of the count.
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "min_by" in plan
+
+
 def test_global_topk_is_take_ordered(spark):
     # Top-k over an unbounded key space (bigram vocabulary, per-user
     # histogram) must plan as TakeOrderedAndProject — each task ships only
