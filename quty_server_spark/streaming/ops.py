@@ -371,12 +371,20 @@ def _fold_subscriptions(
 
     (channel,) = key
     members: set[int] = set(json.loads(state.get[0]) if state.exists else [])
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
-            if row["op"] == "join":
-                members.add(int(row["member_id"]))  # idempotent add
-            else:  # leave / kick (kick pre-fanned to every channel)
-                members.discard(int(row["member_id"]))
+    # applyInPandasWithState delivers one key's rows as MULTIPLE Arrow
+    # chunks (~10k rows each) with no cross-chunk ordering guarantee —
+    # sorting each chunk independently folds ops out of event-time order
+    # once a channel's changelog exceeds one chunk. Concatenate first,
+    # sort the whole changelog once, then fold.
+    chunks = list(pdfs)
+    if not chunks:  # timeout-only invocation delivers no data
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+        if row["op"] == "join":
+            members.add(int(row["member_id"]))  # idempotent add
+        else:  # leave / kick (kick pre-fanned to every channel)
+            members.discard(int(row["member_id"]))
     if members:
         state.update((json.dumps(sorted(members)),))
         yield pd.DataFrame(

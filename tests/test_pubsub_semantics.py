@@ -155,6 +155,34 @@ def test_token_expiry():
     assert verify_token(tok, 2_000) is None
 
 
+def test_stateful_fold_survives_multichunk_delivery(spark):
+    # applyInPandasWithState hands a key's rows to the state function as
+    # multiple Arrow chunks with no cross-chunk ordering guarantee. Cap
+    # the chunk size at 10 rows so every channel's changelog arrives as
+    # many chunks, and require the fold to still equal the batch fold —
+    # the regression for the sort-per-chunk bug (fold must concat all
+    # chunks, then sort once by (ts, event_id)).
+    from tests.conftest import SF_DIR
+
+    from quty_server_spark.operators import pubsub
+    from quty_server_spark.streaming import ops
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        got = {
+            (r.channel, r.member_id)
+            for r in ops.stream_subscriptions_stateful(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    expected = {
+        (r.channel, r.member_id)
+        for r in pubsub.current_subs(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
 def test_envelope_seq_per_channel_mod100(spark):
     # The wire seq counter is independent per channel and wraps at 100
     # (MAX_SEND_SEQ, lib/util.js:13; per-socket _q lib/util.js:186-196).
