@@ -23,6 +23,7 @@ subscription fold whose per-key state is the live membership set.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import tempfile
@@ -568,71 +569,104 @@ if _protobuf_available():  # pragma: no cover - environment-dependent
 
 
 # ---------------------------------------------------------------------------
-# Watermark late-data drop (two deterministic micro-batches)
+# Watermark late-data drop + checkpoint recovery (deterministic micro-batches)
 # ---------------------------------------------------------------------------
+
+
+def _as_ns_events(df: DataFrame) -> DataFrame:
+    """Events projection with ts back as int64 ns, so staged files scan
+    under EVENTS_RAW_SCHEMA (Spark would otherwise write INT96)."""
+    return df.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _stage_single_file(df: DataFrame, stage_root: str, name: str) -> str:
+    """Write ``df`` as exactly one parquet file; return that file's path."""
+    d = os.path.join(stage_root, f"stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+    return os.path.join(d, part)
+
+
+def _epoch_writer(outdir: str):
+    """Idempotent foreachBatch sink: each micro-batch overwrites its own
+    epoch-keyed directory, so a re-executed (crash-retried) batch lands on
+    the same path and the result is unchanged — the sink half of
+    exactly-once (§2.A #28)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"epoch={epoch_id}")
+        )
+
+    return write_epoch
 
 
 @registry.query(
     "stream_watermark_late_drop",
     oracle="""
-    WITH split AS (
-        SELECT *, CAST(ts AS TIMESTAMP) AS tts,
-               (EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))
-                < EXTRACT(EPOCH FROM (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events))
-                  + 0.5 * (EXTRACT(EPOCH FROM (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
-                           - EXTRACT(EPOCH FROM (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events))))
-                   AS in_batch1
-        FROM events),
-    wm AS (SELECT MAX(tts) - INTERVAL 2 HOUR AS cutoff FROM split WHERE in_batch1)
-    SELECT date_trunc('hour', tts) AS hour_start, COUNT(*) AS n
-    FROM split, wm
-    WHERE in_batch1 OR tts > wm.cutoff
+    WITH bounds AS (SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0 FROM events)
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, COUNT(*) AS n
+    FROM events, bounds
+    WHERE CAST(ts AS TIMESTAMP) >= bounds.t0 + INTERVAL 1 HOUR
     GROUP BY 1
     """,
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data semantics made deterministic: the events table is split
-    into two parquet files (first half / second half by event time) that a
-    file-source stream consumes as two ordered micro-batches
-    (maxFilesPerTrigger=1). After batch 1 the watermark advances to
-    max(batch1.ts) - 2h, so batch-2 rows at or before the watermark are
-    dropped — precisely the reference's at-most-once discard restated in
-    event time. The oracle replicates the drop rule in SQL."""
+    """Watermark late-data DROP, actually exercised. Three ordered
+    micro-batches: (1) the middle of the event-time range — advances the
+    watermark to max(batch1.ts) - 2h; (2) a spacer hour of fresh rows —
+    needed because Spark's late-event filter uses the watermark as of the
+    PREVIOUS batch's start (the two-watermark model that keeps chained
+    stateful operators consistent, SPARK-24634), so a drop only happens
+    two batches after the rows that advanced the watermark; (3) the
+    earliest hour of events — now genuinely below the late-event
+    watermark and DISCARDED — plus the final hour, still fresh and
+    merged. The aggregation runs in UPDATE mode (complete mode never
+    drops late rows); updates land in an epoch-keyed foreachBatch sink
+    and the final state takes each window's last update (max_by epoch).
+    The oracle is simply "every event except the earliest hour", because
+    that is exactly what the watermark admits — the reference's
+    at-most-once discard restated in event time.
+    tests/test_streaming_recovery.py asserts the drop is non-empty."""
     configure(spark)
     ev = load_table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    cut = lo + (hi - lo) / 2
+    late_cut = lo + dt.timedelta(hours=1)
+    spacer_cut = hi - dt.timedelta(hours=2)
+    hold_cut = hi - dt.timedelta(hours=1)
     workdir = os.path.join(
         tempfile.gettempdir(), "quty_stream_late", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(workdir, ignore_errors=True)
-    b1 = os.path.join(workdir, "b1")
-    b2 = os.path.join(workdir, "b2")
-    # Write ts back as int64 ns so the split files scan under
-    # EVENTS_RAW_SCHEMA (Spark would otherwise write TimestampType as INT96).
-    def as_ns(df: DataFrame) -> DataFrame:
-        return df.select(
-            "event_id",
-            (F.unix_micros("ts") * 1000).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
-
-    as_ns(ev.filter(F.col("ts") < F.lit(cut))).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(b1)
-    as_ns(ev.filter(F.col("ts") >= F.lit(cut))).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(b2)
     indir = os.path.join(workdir, "in")
+    outdir = os.path.join(workdir, "out")
     os.makedirs(indir)
+    os.makedirs(outdir)
+    main = ev.filter(
+        (F.col("ts") >= F.lit(late_cut)) & (F.col("ts") < F.lit(spacer_cut))
+    )
+    spacer = ev.filter(
+        (F.col("ts") >= F.lit(spacer_cut)) & (F.col("ts") < F.lit(hold_cut))
+    )
+    late_and_fresh = ev.filter(
+        (F.col("ts") < F.lit(late_cut)) | (F.col("ts") >= F.lit(hold_cut))
+    )
+    files = [
+        _stage_single_file(_as_ns_events(main), workdir, "b1"),
+        _stage_single_file(_as_ns_events(spacer), workdir, "b2"),
+        _stage_single_file(_as_ns_events(late_and_fresh), workdir, "b3"),
+    ]
     # One file per micro-batch, ordered by modification time: b1 then b2.
-    for i, src in enumerate([b1, b2]):
-        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+    for i, src in enumerate(files):
         dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.copy(os.path.join(src, part), dst)
+        shutil.copy(src, dst)
         os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
@@ -647,7 +681,105 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour_start"), "n")
     )
-    return run_to_memory(agg, "mem_late_drop", "complete")
+    q = (
+        agg.writeStream.foreachBatch(_epoch_writer(outdir))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.read.option("basePath", outdir).parquet(os.path.join(outdir, "epoch=*"))
+    return upd.groupBy("hour_start").agg(F.max_by("n", "epoch").alias("n"))
+
+
+def checkpoint_recovery_run(spark: SparkSession, sf_dir: str) -> dict:
+    """The "Kafka semantics" proof: a checkpointed streaming query is
+    STOPPED mid-input and a new query resumes from the checkpoint.
+
+    Choreography: the events table is split in two files by event time.
+    Phase 1 exposes only file 1 to the source and runs an availableNow
+    query to termination (it commits its offsets + sink epochs, then
+    stops — a controlled stand-in for a crash between micro-batches).
+    Phase 2 adds file 2 and starts a NEW query on the SAME
+    checkpointLocation: the file source resumes from the committed
+    offsets, so file 1 is never re-read (no duplicates) and file 2 is
+    picked up exactly once (no loss), continuing the epoch numbering.
+    The sink is the idempotent epoch-keyed foreachBatch writer, so a
+    crash-retried uncommitted batch would overwrite its own epoch rather
+    than append — together: end-to-end exactly-once over restarts, the
+    durable-delivery property the reference approximates with client-side
+    queues (lib/Publisher.js:55-66,110-124; lib/QutyClient.js:241-259).
+
+    Returns phase metadata for tests; the registered query returns only
+    the final read-back, which the oracle checks against the batch truth.
+    """
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    workdir = os.path.join(
+        tempfile.gettempdir(), "quty_stream_ckpt", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    indir = os.path.join(workdir, "in")
+    outdir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(indir)
+    os.makedirs(outdir)
+    f1 = _stage_single_file(
+        _as_ns_events(ev.filter(F.col("ts") < F.lit(cut))), workdir, "b1"
+    )
+    f2 = _stage_single_file(
+        _as_ns_events(ev.filter(F.col("ts") >= F.lit(cut))), workdir, "b2"
+    )
+
+    def run_once() -> list[int]:
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(indir)
+        s = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        out = s.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+        q = (
+            out.writeStream.foreachBatch(_epoch_writer(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(outdir)
+            if d.startswith("epoch=")
+        )
+
+    shutil.copy(f1, os.path.join(indir, "file0.parquet"))
+    epochs_phase1 = run_once()  # consume file 1, commit offsets, stop
+    shutil.copy(f2, os.path.join(indir, "file1.parquet"))
+    epochs_all = run_once()  # NEW query, same checkpoint: resumes
+    result = (
+        spark.read.option("basePath", outdir)
+        .parquet(os.path.join(outdir, "epoch=*"))
+        .select("event_id", "user_id", "value")
+    )
+    return {
+        "result": result,
+        "epochs_phase1": epochs_phase1,
+        "epochs_all": epochs_all,
+        "outdir": outdir,
+        "cut": cut,
+    }
+
+
+@registry.query(
+    "stream_checkpoint_recovery",
+    oracle="SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of :func:`checkpoint_recovery_run` — the final
+    read-back after stop + restart-from-checkpoint must equal the batch
+    truth exactly (every purchase event once: no loss across the restart,
+    no duplicates from re-reading file 1)."""
+    return checkpoint_recovery_run(spark, sf_dir)["result"]
 
 
 # ---------------------------------------------------------------------------
