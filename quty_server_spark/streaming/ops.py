@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from quty_server_spark.operators import pubsub
@@ -452,6 +453,107 @@ def stream_subscriptions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_memory(folded, "mem_subs_state", "update")
+
+
+# ---------------------------------------------------------------------------
+# Liveness expiry (§2.A #26) — event-time state timeout
+# ---------------------------------------------------------------------------
+
+# The reference pings every 10 s and terminates a socket that stayed
+# silent for 2 consecutive intervals (lib/Server.js:343-360 with
+# HEARTBEAT_INTERVAL=10s, lib/util.js:14). Restated in event time on the
+# fixture's cadence: a member expires when silent for 60 minutes (2 x a
+# 30-minute heartbeat), judged against a 15-minute watermark.
+LIVENESS_SILENCE_MS = 60 * 60 * 1000
+LIVENESS_WM = "15 minutes"
+LIVENESS_WM_MS = 15 * 60 * 1000
+
+_LIVE_OUT_SCHEMA = StructType(
+    [
+        StructField("member_id", LongType()),
+        StructField("last_seen", TimestampType()),
+        StructField("n_heartbeats", LongType()),
+    ]
+)
+_LIVE_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("n", LongType())]
+)
+
+
+def _liveness_expiry(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-member liveness state: every event is a heartbeat that bumps
+    last_seen and re-arms an event-time timeout at last_seen + 2x the
+    heartbeat interval. When the watermark passes the timeout with no new
+    beat, the member EXPIRES: one output row (the kill decision,
+    lib/Server.js:352-357), state removed. A later beat re-creates state
+    from scratch — the reference's reconnect-after-kill (revive), proven
+    by tests/test_streaming_recovery.py with a multi-batch choreography.
+    State is O(members), not O(events): one (long, long) per key."""
+    (member,) = key
+    if state.hasTimedOut:
+        last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "member_id": [member],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "n_heartbeats": [n],
+            }
+        )
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    last_us = int(pdf["ts"].max().value // 1000)
+    n = len(pdf)
+    if state.exists:
+        prev_last, prev_n = state.get
+        last_us = max(last_us, int(prev_last))
+        n += int(prev_n)
+    state.update((last_us, n))
+    # Event-time timeouts take epoch MILLISECONDS; the watermark tracks
+    # floor-ms of event time, so truncation here matches the engine.
+    state.setTimeoutTimestamp(last_us // 1000 + LIVENESS_SILENCE_MS)
+
+
+@registry.query(
+    "stream_liveness_expiry",
+    oracle=f"""
+    WITH hb AS (
+        SELECT user_id AS member_id,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+               COUNT(*) AS n_heartbeats,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY user_id),
+    wm AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000
+                  - {LIVENESS_WM_MS} AS w_ms
+           FROM events)
+    SELECT member_id, last_seen, n_heartbeats
+    FROM hb, wm
+    WHERE (last_us // 1000) + {LIVENESS_SILENCE_MS} < wm.w_ms
+    """,
+)
+def stream_liveness_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #26 end-to-end on the fixture: every user event is a
+    heartbeat; members whose last beat is more than 60 minutes below the
+    final watermark (max event time - 15 min) have their state expire via
+    GroupStateTimeout.EventTimeTimeout and are emitted as killed. The
+    oracle replicates the decision in floor-millisecond arithmetic —
+    exactly the precision the engine's watermark uses."""
+    s = events_stream(spark, sf_dir)
+    hb = s.select(F.col("user_id").alias("member_id"), "ts")
+    expired = (
+        hb.withWatermark("ts", LIVENESS_WM)
+        .groupBy("member_id")
+        .applyInPandasWithState(
+            _liveness_expiry,
+            outputStructType=_LIVE_OUT_SCHEMA,
+            stateStructType=_LIVE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(expired, "mem_liveness", "append")
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,84 @@ def test_checkpoint_resume_no_loss_no_dupes(spark):
         assert got.isdisjoint(file1_ids), f"epoch {e} re-delivered phase-1 rows"
 
 
+def test_liveness_expiry_and_revive(spark):
+    # The reference's heartbeat kill + reconnect cycle (lib/Server.js:343-
+    # 360): member 1 goes silent and expires once; member 2 expires, then
+    # a later beat REVIVES it (fresh state), and a further watermark
+    # advance expires the revived state with the NEW last_seen — proving
+    # expiry emits per silent episode, not per member. Member 3 keeps
+    # beating and is never expired.
+    import datetime as dtm
+    import shutil
+    import tempfile
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+
+    def beats(*rows):
+        return spark.createDataFrame(
+            [(m, t0 + dtm.timedelta(minutes=mins)) for m, mins in rows],
+            "member_id long, ts timestamp",
+        )
+
+    files = [
+        beats((1, 0), (1, 10), (2, 10), (3, 30)),
+        beats((3, 180)),  # watermark -> t0+2h45m after this batch
+        beats((3, 190)),  # fires m1 + m2 timeouts (timeout t0+70m < wm)
+        beats((2, 240), (3, 240)),  # m2 revives with fresh state
+        beats((3, 360)),  # watermark -> t0+5h45m: expires revived m2
+    ]
+    workdir = os.path.join(tempfile.gettempdir(), "quty_liveness_test")
+    shutil.rmtree(workdir, ignore_errors=True)
+    indir = os.path.join(workdir, "in")
+    os.makedirs(indir)
+    for i, df in enumerate(files):
+        src = ops._stage_single_file(df, workdir, f"b{i}")
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    raw = (
+        spark.readStream.schema(
+            StructType(
+                [
+                    StructField("member_id", LongType()),
+                    StructField("ts", TimestampType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(indir)
+    )
+    expired = (
+        raw.withWatermark("ts", ops.LIVENESS_WM)
+        .groupBy("member_id")
+        .applyInPandasWithState(
+            ops._liveness_expiry,
+            outputStructType=ops._LIVE_OUT_SCHEMA,
+            stateStructType=ops._LIVE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    got = ops.run_to_memory(expired, "mem_liveness_test", "append").collect()
+    episodes = sorted((r.member_id, r.last_seen, r.n_heartbeats) for r in got)
+    assert episodes == [
+        (1, t0 + dtm.timedelta(minutes=10), 2),  # expired once, stays dead
+        (2, t0 + dtm.timedelta(minutes=10), 1),  # first silent episode
+        (2, t0 + dtm.timedelta(minutes=240), 1),  # revived state, expired anew
+    ]
+    assert all(m != 3 for m, _, _ in episodes)  # kept-alive member never killed
+
+
 def test_epoch_sink_idempotent_on_retry(spark):
     # The sink half of exactly-once: re-executing a batch (Spark retries
     # the last uncommitted batch after a crash) overwrites its own epoch
