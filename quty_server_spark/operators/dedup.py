@@ -121,10 +121,30 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard for every doc pair sharing >=1 shingle, via an
-    inverted-index self-join (shuffle on shingle, never a cross join)."""
-    sh = doc_shingles(spark, sf_dir)
+# A shingle shared by df documents contributes df*(df-1)/2 rows to the
+# inverted-index self-join: the worst case is sum-over-shingles of df^2,
+# and one boilerplate stop-shingle with df=1e6 at 100 TB would alone emit
+# 5e11 join rows. The cap drops such shingles from the index UNIVERSE —
+# sizes and intersections are both computed over kept shingles, so the
+# result is a true Jaccard over the df-capped universe — bounding join
+# cost at CAP * n_distinct_shingles while leaving rare (discriminative)
+# shingles untouched. df <= 16 is vacuous on the fixtures (max df = 9),
+# so the oracle-checked answer equals the uncapped exact Jaccard there;
+# tests/test_dedup_semantics.py exercises the cap on a hot-shingle corpus.
+JACCARD_DF_CAP = 16
+
+
+def _pair_jaccard_from(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over the df-capped shingle universe for every doc
+    pair sharing >=1 kept shingle, via an inverted-index self-join
+    (shuffle on shingle, never a cross join). ``sh``: (doc_id, shingle)."""
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -148,6 +168,13 @@ def _pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_jaccard_from(doc_shingles(spark, sf_dir))
+
+
+# Uncapped twin — used by the MinHash oracle, whose verification Jaccard
+# is candidate-restricted (cost already bounded by LSH recall, no cap
+# needed or wanted there).
 SQL_PAIR_JACCARD = """
 pair_inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -164,17 +191,48 @@ pair_jaccard AS (
 )"""
 
 
+# df-capped twin of SQL_PAIR_JACCARD (see JACCARD_DF_CAP note above).
+SQL_PAIR_JACCARD_CAPPED = f"""
+rare_shingle AS (
+    SELECT shingle FROM doc_shingle GROUP BY shingle
+    HAVING COUNT(*) <= {JACCARD_DF_CAP}
+),
+kept_shingle AS (
+    SELECT ds.doc_id, ds.shingle
+    FROM doc_shingle ds JOIN rare_shingle r ON ds.shingle = r.shingle
+),
+kept_size AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM kept_shingle GROUP BY doc_id
+),
+pair_inter_capped AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM kept_shingle a
+    JOIN kept_shingle b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pair_jaccard_capped AS (
+    SELECT p.doc_a, p.doc_b,
+           p.n_inter / CAST(sa.n_sh + sb.n_sh - p.n_inter AS DOUBLE) AS jaccard
+    FROM pair_inter_capped p
+    JOIN kept_size sa ON p.doc_a = sa.doc_id
+    JOIN kept_size sb ON p.doc_b = sb.doc_id
+)"""
+
+
 @registry.query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {SQL_SHINGLES}, {SQL_PAIR_JACCARD}
-    SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
+    WITH {SQL_SHINGLES}, {SQL_PAIR_JACCARD_CAPPED}
+    SELECT doc_a, doc_b, jaccard FROM pair_jaccard_capped WHERE jaccard >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the ground
-    truth for the MinHash variant. Sparse inverted-index join: cost is
-    sum over shingles of df(shingle)^2, tiny when shingles are rare."""
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) over the
+    df-capped shingle universe — the ground truth for the MinHash
+    variant. Sparse inverted-index join: cost is sum over shingles of
+    df(shingle)^2, so JACCARD_DF_CAP bounds the worst case (see the cap
+    note above); on the fixtures the cap is vacuous and this IS the
+    exact Jaccard."""
     return _pair_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
 
 

@@ -1,0 +1,47 @@
+"""Dedup-operator semantics that the fixture corpus cannot exercise.
+
+The documents fixture has no stop-shingles (max df = 9), so the
+df-capped Jaccard equals the exact Jaccard there and the oracle-parity
+gate never sees the cap fire. This file builds a hot-shingle corpus
+where it does.
+"""
+
+from __future__ import annotations
+
+from quty_server_spark.operators import dedup as D
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    # 20 docs share one boilerplate shingle (df=20 > cap) — the pair
+    # explosion a stop-shingle causes. Docs 1 and 2 additionally share a
+    # rare shingle. With the cap: the hot shingle leaves the universe, so
+    # the only surviving pair is (1, 2) via the rare shingle, with
+    # Jaccard computed over kept shingles only (1/1 = 1.0). Without the
+    # cap every one of the C(20,2)=190 pairs would score >= 1/3.
+    rows = []
+    for d in range(1, 21):
+        rows.append((d, "the common boiler"))
+    rows.append((1, "alpha beta gamma"))
+    rows.append((2, "alpha beta gamma"))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D._pair_jaccard_from(sh).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_jaccard_df_cap_vacuous_below_threshold(spark):
+    # At df <= cap nothing is dropped: the capped operator IS the exact
+    # Jaccard. Two docs sharing 1 of their 2-and-3 shingles -> 1/4.
+    rows = [
+        (1, "a b c"),
+        (1, "b c d"),
+        (2, "b c d"),
+        (2, "x y z"),
+        (2, "y z w"),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D._pair_jaccard_from(sh).collect()
+    }
+    assert got == {(1, 2): 1 / 4}
