@@ -52,21 +52,26 @@ changelog AS (
 
 SQL_CURRENT_SUBS = """
 last_channel_op AS (
-    SELECT channel, member_id, op AS last_op, ts AS op_ts
+    SELECT channel, member_id, op AS last_op, ts AS op_ts, event_id AS op_eid
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY channel, member_id
                                        ORDER BY ts DESC, event_id DESC) AS rn
           FROM changelog WHERE op IN ('join', 'leave'))
     WHERE rn = 1
 ),
 last_kick AS (
-    SELECT member_id, MAX(ts) AS kick_ts FROM changelog
-    WHERE op = 'kick' GROUP BY member_id
+    SELECT member_id, kick_ts, kick_eid
+    FROM (SELECT member_id, ts AS kick_ts, event_id AS kick_eid,
+                 ROW_NUMBER() OVER (PARTITION BY member_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM changelog WHERE op = 'kick')
+    WHERE rn = 1
 ),
 current_subs AS (
     SELECT l.channel, l.member_id
     FROM last_channel_op l
     LEFT JOIN last_kick k ON l.member_id = k.member_id
-    WHERE l.last_op = 'join' AND (k.kick_ts IS NULL OR k.kick_ts < l.op_ts)
+    WHERE l.last_op = 'join'
+      AND (k.kick_ts IS NULL OR (k.kick_ts, k.kick_eid) < (l.op_ts, l.op_eid))
 )"""
 
 SQL_MESSAGES = """
@@ -111,6 +116,13 @@ def fold_current_subs(log: DataFrame) -> DataFrame:
     Idempotent joins (lib/ChannelHub.js:65-69) fall out of last-op-wins;
     channel GC (lib/ChannelHub.js:85-88) falls out of empty groups simply
     not existing in the aggregate.
+
+    Tie rule: every comparison orders by (ts, event_id) — a kick at the
+    same ts as a join voids it only when its event_id is higher. This is
+    exactly the sequential fold the streaming state operator applies
+    (streaming/ops.py _fold_subscriptions sorts by (ts, event_id)), so
+    batch fold, streaming fold and SQL oracle agree on adversarial
+    same-timestamp histories (tests/test_pubsub_semantics.py).
     """
     w = Window.partitionBy("channel", "member_id").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -119,18 +131,35 @@ def fold_current_subs(log: DataFrame) -> DataFrame:
         log.filter(F.col("op").isin("join", "leave"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("channel", "member_id", F.col("op").alias("last_op"), F.col("ts").alias("op_ts"))
+        .select(
+            "channel",
+            "member_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("op_ts"),
+            F.col("event_id").alias("op_eid"),
+        )
     )
     last_kick = (
         log.filter(F.col("op") == "kick")
         .groupBy("member_id")
-        .agg(F.max("ts").alias("kick_ts"))
+        .agg(F.max(F.struct("ts", "event_id")).alias("k"))
+        .select(
+            "member_id",
+            F.col("k.ts").alias("kick_ts"),
+            F.col("k.event_id").alias("kick_eid"),
+        )
     )
     return (
         last_op.join(broadcast(last_kick), "member_id", "left")
         .filter(
             (F.col("last_op") == "join")
-            & (F.col("kick_ts").isNull() | (F.col("kick_ts") < F.col("op_ts")))
+            & (
+                F.col("kick_ts").isNull()
+                | (
+                    F.struct(F.col("kick_ts"), F.col("kick_eid"))
+                    < F.struct(F.col("op_ts"), F.col("op_eid"))
+                )
+            )
         )
         .select("channel", "member_id")
     )

@@ -271,8 +271,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events c
     JOIN events p
       ON c.user_id = p.user_id
-     AND p.ts >= c.ts
-     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+     -- compare at Spark's microsecond precision: raw TIMESTAMP_NS bounds
+     -- would diverge when a pair straddles the 30-min edge by sub-us parts
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
 )

@@ -132,6 +132,92 @@ def test_loop_suppression_subset(spark):
     assert local == {(100, 1), (101, 2), (101, 6)}
 
 
+def _seq_fold(rows):
+    """Reference semantics, modeled directly: apply ops one at a time in
+    (ts, event_id) order, kick removing the member from every channel
+    (lib/ChannelHub.js:187-199 iterates channels synchronously per event)."""
+    members: dict[str, set[int]] = {}
+    for c, m, op, _s, _e in sorted(rows, key=lambda r: (r[3], r[4])):
+        if op == "join":
+            members.setdefault(c, set()).add(m)
+        elif op == "leave":
+            members.get(c, set()).discard(m)
+        else:  # kick removes everywhere
+            for mem in members.values():
+                mem.discard(m)
+    return {(c, m) for c, mem in members.items() for m in mem}
+
+
+def _oracle_subs(rows):
+    """Run the DuckDB oracle CTE (SQL_CURRENT_SUBS) on a hand-built log."""
+    import duckdb
+    import pandas as pd
+
+    from quty_server_spark.operators.pubsub import SQL_CURRENT_SUBS
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "channel": c,
+                "member_id": m,
+                "op": op,
+                "ts": T0 + dt.timedelta(seconds=s),
+                "event_id": e,
+            }
+            for c, m, op, s, e in rows
+        ]
+    )
+    con = duckdb.connect()
+    con.register("changelog", pdf)
+    got = con.execute(
+        f"WITH {SQL_CURRENT_SUBS} SELECT channel, member_id FROM current_subs"
+    ).fetchall()
+    con.close()
+    return {(c, int(m)) for c, m in got}
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        # kick after join at the SAME ts (higher event_id): member removed
+        [("ch1", 1, "join", 0, 1), ("ch1", 1, "kick", 0, 2)],
+        # join after kick at the SAME ts: member survives
+        [("ch1", 1, "kick", 0, 1), ("ch1", 1, "join", 0, 2)],
+        # kick sandwiched between same-ts joins: last join wins
+        [
+            ("ch1", 1, "join", 0, 1),
+            ("ch1", 1, "kick", 0, 2),
+            ("ch1", 1, "join", 0, 3),
+        ],
+        # same-ts kick cascades over multi-channel same-ts joins
+        [
+            ("ch1", 1, "join", 0, 1),
+            ("ch2", 1, "join", 0, 2),
+            ("ch1", 1, "kick", 0, 3),
+            ("ch2", 2, "join", 0, 4),
+        ],
+        # event_id order beats arrival order: kick with LOWER event_id loses
+        [("ch1", 1, "join", 0, 5), ("ch1", 1, "kick", 0, 2)],
+        # leave at same ts after kick+join chain
+        [
+            ("ch1", 1, "join", 0, 1),
+            ("ch1", 1, "kick", 0, 2),
+            ("ch1", 1, "join", 0, 3),
+            ("ch1", 1, "leave", 0, 4),
+        ],
+    ],
+)
+def test_kick_join_same_ts_tiebreak(spark, rows):
+    # Adversarial same-timestamp histories: the batch fold
+    # (fold_current_subs), the SQL oracle (SQL_CURRENT_SUBS) and a direct
+    # sequential model must all agree — every comparator orders by
+    # (ts, event_id) row-values, so a kick voids a join only when its
+    # event_id is higher at equal ts.
+    expected = _seq_fold(rows)
+    assert subs_set(spark, rows) == expected
+    assert _oracle_subs(rows) == expected
+
+
 @pytest.mark.parametrize(
     "token_mutator,expect",
     [
