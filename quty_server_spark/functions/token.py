@@ -1,11 +1,21 @@
 """Auth-token signing and verification (control plane).
 
 The reference admits sockets with a compact signed token:
-``"{base64url(json)}-{base64url(hmac_sha256(json_b64))}"`` where the JSON
+``"{base64(json)}-{base64(hmac_sha256(json_b64))}"`` — PLAIN base64
+(``Buffer.toString('base64')``, /root/reference/lib/util.js:29-31) joined
+and split on ``'-'`` (lib/token.js:55,73), which is safe there because the
+standard base64 alphabet (``A-Za-z0-9+/=``) never contains ``-``. The JSON
 payload carries ``_e`` expiry epoch-ms, ``_v`` version, ``_t`` type
 (HUB=1, CLUSTER=2, CLUSTER_CLIENT=3) and ``_i`` principal id
 (/root/reference/lib/token.js:4-10,35-56,70-99; admission filter
 /root/reference/lib/QutyCluster.js:339-373).
+
+Deliberate wire-shape deviation: we emit unpadded base64url joined with
+``'.'`` (JWS-style). base64url's alphabet contains ``-``, so the
+reference's separator would be ambiguous here; and base64url survives
+URLs/filenames, which matters when tokens ride in query strings. The
+admission DECISION (parse → verify HMAC → check expiry/type) is
+semantically identical; only the encoding of the two segments differs.
 
 Spark has no HMAC builtin, so verification is an Arrow-batched pandas UDF
 (hashlib/hmac, vectorized per batch). This is deliberately the ONLY Python

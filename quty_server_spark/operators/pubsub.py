@@ -464,7 +464,7 @@ frames AS (
                         s := CAST(user_id AS VARCHAR),
                         _q := CAST((ROW_NUMBER() OVER (
                                 PARTITION BY 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR)
-                                ORDER BY CAST(ts AS TIMESTAMP), event_id)) % 100 AS VARCHAR)))
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1) % 100 AS VARCHAR)))
            END AS frame
     FROM events
     WHERE event_type IN ('click', 'view')
@@ -473,12 +473,19 @@ frames AS (
 
 def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize click events into the reference's wire frames
-    ``"{event}|{json}"`` with a mod-100 PER-CHANNEL sequence counter.
-    The reference keeps an independent ``_q`` counter per socket
-    (util.sendSocketEvent, lib/util.js:174-206; MAX_SEND_SEQ lib/util.js:13),
-    so the seq window partitions by channel — a global counter would both
-    diverge from the reference and force every wire frame through a single
-    ``Exchange SinglePartition`` task at scale. 'view' events are corrupted
+    ``"{event}|{json}"`` with a mod-100 sequence counter.
+
+    The reference keeps ONE module-scope ``sendSeq`` counter shared by
+    every socket in the process (``let sendSeq = 0`` at lib/util.js:186,
+    attach-then-increment in util.sendSocketEvent lib/util.js:188-196;
+    MAX_SEND_SEQ=100 lib/util.js:13) — frames are numbered 0..99
+    process-wide. Partitioning the counter PER CHANNEL is an intentional
+    divergence from that single counter: a faithful global window forces
+    every wire frame through one ``Exchange SinglePartition`` task, which
+    is a non-starter at scale, while per-channel counters model what the
+    per-process counters of a sharded deployment (one channel ↔ one
+    owning node) would produce. The 0-based numbering itself matches the
+    reference (first frame gets ``_q=0``). 'view' events are corrupted
     on purpose so the parse side exercises the malformed-drop path
     (util.parseSocketEvent → false, lib/util.js:208-246).
     """
@@ -497,7 +504,7 @@ def frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         channel.alias("c"),
                         F.format_string("%.2f", F.col("value")).alias("m"),
                         F.col("user_id").cast("string").alias("s"),
-                        (F.row_number().over(w) % 100).cast("string").alias("_q"),
+                        ((F.row_number().over(w) - 1) % 100).cast("string").alias("_q"),
                     )
                 ),
             )

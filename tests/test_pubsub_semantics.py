@@ -270,9 +270,12 @@ def test_stateful_fold_survives_multichunk_delivery(spark):
 
 
 def test_envelope_seq_per_channel_mod100(spark):
-    # The wire seq counter is independent per channel and wraps at 100
-    # (MAX_SEND_SEQ, lib/util.js:13; per-socket _q lib/util.js:186-196).
-    # Ground truth computed in pandas, independent of the Spark window.
+    # The wire seq counter wraps at 100 (MAX_SEND_SEQ, lib/util.js:13)
+    # and is 0-based (attach-then-increment, lib/util.js:188-196). The
+    # reference runs ONE module-scope counter for the whole process
+    # (lib/util.js:186); partitioning it per channel is our deliberate
+    # scale divergence (see frames() docstring). Ground truth computed in
+    # pandas, independent of the Spark window.
     import json
 
     import pandas as pd
@@ -296,7 +299,7 @@ def test_envelope_seq_per_channel_mod100(spark):
     )
     ev["channel"] = "ch" + (ev["k"] % 5).astype(str)
     ev = ev.sort_values(["ts", "event_id"])
-    ev["seq"] = ev.groupby("channel").cumcount().add(1).mod(100)
+    ev["seq"] = ev.groupby("channel").cumcount().mod(100)
     expected = {
         int(r.event_id): int(r.seq)
         for r in ev.itertuples()

@@ -191,10 +191,11 @@ def test_exactly_one_python_udf_surface(spark):
 
 
 def test_envelope_no_single_partition_exchange(spark):
-    # §2.A #1/#2 wire path: the seq counter partitions by channel (the
-    # reference's _q is per-socket, lib/util.js:186-196). A global counter
-    # would funnel the entire 100 TB data plane through one task via
-    # Exchange SinglePartition — this pins the per-channel plan.
+    # §2.A #1/#2 wire path: the seq counter partitions by channel — a
+    # deliberate divergence from the reference's single module-scope
+    # sendSeq counter (lib/util.js:186-196), which would funnel the
+    # entire 100 TB data plane through one task via Exchange
+    # SinglePartition. This pins the per-channel plan.
     for name in ["envelope_serialize", "envelope_parse"]:
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
