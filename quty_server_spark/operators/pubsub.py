@@ -293,6 +293,53 @@ def subs_kick_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "subs_remove_node",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS},
+    node_channels AS (
+        SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS node_id, channel
+        FROM current_subs
+    ),
+    departing AS (
+        SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS node_id
+        FROM changelog WHERE op = 'kick'
+    )
+    SELECT n.node_id, n.channel
+    FROM node_channels n JOIN departing d ON n.node_id = d.node_id
+    """,
+)
+def subs_remove_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #11 `removeNode`: vacate a node from EVERY channel it occupies.
+
+    The reference iterates all channels and unsubscribes the node from
+    each (lib/ChannelHub.js:125-132, calling unsubscribeNode per channel).
+    The node-channel map is implied by ownership: a node is subscribed to
+    a channel iff it owns >=1 current member there ('subscribe owning node
+    first', lib/ChannelHub.js:143-147). Departing nodes are those owning a
+    kicked member (the kick disconnects the owning socket, so its node
+    drains). Output: the (node, channel) rows the removeNode loop would
+    unsubscribe — the removal's effect set.
+
+    Plan: the node-channel map is a distinct over compacted state; the
+    departing set is tiny and broadcast — one shuffle for the distinct,
+    no shuffle for the semi join.
+    """
+    node_of = F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string"))
+    node_channels = (
+        current_subs(spark, sf_dir)
+        .select(node_of.alias("node_id"), "channel")
+        .distinct()
+    )
+    departing = (
+        changelog(spark, sf_dir)
+        .filter(F.col("op") == "kick")
+        .select(node_of.alias("node_id"))
+        .distinct()
+    )
+    return node_channels.join(broadcast(departing), "node_id", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # Routing operators (§2.A #3-#6, #9, #14)
 # ---------------------------------------------------------------------------
@@ -447,6 +494,76 @@ def route_fanout_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return msgs.join(subs, ["channel", "salt"]).select(
         "event_id", "channel", "member_id", "sender_id", "value"
+    )
+
+
+@registry.query(
+    "route_event_dispatch",
+    oracle="""
+    WITH dispatch AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'node' ELSE 'publisher' END
+                   AS sender_kind,
+               CASE WHEN event_type = 'signup' THEN 'CHANNEL_JOIN'
+                    WHEN event_type = 'error' THEN 'CHANNEL_LEAVE'
+                    WHEN event_type = 'click' THEN 'CHANNEL_MESSAGE'
+                    WHEN event_type = 'purchase' AND value > 195 THEN 'CLIENT_KICK'
+                    WHEN event_type = 'purchase' THEN 'NODE_STATE'
+                    ELSE 'PENDING_DROP' END AS branch,
+               user_id, event_id
+        FROM events
+    )
+    SELECT branch, sender_kind, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_senders,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM dispatch
+    GROUP BY branch, sender_kind
+    """,
+)
+def route_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #23: the event dispatch table — route every incoming event to
+    its handler branch by (event code, sender kind).
+
+    The reference's cluster socket handler is one big router
+    (lib/QutyCluster.js:555-640): NODE_STATE → discovery/state merge,
+    then per sender kind (node ``socket.sid`` vs publisher ``socket.pid``)
+    CHANNEL_JOIN → subscribeNode, CHANNEL_LEAVE → unsubscribeNode,
+    CHANNEL_MESSAGE → sendMessage (no-rebroadcast for nodes), CLIENT_KICK
+    → disconnectClient, and unknown/unready events land in the pending
+    buffer. Fixture mapping reuses the changelog's op derivation
+    (signup/error/purchase→kick) plus click→message; even user_ids model
+    node sockets, odd ones publishers. Output: per (branch, sender_kind)
+    routing stats — the dispatch fan-in a router node would see.
+
+    Plan: single scan, codegen'd CASE chain, partial aggregation before
+    one shuffle on the 12-row group key space.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    branch = (
+        F.when(F.col("event_type") == "signup", "CHANNEL_JOIN")
+        .when(F.col("event_type") == "error", "CHANNEL_LEAVE")
+        .when(F.col("event_type") == "click", "CHANNEL_MESSAGE")
+        .when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 195),
+            "CLIENT_KICK",
+        )
+        .when(F.col("event_type") == "purchase", "NODE_STATE")
+        .otherwise("PENDING_DROP")
+    )
+    sender_kind = F.when(F.col("user_id") % 2 == 0, "node").otherwise("publisher")
+    return (
+        ev.select(
+            branch.alias("branch"),
+            sender_kind.alias("sender_kind"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("branch", "sender_kind")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_senders"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
     )
 
 

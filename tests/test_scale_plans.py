@@ -190,6 +190,27 @@ def test_exactly_one_python_udf_surface(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 
 
+def test_remove_node_broadcast_semi(spark):
+    # §2.A #11: the departing-node set is tiny — it must broadcast into a
+    # semi join, never shuffle the node-channel map against it.
+    plan = plan_of(spark, "subs_remove_node")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_dispatch_single_scan_codegen(spark):
+    # §2.A #23: the dispatch table is one codegen'd CASE chain over a
+    # single events scan with partial aggregation — no joins, no Python.
+    plan = plan_of(spark, "route_event_dispatch")
+    # formatted explain prints every node twice (tree + numbered details)
+    assert plan.count("Scan parquet") == 2
+    # exactly the two-phase count-distinct shuffles: one on
+    # (branch, sender_kind, user_id), one on the final group key
+    assert plan.count("+- Exchange") == 2
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_envelope_no_single_partition_exchange(spark):
     # §2.A #1/#2 wire path: the seq counter partitions by channel — a
     # deliberate divergence from the reference's single module-scope
