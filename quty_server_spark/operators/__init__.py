@@ -12,6 +12,7 @@ from quty_server_spark.operators import (  # noqa: F401
     auth,
     udfs,
     sampling,
+    pipeline,
 )
 from quty_server_spark import streaming  # noqa: F401
 from quty_server_spark.sources import formats  # noqa: F401

@@ -1,0 +1,332 @@
+"""Training-data pipeline composition operators.
+
+The reference is a message engine (quty-io/quty-server); these operators
+are the mandated EXTENSION surface: the per-document transforms a
+large-scale LLM training pipeline runs between raw corpus and training
+shards — PII scrubbing, repetition filtering (Gopher-style), boilerplate
+detection, sequence packing, per-label embedding centroids, and source
+mixing. All JVM-builtin expressions (regexp/split/transform/explode +
+hash-partitioned aggregation) — no Python in any hot path. Every operator
+is a single scan plus at most one keyed shuffle, so each scales linearly
+with corpus size at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.plans.registry import registry
+
+# Regexes shared by the Spark path and the DuckDB twin (Java regex and
+# RE2 agree on this subset: classes, quantifiers, no backrefs).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+\\d[\\d-]+\\d"
+
+# The synthetic corpus contains no PII, so the fixture deterministically
+# stages one email and one phone per document before scrubbing — the
+# scrub machinery (match, count, redact) is what's under test.
+SQL_PII_STAGED = """
+staged AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-0' || CAST(doc_id % 100 AS VARCHAR)
+               AS text
+    FROM documents
+)"""
+
+
+@registry.query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH {SQL_PII_STAGED}
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM staged
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count and replace email/phone spans.
+
+    One codegen'd scan; regexp_replace/regexp_count are JVM expressions,
+    so at 100 TB this is an embarrassingly parallel map with column
+    pruning down to (doc_id, text).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(staged, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(staged, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(staged, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+@registry.query(
+    "text_repetition_ngrams",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT g) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT g) AS n_repeated,
+           (COUNT(*) - COUNT(DISTINCT g)) * 1000 // COUNT(*) AS rep_permille
+    FROM grams GROUP BY doc_id
+    """,
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: the fraction of 3-gram
+    occurrences that are duplicates of an earlier 3-gram in the same doc
+    (high ratio = looping/boilerplate text, a standard pre-train filter).
+
+    Plan: explode 3-grams (JVM transform over the split array), then one
+    hash aggregation keyed by doc_id with map-side partial aggregation —
+    the explode never leaves the original document's partition until the
+    per-doc agg shuffle. Integer per-mille keeps the oracle hash exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("g")).alias("n_repeated"),
+        F.expr("(count(*) - count(distinct g)) * 1000 div count(*)").alias(
+            "rep_permille"
+        ),
+    )
+
+
+# Boilerplate = a 5-gram shingle shared by >= 3 distinct documents (74
+# shingles on the 500-doc fixture). At a real corpus scale the threshold
+# is a df fraction; the df aggregation is the same map-side-combined
+# count either way, and the surviving boilerplate set stays small enough
+# to broadcast.
+BOILER_MIN_DF = 3
+
+SQL_DOC_SHINGLES = """
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+),
+doc_shingles AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4] AS g
+    FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+)"""
+
+
+@registry.query(
+    "text_boilerplate_shingles",
+    oracle=f"""
+    WITH {SQL_DOC_SHINGLES},
+    boiler AS (
+        SELECT g FROM doc_shingles GROUP BY g
+        HAVING COUNT(*) >= {BOILER_MIN_DF}
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           COUNT(b.g) AS n_boiler,
+           COUNT(b.g) * 1000 // COUNT(*) AS boiler_permille
+    FROM doc_shingles s LEFT JOIN boiler b ON s.g = b.g
+    GROUP BY s.doc_id
+    """,
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate detection: flag 5-gram shingles that recur
+    across >= BOILER_MIN_DF distinct documents (headers/footers/templates)
+    and score each document's boilerplate density.
+
+    Plan: distinct (doc, shingle) pairs -> shingle document frequency with
+    map-side combine -> the tiny surviving boilerplate set is BROADCAST
+    back against the per-doc shingles. The only large shuffle is the
+    distinct; the df table and the join never move the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-5), i -> concat_ws(' ',"
+                    " w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    boiler = (
+        shingles.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    joined = shingles.join(
+        broadcast(boiler.withColumn("is_boiler", F.lit(1))), "g", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("is_boiler").alias("n_boiler"),
+        F.expr("count(is_boiler) * 1000 div count(*)").alias("boiler_permille"),
+    )
+
+
+SEQ_LEN = 2048
+N_PACK_SHARDS = 8
+
+
+@registry.query(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    offsets AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM toks
+    )
+    SELECT shard, start_off // {SEQ_LEN} AS bin,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_packed
+    FROM offsets GROUP BY shard, start_off // {SEQ_LEN}
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training shards: lay documents end to
+    end in doc_id order and cut {SEQ_LEN}-token bins; a document belongs
+    to the bin its start offset falls in.
+
+    A single global running sum would serialize the corpus through one
+    task, so packing is sharded: each of {N_PACK_SHARDS} hash shards packs
+    independently (training shards are independent files anyway). Within a
+    shard the cumulative sum is one window over the shard's partition —
+    at 100 TB, shard count scales with the cluster, keeping every window
+    partition bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offsets.withColumn(
+            "bin", F.expr(f"start_off div {SEQ_LEN}")
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+        )
+    )
+
+
+@registry.query(
+    "embed_label_centroids",
+    oracle="""
+    WITH comp AS (
+        SELECT label, i AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, dim, SUM(q) AS sum_q, COUNT(*) AS n_vecs,
+           SUM(q) // COUNT(*) AS centroid_milli
+    FROM comp GROUP BY label, dim
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, integer-exact: quantize each
+    component to milli-units (float->double is exact, floor is exact),
+    then sum integers — associative, so Spark's unordered partial
+    aggregation matches the oracle bit-for-bit, unlike float means.
+
+    Plan: posexplode to (label, dim) rows, one hash aggregation with
+    map-side combine on a label*64 key space. This is the centroid build
+    step IVF/k-means seeding needs; sim_ann_ivf consumes frozen centroids,
+    this derives them from the data.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).alias("q"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.sum("q").alias("sum_q"),
+        F.count("*").alias("n_vecs"),
+        F.expr("sum(q) div count(*)").alias("centroid_milli"),
+    )
+
+
+@registry.query(
+    "text_domain_mix",
+    oracle="""
+    WITH per AS (
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_chars,
+           n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY lang)
+               AS share_permille
+    FROM per
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing ratios per language: the table a pipeline uses to set
+    per-domain sampling weights (e.g. upsample wiki, downsample crawl).
+
+    Plan: one aggregation to (lang, source) grain — map-side combined —
+    then a window over the tiny aggregate, never over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    return per.withColumn(
+        "share_permille",
+        F.expr("n_docs * 1000 div sum(n_docs) over (partition by lang)"),
+    )

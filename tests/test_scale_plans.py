@@ -211,6 +211,36 @@ def test_event_dispatch_single_scan_codegen(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_pipeline_ops_stay_jvm_side(spark):
+    # The training-pipeline transforms are all builtin expressions; any
+    # Python eval node here puts a 10-100x slowdown in a 100 TB scan.
+    for name in [
+        "text_pii_scrub",
+        "text_repetition_ngrams",
+        "text_boilerplate_shingles",
+        "doc_pack_sequences",
+        "embed_label_centroids",
+        "text_domain_mix",
+    ]:
+        plan = plan_of(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_boilerplate_set_broadcasts(spark):
+    # The surviving boilerplate shingle set is tiny — it must broadcast
+    # back against the per-doc shingles, not shuffle the corpus twice.
+    plan = plan_of(spark, "text_boilerplate_shingles")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_is_sharded(spark):
+    # Packing must window per shard — a global running sum would pull the
+    # whole corpus through Exchange SinglePartition.
+    plan = plan_of(spark, "doc_pack_sequences")
+    assert "SinglePartition" not in plan
+
+
 def test_envelope_no_single_partition_exchange(spark):
     # §2.A #1/#2 wire path: the seq counter partitions by channel — a
     # deliberate divergence from the reference's single module-scope
