@@ -321,6 +321,99 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+                     (SELECT MAX(purchase_ts) FROM purchases))
+               - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+                   AS lag_s
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+        -- a click is null-extended only once the watermark proves no
+        -- purchase can still arrive for its 30-min window; trailing
+        -- unmatched clicks stay buffered in join state and never emit
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+               CAST(NULL AS BIGINT) AS lag_s
+        FROM clicks c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+          AND c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired with
+    its within-30-min purchase or null-extended once it provably cannot
+    match — the unconverted-click feed of the attribution pipeline.
+
+    Outer emission is watermark-gated: a click's null row appears only
+    after the global watermark (min of both sides' max-event-time minus
+    the 1 h delay) passes the end of its 30-min match window; Spark then
+    evicts the buffered row in a no-data microbatch. The oracle encodes
+    exactly that rule, so trailing unmatched clicks — still inside the
+    watermark horizon when the finite input ends — are absent on BOTH
+    sides. Same bounded-state story as the inner join: both buffers age
+    out by watermark, which is what lets this run forever."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_s"
+        ),
+    )
+    return run_to_memory(joined, "mem_ssj_lo", "append")
+
+
+@registry.query(
     "stream_route_fanout",
     oracle=f"""
     WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS}
