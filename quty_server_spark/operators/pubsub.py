@@ -498,6 +498,83 @@ def route_fanout_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "status_snapshot",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS}
+    SELECT TRUE AS ready,
+           COUNT(DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR)) AS n_nodes,
+           COUNT(DISTINCT channel) AS n_channels,
+           COUNT(DISTINCT member_id) AS n_members,
+           COUNT(*) AS n_subscriptions
+    FROM current_subs
+    """,
+)
+def status_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #27: the payload the ``/_status`` HTTP endpoint serves —
+    ``{ready, nodes, channels}`` (lib/QutyCluster.js:651-658). The HTTP
+    listener itself is infra (no server in a query engine); the DATA the
+    endpoint reports is one aggregation over compacted state: node count
+    (distinct member owners), channel count, member count, total
+    subscription edges, and the readiness flag.
+
+    Plan: single aggregation over the compacted subscription state —
+    the multi-count runs as one Expand + hash agg, map-side combined.
+    """
+    subs = current_subs(spark, sf_dir)
+    node_of = F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string"))
+    return subs.agg(
+        F.lit(True).alias("ready"),
+        F.countDistinct(node_of).alias("n_nodes"),
+        F.countDistinct("channel").alias("n_channels"),
+        F.countDistinct("member_id").alias("n_members"),
+        F.count("*").alias("n_subscriptions"),
+    )
+
+
+@registry.query(
+    "cluster_node_info",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS},
+    node_channels AS (
+        SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS node_id,
+               channel
+        FROM current_subs
+    )
+    SELECT node_id,
+           2 AS token_type,
+           COUNT(*) AS n_channels,
+           string_agg(channel, ',' ORDER BY channel) AS channels
+    FROM node_channels
+    GROUP BY node_id
+    """,
+)
+def cluster_node_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #20/#21: the NODE_INFO handshake payload a node sends on
+    cluster connect — ``{_t: CLUSTER, _i: id, c: getNodeSubscriptions(id)}``
+    (lib/QutyCluster.js:664-671), also the channel list gossiped in
+    NODE_STATE exchanges. The socket choreography is obsolete by design
+    (shuffle replaces the mesh, SURVEY §7); the payload DERIVATION — each
+    node's sorted channel subscription list — is this query.
+
+    Plan: distinct over compacted state, then a per-node sort_array over
+    collect_list — the per-node channel lists are tiny (<= channel count),
+    so the collect never skews.
+    """
+    subs = current_subs(spark, sf_dir)
+    node_of = F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string"))
+    node_channels = subs.select(
+        node_of.alias("node_id"), "channel"
+    ).distinct()
+    return node_channels.groupBy("node_id").agg(
+        F.lit(2).alias("token_type"),  # token.TYPE.CLUSTER
+        F.count("*").alias("n_channels"),
+        F.array_join(F.sort_array(F.collect_list("channel")), ",").alias(
+            "channels"
+        ),
+    )
+
+
+@registry.query(
     "route_event_dispatch",
     oracle="""
     WITH dispatch AS (
