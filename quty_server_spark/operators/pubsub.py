@@ -575,6 +575,85 @@ def cluster_node_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "cluster_discovery",
+    oracle=f"""
+    WITH {SQL_CHANGELOG}, {SQL_CURRENT_SUBS},
+    node_channels AS (
+        SELECT DISTINCT 'node' || CAST(member_id % 4 AS VARCHAR) AS node_id,
+               channel
+        FROM current_subs
+    ),
+    adj AS (
+        SELECT DISTINCT a.node_id AS src, b.node_id AS dst
+        FROM node_channels a JOIN node_channels b ON a.channel = b.channel
+        WHERE a.node_id <> b.node_id
+    )
+    SELECT DISTINCT p.src AS receiver, q.dst AS discovered
+    FROM adj p JOIN adj q ON p.dst = q.src
+    WHERE q.dst <> p.src
+      AND NOT EXISTS (SELECT 1 FROM adj d
+                      WHERE d.src = p.src AND d.dst = q.dst)
+    """,
+)
+def cluster_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #19: node discovery with dedup — learning of unknown nodes
+    from a peer's NODE_STATE gossip and skipping self and
+    already-connected nodes (lib/QutyCluster.js:558-566: ``if (node.sid
+    === this.id) continue; if (this[nodes][node.sid]) continue``).
+
+    Relationally: direct peers share a channel (the mesh edge); a
+    DISCOVERED node is one a direct peer knows that the receiver is not
+    yet connected to — a 2-hop closure minus the 1-hop edges minus self.
+    The fixture's 4-node mesh is dense, so the result is usually empty or
+    tiny; the query's value is the shape: discovery as joins over the
+    channel-co-membership graph instead of socket gossip.
+
+    Plan: the adjacency self-join keys on channel; nodes-per-channel is
+    bounded by cluster size (not member count), so the worst case is
+    channels x nodes^2 — cluster size is small by definition, and the
+    2-hop join runs on the deduped edge list only.
+    """
+    subs = current_subs(spark, sf_dir)
+    node_of = F.concat(F.lit("node"), (F.col("member_id") % 4).cast("string"))
+    nc = subs.select(node_of.alias("node_id"), "channel").distinct()
+    return discover_nodes(nc)
+
+
+def discover_nodes(node_channels: DataFrame) -> DataFrame:
+    """Discovery core over a (node_id, channel) map: 2-hop closure minus
+    1-hop edges minus self. Non-vacuous behavior (a line topology where
+    n0 learns of n2 through n1) is pinned in tests/test_pubsub_semantics.py
+    — the fixture's dense mesh usually yields an empty set."""
+    a = node_channels.alias("a")
+    b = node_channels.alias("b")
+    adj = (
+        a.join(b, F.col("a.channel") == F.col("b.channel"))
+        .filter(F.col("a.node_id") != F.col("b.node_id"))
+        .select(
+            F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst")
+        )
+        .distinct()
+    )
+    p = adj.alias("p")
+    q = adj.alias("q")
+    two_hop = (
+        p.join(q, F.col("p.dst") == F.col("q.src"))
+        .filter(F.col("q.dst") != F.col("p.src"))
+        .select(
+            F.col("p.src").alias("receiver"), F.col("q.dst").alias("discovered")
+        )
+        .distinct()
+    )
+    return two_hop.join(
+        adj.select(
+            F.col("src").alias("receiver"), F.col("dst").alias("discovered")
+        ),
+        ["receiver", "discovered"],
+        "left_anti",
+    )
+
+
+@registry.query(
     "route_event_dispatch",
     oracle="""
     WITH dispatch AS (

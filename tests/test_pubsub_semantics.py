@@ -218,6 +218,56 @@ def test_kick_join_same_ts_tiebreak(spark, rows):
     assert _oracle_subs(rows) == expected
 
 
+def test_discovery_line_topology(spark):
+    # §2.A #19: on a line topology n0-(chA)-n1-(chB)-n2, n0 and n2 are
+    # not direct peers but each discovers the other through n1's gossip;
+    # n1 discovers nobody (it already knows both).
+    from quty_server_spark.operators.pubsub import discover_nodes
+
+    nc = spark.createDataFrame(
+        [("n0", "chA"), ("n1", "chA"), ("n1", "chB"), ("n2", "chB")],
+        "node_id string, channel string",
+    )
+    got = {
+        (r.receiver, r.discovered) for r in discover_nodes(nc).collect()
+    }
+    assert got == {("n0", "n2"), ("n2", "n0")}
+
+
+def test_discovery_dense_mesh_empty(spark):
+    # In a full mesh every node already knows every other — the dedup
+    # ('already connected' skip, lib/QutyCluster.js:563-565) drops all.
+    from quty_server_spark.operators.pubsub import discover_nodes
+
+    nc = spark.createDataFrame(
+        [("n0", "chA"), ("n1", "chA"), ("n2", "chA")],
+        "node_id string, channel string",
+    )
+    assert discover_nodes(nc).count() == 0
+
+
+def test_fold_matches_sequential_model_random_histories(spark):
+    # Property test: on random changelogs (with deliberate ts collisions),
+    # the relational fold equals the direct sequential model. One Spark
+    # round-trip total: histories are folded per-channel-prefix namespace.
+    import random
+
+    rng = random.Random(7)
+    all_rows = []
+    for e in range(400):
+        all_rows.append(
+            (
+                f"ch{rng.randint(0, 5)}",
+                rng.randint(1, 8),
+                rng.choice(["join", "join", "leave", "kick"]),
+                rng.randint(0, 9),  # small ts range forces collisions
+                e,  # globally unique event_id
+            )
+        )
+    assert subs_set(spark, all_rows) == _seq_fold(all_rows)
+    assert _oracle_subs(all_rows) == _seq_fold(all_rows)
+
+
 @pytest.mark.parametrize(
     "token_mutator,expect",
     [
