@@ -654,6 +654,53 @@ def discover_nodes(node_channels: DataFrame) -> DataFrame:
 
 
 @registry.query(
+    "pending_event_buffer",
+    oracle="""
+    WITH ready AS (
+        -- the cluster becomes ready at the first NODE_STATE receipt:
+        -- fixture-mapped to the first non-kick purchase event
+        SELECT MIN(CAST(ts AS TIMESTAMP)) AS t_ready FROM events
+        WHERE event_type = 'purchase' AND value <= 195
+    )
+    SELECT e.event_id,
+           CAST(e.ts AS TIMESTAMP) AS arrival_ts,
+           GREATEST(CAST(e.ts AS TIMESTAMP), r.t_ready) AS effective_ts,
+           CAST(e.ts AS TIMESTAMP) < r.t_ready AS was_pending
+    FROM events e CROSS JOIN ready r
+    WHERE e.event_type IN ('signup', 'error', 'click')
+    """,
+)
+def pending_event_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.A #24: the pre-ready pending buffer — events arriving before the
+    cluster's first NODE_STATE are queued and replayed, in arrival order,
+    the moment it turns ready (lib/QutyCluster.js:47-48,579-585; drain in
+    _setClusterReady). Relationally that is a timestamp clamp: a pending
+    event's EFFECTIVE processing time is the readiness instant, later
+    events pass through untouched — arrival order is preserved either way
+    since the clamp is monotone. Fixture maps readiness to the first
+    non-kick purchase.
+
+    Plan: the 1-row readiness aggregate broadcasts into a scan-wide
+    projection; no shuffle of the event stream at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_ready = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") <= 195))
+        .agg(F.min("ts").alias("t_ready"))
+    )
+    return (
+        ev.filter(F.col("event_type").isin("signup", "error", "click"))
+        .crossJoin(broadcast(t_ready))
+        .select(
+            "event_id",
+            F.col("ts").alias("arrival_ts"),
+            F.greatest("ts", "t_ready").alias("effective_ts"),
+            (F.col("ts") < F.col("t_ready")).alias("was_pending"),
+        )
+    )
+
+
+@registry.query(
     "route_event_dispatch",
     oracle="""
     WITH dispatch AS (

@@ -5,11 +5,17 @@ DuckDB at the given SF, then compares row count, column-name sets, and the
 order-insensitive multiset of row values (exact equality after canonical
 normalization). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json PATH] [sf_dir] [query ...]
+
+``--json PATH`` additionally writes per-query results in the driver's
+CORRECTNESS_r{N}.json shape (rows/schema/hash match flags), so a round
+can ship a full-surface local artifact even when the driver's own file
+is stale or truncated.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -54,8 +60,14 @@ def df_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -75,10 +87,20 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {e}"[:200],
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -87,6 +109,12 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}: {e}"[:200],
+            }
             continue
         ok = True
         msgs = []
@@ -110,7 +138,19 @@ def main():
         else:
             print(f"FAIL  {name}: " + " | ".join(msgs))
             n_fail += 1
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path} ({len(results)} queries)")
     sys.exit(1 if n_fail else 0)
 
 
