@@ -141,6 +141,110 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "sink_merge_upsert",
+    oracle=f"""
+    WITH dmax AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    spend AS (
+        SELECT o_custkey, {osum('o_totalprice')} AS recent_spend
+        FROM orders, dmax
+        WHERE o_orderdate >= d - INTERVAL 30 DAY
+        GROUP BY o_custkey
+    ),
+    updates AS (
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               c.c_acctbal + s.recent_spend AS c_acctbal
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    inserts AS (
+        SELECT c_custkey + 1000000 AS c_custkey,
+               'Loyalty ' || c_name AS c_name,
+               'PROMO' AS c_mktsegment,
+               0.0 AS c_acctbal
+        FROM updates
+    ),
+    merged AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts
+    )
+    SELECT c_mktsegment, COUNT(*) AS n, {osum('c_acctbal')} AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a partitioned parquet table without a table format:
+    upsert via DYNAMIC partition overwrite — the lakehouse maintenance
+    operator (Delta/Iceberg MERGE) re-expressed on plain parquet.
+
+    Base = customer partitioned by c_mktsegment. Delta = recent buyers
+    (orders in the 30 days up to max o_orderdate) with balances bumped by
+    their recent spend, plus synthetic 'PROMO'-segment loyalty inserts.
+    The merge rewrites ONLY the partitions the delta touches
+    (``partitionOverwriteMode=dynamic`` as a per-write option — untouched
+    segment directories keep their original files), anti-joining updated
+    keys out of the kept base rows before unioning the delta back in.
+
+    At 100 TB this is the write-side point of partitioning: an upsert
+    touching k of N partitions costs O(k), not a table rewrite. The
+    read-modify-write cycle localCheckpoints the kept rows first because
+    Spark (correctly) refuses to overwrite a path it is still reading.
+    """
+    out = _workdir(sf_dir, "merge_parquet")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    c.write.partitionBy("c_mktsegment").parquet(out)
+
+    o = load_table(spark, sf_dir, "orders")
+    dmax = o.agg(F.max("o_orderdate").alias("d"))
+    spend = (
+        o.crossJoin(F.broadcast(dmax))
+        .filter(F.col("o_orderdate") >= F.date_sub(F.col("d"), 30))
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("recent_spend"))
+    )
+    updates = (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .join(spend, c.c_custkey == spend.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            (F.col("c_acctbal") + F.col("recent_spend")).alias("c_acctbal"),
+        )
+    )
+    inserts = updates.select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Loyalty "), F.col("c_name")).alias("c_name"),
+        F.lit("PROMO").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    delta = updates.unionByName(inserts)
+
+    affected = delta.select("c_mktsegment").distinct()
+    base_kept = (
+        spark.read.parquet(out)
+        .join(F.broadcast(affected), "c_mktsegment", "left_semi")
+        .join(delta.select("c_custkey"), "c_custkey", "left_anti")
+        .select(*cols)
+        .localCheckpoint()
+    )
+    (
+        base_kept.unionByName(delta.select(*cols))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_mktsegment")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+@registry.query(
     "sink_compacted_parquet",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {osum('value')} AS total_value

@@ -241,6 +241,34 @@ def test_sequence_packing_is_sharded(spark):
     assert "SinglePartition" not in plan
 
 
+def test_merge_upsert_rewrites_only_affected_partitions(spark):
+    # Dynamic partition overwrite must leave partitions outside the delta
+    # untouched: their data files keep the BASE write's mtime, strictly
+    # older than the merge-written PROMO partition's files. A full-table
+    # rewrite would stamp every partition with the later time.
+    import glob
+    import os
+    import tempfile
+
+    se.queries()["sink_merge_upsert"](spark, SF_DIR).collect()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "quty_formats",
+        os.path.basename(SF_DIR),
+        "merge_parquet",
+    )
+
+    def newest(seg):
+        files = glob.glob(os.path.join(root, f"c_mktsegment={seg}", "*.parquet"))
+        assert files, seg
+        return max(os.path.getmtime(f) for f in files)
+
+    # FURNITURE is outside the delta (only BUILDING/AUTOMOBILE update);
+    # PROMO exists only after the merge write, BUILDING is rewritten by it.
+    assert newest("FURNITURE") < newest("PROMO")
+    assert newest("BUILDING") > newest("FURNITURE")
+
+
 def test_envelope_no_single_partition_exchange(spark):
     # §2.A #1/#2 wire path: the seq counter partitions by channel — a
     # deliberate divergence from the reference's single module-scope
