@@ -141,6 +141,94 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(NULL AS VARCHAR) AS region_code, 1 AS v
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'R' || CAST(n_regionkey AS VARCHAR) AS region_code, 2 AS v
+    FROM nation
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet writes of the same table —
+    v2 adds a column — unified by ``mergeSchema``; v1 rows surface the new
+    column as NULL. The lakehouse reality that schemas drift across
+    ingestion generations and readers must span them.
+
+    At 100 TB, mergeSchema's footer-merge cost is why engines store the
+    merged schema in a catalog; the read semantics (missing -> NULL) are
+    what this pins. Per-file pruning still applies — each generation's
+    files carry only their own columns.
+    """
+    out = _workdir(sf_dir, "evolve_parquet")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = n.select("n_nationkey", "n_name", F.lit(1).alias("v"))
+    v2 = n.select(
+        "n_nationkey",
+        "n_name",
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+            "region_code"
+        ),
+        F.lit(2).alias("v"),
+    )
+    v1.write.parquet(os.path.join(out, "gen=1"))
+    v2.write.parquet(os.path.join(out, "gen=2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    ).select("n_nationkey", "n_name", "region_code", "v")
+
+
+@registry.query(
+    "source_json_corrupt_records",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE event_id % 50 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE event_id % 50 = 0) AS n_corrupt
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance on the file source: a JSONL feed where
+    every 50th record is truncated mid-object is read in PERMISSIVE mode;
+    corrupt lines land in ``_corrupt_record`` instead of failing the scan
+    — the file-side twin of the reference's malformed-frame drop
+    (util.parseSocketEvent -> false, lib/util.js:208-246).
+
+    Plan: the corrupt-vs-good classification is one pass over the JSON
+    scan. Spark forbids referencing ONLY ``_corrupt_record`` without
+    caching the scan, so the aggregate classifies on event_id nullity
+    (null exactly when the parse failed — good lines always carry it);
+    the ``_corrupt_record`` column stays in the schema as the dead-letter
+    branch a real pipeline would persist.
+    """
+    out = _workdir(sf_dir, "corrupt_jsonl")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    line = F.when(
+        F.col("event_id") % 50 == 0,
+        # truncated mid-object: unparseable
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "va')),
+    ).otherwise(
+        F.to_json(F.struct("event_id", "user_id", "value"))
+    )
+    ev.select(line.alias("value")).write.text(out)
+    parsed = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return parsed.agg(
+        F.count("event_id").alias("n_good"),
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("n_corrupt"),
+    )
+
+
+@registry.query(
     "sink_merge_upsert",
     oracle=f"""
     WITH dmax AS (SELECT MAX(o_orderdate) AS d FROM orders),
