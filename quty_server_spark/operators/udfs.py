@@ -19,6 +19,9 @@ fixed scale on both sides where float order could differ).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,4 +92,45 @@ def udf_grouped_agg_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") > 0)
     return ev.groupBy("event_type").agg(
         wmean("value", "user_id").alias("weighted_mean")
+    )
+
+
+@registry.query(
+    "udf_iter_model_score",
+    oracle="""
+    SELECT vec_id, label,
+           SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+               * (((i - 1) * 2654435761) % 1000)) AS score
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY vec_id, label
+    """,
+)
+def udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF: the model-inference shape — an
+    expensive artifact (here a deterministic weight vector standing in
+    for a loaded model) is initialized ONCE per partition, then reused
+    across every Arrow batch the iterator yields. At 100 TB this
+    amortization is the difference between loading a model per batch and
+    per executor-core.
+
+    Numerics are integer-exact end to end: components quantize to milli
+    units (float->double exact, floor exact), weights are integers, the
+    dot product is an int64 sum — so the vectorized numpy matmul matches
+    DuckDB's index-ordered SUM bit-for-bit, with no float-order hazard.
+    """
+
+    @pandas_udf("long")
+    def model_score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # once-per-partition init (the "model load")
+        w = np.array(
+            [(i * 2654435761) % 1000 for i in range(64)], dtype=np.int64
+        )
+        for s in it:
+            m = np.stack(s.to_numpy())
+            q = np.floor(m.astype(np.float64) * 1000).astype(np.int64)
+            yield pd.Series(q @ w)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", model_score("embedding").alias("score")
     )

@@ -291,6 +291,32 @@ def test_token_expiry():
     assert verify_token(tok, 2_000) is None
 
 
+def test_token_fuzz_roundtrip_and_tamper():
+    # Seeded fuzz: every signed token verifies before expiry with its own
+    # claims; flipping ANY single character of the token (payload or
+    # signature segment) makes verification fail. Mirrors the reference's
+    # verify path (lib/token.js:70-99): parse -> HMAC compare -> expiry.
+    import random
+
+    from quty_server_spark.functions.token import sign_token, verify_token
+
+    rng = random.Random(13)
+    for _ in range(50):
+        principal = "id-" + str(rng.randint(0, 10**9))
+        ttype = rng.choice([1, 2, 3])
+        exp = rng.randint(10_000, 10**12)
+        tok = sign_token(principal, ttype, exp)
+        got = verify_token(tok, exp - 1)
+        assert got and got["_i"] == principal and got["_t"] == ttype
+        assert verify_token(tok, exp + 1) is None
+        pos = rng.randrange(len(tok))
+        flipped = chr((ord(tok[pos]) + 1 - 33) % 94 + 33)
+        if flipped == ".":  # keep the segment separator count intact
+            flipped = "!"
+        tampered = tok[:pos] + flipped + tok[pos:][1:]
+        assert verify_token(tampered, exp - 1) is None
+
+
 def test_stateful_fold_survives_multichunk_delivery(spark):
     # applyInPandasWithState hands a key's rows to the state function as
     # multiple Arrow chunks with no cross-chunk ordering guarantee. Cap
