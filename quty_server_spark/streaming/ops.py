@@ -414,6 +414,97 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "stream_pipeline_end_to_end",
+    oracle=f"""
+    WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS},
+    wire AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'view' THEN 'corrupt frame without pipe'
+                    ELSE 'M|' || to_json(struct_pack(
+                            c := 'ch' || CAST(CAST(props ->> '$.k' AS INTEGER) % 5 AS VARCHAR),
+                            m := printf('%.2f', value),
+                            s := CAST(user_id AS VARCHAR),
+                            _q := CAST(event_id % 100 AS VARCHAR)))
+               END AS frame
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    parsed AS (
+        SELECT event_id, ts,
+               substr(frame, strpos(frame, '|') + 1) AS payload
+        FROM wire WHERE strpos(frame, '|') > 0
+    ),
+    msgs AS (
+        SELECT event_id, ts, payload ->> '$.c' AS channel
+        FROM parsed WHERE json_valid(payload)
+    )
+    SELECT date_trunc('hour', m.ts) AS hour_start, m.channel, s.member_id,
+           COUNT(*) AS n_deliveries
+    FROM msgs m JOIN current_subs s ON m.channel = s.channel
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole data plane as ONE streaming query:
+    serialize -> parse (malformed drop) -> route -> windowed rollup.
+
+    A live feed is framed into the wire envelope (views corrupt on
+    purpose), parsed back (split at first '|', from_json; corrupt frames
+    yield null and drop — util.parseSocketEvent -> false), routed against
+    the broadcast compacted subscription state (sendMessage's inner-join
+    fan-out), and rolled up into watermarked hourly delivery counts per
+    (channel, member). This is the composition proof: every §2.A stage
+    chains inside a single unbounded plan with bounded state.
+
+    The wire seq here is event_id%100, NOT the batch path's per-channel
+    row_number counter — windowed sequence numbering needs an ordered
+    partition and is a batch/compaction concern; the streaming envelope
+    carries a content-derived seq instead (same mod-100 wrap).
+    """
+    s = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    frame = F.when(
+        F.col("event_type") == "view", F.lit("corrupt frame without pipe")
+    ).otherwise(
+        F.concat(
+            F.lit("M|"),
+            F.to_json(
+                F.struct(
+                    F.concat(F.lit("ch"), (k % 5).cast("string")).alias("c"),
+                    F.format_string("%.2f", F.col("value")).alias("m"),
+                    F.col("user_id").cast("string").alias("s"),
+                    (F.col("event_id") % 100).cast("string").alias("_q"),
+                )
+            ),
+        )
+    )
+    wire = s.select("event_id", "ts", frame.alias("frame"))
+    payload_schema = "c string, m string, s string, _q string"
+    parsed = (
+        wire.filter(F.instr("frame", "|") > 0)
+        .withColumn("payload", F.expr("substring(frame, instr(frame, '|') + 1)"))
+        .withColumn("p", F.from_json("payload", payload_schema))
+        .filter(F.col("p.c").isNotNull())
+        .select("event_id", "ts", F.col("p.c").alias("channel"))
+    )
+    subs = pubsub.current_subs(spark, sf_dir)  # compacted state, broadcast
+    routed = parsed.join(broadcast(subs), "channel")
+    agg = (
+        routed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "channel", "member_id")
+        .agg(F.count("*").alias("n_deliveries"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "channel",
+            "member_id",
+            "n_deliveries",
+        )
+    )
+    return run_to_memory(agg, "mem_pipeline_e2e", "complete")
+
+
+@registry.query(
     "stream_route_fanout",
     oracle=f"""
     WITH {pubsub.SQL_CHANGELOG}, {pubsub.SQL_CURRENT_SUBS}
