@@ -241,6 +241,50 @@ def test_sequence_packing_is_sharded(spark):
     assert "SinglePartition" not in plan
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    # The engine's answer to hot keys (a 10^6-subscriber channel) is AQE
+    # skew-join splitting — this pins that the session confs actually
+    # activate it: a 90%-hot-key SMJ must execute with skew=true and an
+    # AQEShuffleRead marked 'skewed'. Thresholds are lowered so the local
+    # fixture-scale shuffle exhibits what a 100 TB partition would.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+        )
+        j = left.join(right, "k").select(F.length("pad").alias("n"))
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_merge_upsert_rewrites_only_affected_partitions(spark):
     # Dynamic partition overwrite must leave partitions outside the delta
     # untouched: their data files keep the BASE write's mtime, strictly
