@@ -487,6 +487,51 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "agg_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS est_merged,
+           COUNT(DISTINCT user_id) AS est_direct,
+           COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches (Apache DataSketches HLL): build one
+    sketch per (event_type, day), UNION the daily sketches, estimate —
+    the incremental-rollup pattern that lets a 100 TB pipeline maintain
+    distinct counts without ever re-scanning raw data (sketches are tiny,
+    reaggregable state; re-sketching the whole column must give the same
+    answer, which the query emits side by side).
+
+    The oracle compares both estimates against exact distincts: sound
+    here because DataSketches HLL is EXACT in sparse mode, and fixture
+    user cardinality (~150-1500) never leaves sparse mode at lgK=14
+    (2^14 buckets). The mergeability law (union-of-days == direct) is
+    additionally pinned in pytest, independent of cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("d", F.col("ts").cast("date"))
+        .groupBy("event_type", "d")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged"),
+        F.count("*").alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+            "est_direct"
+        )
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "est_merged", "est_direct", "n_days"
+    )
+
+
+@registry.query(
     "agg_rollup",
     oracle=f"""
     SELECT r.r_name, n.n_name,

@@ -241,6 +241,53 @@ def test_sequence_packing_is_sharded(spark):
     assert "SinglePartition" not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # Runtime row-group pruning: a selective dimension filter must inject
+    # a bloom filter onto the fact side of a shuffle join, so lineitem
+    # rows for non-qualifying orders die at the scan instead of riding
+    # the shuffle. Thresholds lowered to fixture scale.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = se.queries()["q1_pricing_summary"].__globals__["load_table"](
+            spark, SF_DIR, "lineitem"
+        )
+        o = se.queries()["q1_pricing_summary"].__globals__["load_table"](
+            spark, SF_DIR, "orders"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_hll_sketch_merge_law(spark):
+    # Mergeability, independent of cardinality: unioning per-day sketches
+    # must estimate exactly what a direct whole-column sketch estimates —
+    # the property that makes sketches valid reaggregable state.
+    for r in se.queries()["agg_sketch_mergeable"](spark, SF_DIR).collect():
+        assert r.est_merged == r.est_direct, r
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     # The engine's answer to hot keys (a 10^6-subscriber channel) is AQE
     # skew-join splitting — this pins that the session confs actually
