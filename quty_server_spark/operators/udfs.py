@@ -134,3 +134,87 @@ def udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", model_score("embedding").alias("score")
     )
+
+
+def _asof_pair(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of: each purchase matched to the latest click at or
+    before it (pandas merge_asof, backward)."""
+    if clicks.empty or purchases.empty:
+        return pd.DataFrame(
+            columns=["user_id", "purchase_id", "click_id", "gap_s"]
+        )
+    c = clicks.sort_values("ts").assign(click_ts=lambda d: d["ts"])
+    p = purchases.sort_values("ts")
+    m = pd.merge_asof(
+        p, c[["ts", "event_id", "click_ts"]], on="ts",
+        direction="backward", suffixes=("", "_c"),
+    )
+    m = m[m["event_id_c"].notna()]
+    return pd.DataFrame(
+        {
+            "user_id": m["user_id"].astype("int64"),
+            "purchase_id": m["event_id"].astype("int64"),
+            "click_id": m["event_id_c"].astype("int64"),
+            # second-boundary crossings (truncate each side first), matching
+            # DuckDB date_diff('second', ...) — floor(delta) would be one
+            # low whenever the fractional parts straddle a boundary
+            "gap_s": (
+                (m["ts"].dt.floor("s") - m["click_ts"].dt.floor("s"))
+                .dt.total_seconds()
+                .astype("int64")
+            ),
+        }
+    )
+
+
+@registry.query(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT user_id, purchase_id, click_id, gap_s FROM ranked WHERE rn = 1
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the remaining pandas-UDF flavor: clicks
+    and purchases cogrouped per user, matched with merge_asof (latest
+    click at or before each purchase) inside one Arrow batch pair.
+
+    One shuffle per side on the cogroup key, then embarrassingly parallel
+    per-user pandas — the shape for per-entity alignment logic too
+    fiddly for joins (here it IS join-expressible, which is exactly what
+    lets the SQL oracle keep the UDF honest). The builtin-join as-of lives
+    in relational.py (join_asof); this is the extension-point twin.
+
+    Tiebreak note: merge_asof picks the LAST row among equal timestamps
+    in the sorted clicks frame, so clicks are pre-sorted by (ts,
+    event_id) making that the highest event_id — mirrored by the
+    oracle's ORDER BY c.ts DESC, c.event_id DESC.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lambda c, p: _asof_pair(
+                c.sort_values(["ts", "event_id"]),
+                p.sort_values(["ts", "event_id"]),
+            ),
+            schema="user_id long, purchase_id long, click_id long, gap_s long",
+        )
+    )
