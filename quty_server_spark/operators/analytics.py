@@ -258,6 +258,45 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT n_nationkey,
+               LENGTH(n_name) AS name_len,
+               n_regionkey AS region_key,
+               n_nationkey % 7 AS key_mod
+        FROM nation
+    )
+    SELECT n_nationkey, 'name_len' AS metric, CAST(name_len AS BIGINT) AS val FROM wide
+    UNION ALL
+    SELECT n_nationkey, 'region_key', CAST(region_key AS BIGINT) FROM wide
+    UNION ALL
+    SELECT n_nationkey, 'key_mod', CAST(key_mod AS BIGINT) FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns to (key, metric, value) long
+    form — pivot's inverse, the feed shape for metric stores and
+    plotting. Spark's ``unpivot`` compiles to a single-scan Expand (each
+    input row emits one row per metric), never a self-union of N scans —
+    the difference between 1 and N passes at 100 TB.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    wide = n.select(
+        "n_nationkey",
+        F.length("n_name").cast("long").alias("name_len"),
+        F.col("n_regionkey").cast("long").alias("region_key"),
+        (F.col("n_nationkey") % 7).cast("long").alias("key_mod"),
+    )
+    return wide.unpivot(
+        ["n_nationkey"],
+        ["name_len", "region_key", "key_mod"],
+        "metric",
+        "val",
+    )
+
+
+@registry.query(
     "events_time_rollup",
     oracle=f"""
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
