@@ -368,6 +368,91 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "sim_ann_ivf_nprobe2",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE arn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS pcell
+        FROM assigned WHERE vec_id % 20 = 0 AND arn <= 2),
+    scored AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, m.v) AS cos_sim
+        FROM probes p JOIN cells m
+          ON p.pcell = m.cell AND p.query_id <> m.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=2: corpus posting lists stay nprobe=1 (each
+    vector lives in exactly one cell), but every QUERY probes its two
+    nearest cells — the standard IVF recall knob. Recall improvement over
+    nprobe=1 is pinned in tests/test_similarity_semantics.py.
+
+    Plan: posting-list assignment is the same min_by map-side-combined
+    pass as sim_ann_ivf; the query-side top-2 cells rank over the tiny
+    queries-x-centroids frame only (never the corpus), and probing stays
+    an equality hash join with the broadcast probe side doubled.
+    """
+    c = _corpus(spark, sf_dir)
+    cent = c.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cells = (
+        c.join(broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cent_cos")).alias("neg_cos"), F.col("cid")),
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", "cell")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.desc("qcent_cos"), F.asc("pcell")
+    )
+    probes = (
+        c.filter(F.col("vec_id") % 20 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .join(broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            F.col("cid").alias("pcell"),
+            cosine(F.col("qv"), F.col("cv")).alias("qcent_cos"),
+        )
+        .withColumn("prn", F.row_number().over(qw))
+        .filter(F.col("prn") <= 2)
+        .select("query_id", "qv", "pcell")
+    )
+    scored = (
+        cells.join(
+            broadcast(probes),
+            (F.col("pcell") == F.col("cell")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@registry.query(
     "embed_quantize_int8",
     oracle="""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

