@@ -236,6 +236,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
 
 
+@registry.query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {SQL_SHINGLES}, {SQL_PAIR_JACCARD_CAPPED}
+    SELECT p.doc_a, p.doc_b,
+           p.n_inter / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+           p.n_inter / CAST(sa.n_sh + sb.n_sh - p.n_inter AS DOUBLE) AS jaccard
+    FROM pair_inter_capped p
+    JOIN kept_size sa ON p.doc_a = sa.doc_id
+    JOIN kept_size sb ON p.doc_b = sb.doc_id
+    WHERE p.n_inter / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A ∩ B| / min(|A|, |B|) >= 0.8 —
+    catches a short document embedded in a long one, which symmetric
+    Jaccard misses (a 30-shingle doc fully inside a 300-shingle doc has
+    containment 1.0 but Jaccard ~0.1). Emitted next to the Jaccard so a
+    dedup policy can distinguish subset-dups from mutual near-dups.
+
+    Same df-capped inverted-index join as dedup_ngram_jaccard — one
+    shuffle on shingle, cost bounded by JACCARD_DF_CAP; only the final
+    scoring expression differs.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / F.least("na", "nb")).alias("containment"),
+            (
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
