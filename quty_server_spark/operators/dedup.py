@@ -134,10 +134,13 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_DF_CAP = 16
 
 
-def _pair_jaccard_from(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard over the df-capped shingle universe for every doc
-    pair sharing >=1 kept shingle, via an inverted-index self-join
-    (shuffle on shingle, never a cross join). ``sh``: (doc_id, shingle)."""
+def _pair_overlap_from(sh: DataFrame) -> DataFrame:
+    """Shared pair-overlap core over the df-capped shingle universe: for
+    every doc pair sharing >=1 kept shingle, (doc_a, doc_b, n_inter, na,
+    nb) via an inverted-index self-join (shuffle on shingle, never a
+    cross join). Jaccard and containment are projections of these counts
+    — the ONE place the cap/index/sizes machinery lives.
+    ``sh``: (doc_id, shingle)."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -155,16 +158,17 @@ def _pair_jaccard_from(sh: DataFrame) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
-                "jaccard"
-            ),
-        )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _pair_jaccard_from(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard projection of :func:`_pair_overlap_from`."""
+    return _pair_overlap_from(sh).select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -256,35 +260,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment 1.0 but Jaccard ~0.1). Emitted next to the Jaccard so a
     dedup policy can distinguish subset-dups from mutual near-dups.
 
-    Same df-capped inverted-index join as dedup_ngram_jaccard — one
-    shuffle on shingle, cost bounded by JACCARD_DF_CAP; only the final
-    scoring expression differs.
+    Same df-capped inverted-index join as dedup_ngram_jaccard (shared
+    :func:`_pair_overlap_from` core); only the scoring projection
+    differs.
     """
-    sh = doc_shingles(spark, sf_dir)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_overlap_from(doc_shingles(spark, sf_dir))
         .select(
             "doc_a",
             "doc_b",

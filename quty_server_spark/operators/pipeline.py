@@ -128,11 +128,13 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Boilerplate = a 5-gram shingle shared by >= 3 distinct documents (74
-# shingles on the 500-doc fixture). At a real corpus scale the threshold
-# is a df fraction; the df aggregation is the same map-side-combined
-# count either way, and the surviving boilerplate set stays small enough
-# to broadcast.
+# shingles on the 500-doc fixture), capped at the BOILER_TOP_K highest-df
+# shingles. The cap is what makes the broadcast SAFE at any corpus size:
+# under an absolute df threshold alone the set grows with vocabulary, and
+# a forced broadcast of an unbounded set OOMs; top-K bounds it by
+# construction (vacuous on the fixture: 74 < 10000).
 BOILER_MIN_DF = 3
+BOILER_TOP_K = 10_000
 
 SQL_DOC_SHINGLES = """
 words AS (
@@ -152,8 +154,10 @@ doc_shingles AS (
     oracle=f"""
     WITH {SQL_DOC_SHINGLES},
     boiler AS (
-        SELECT g FROM doc_shingles GROUP BY g
-        HAVING COUNT(*) >= {BOILER_MIN_DF}
+        SELECT g FROM (
+            SELECT g, COUNT(*) AS df FROM doc_shingles GROUP BY g
+            HAVING COUNT(*) >= {BOILER_MIN_DF}
+            ORDER BY df DESC, g LIMIT {BOILER_TOP_K})
     )
     SELECT s.doc_id, COUNT(*) AS n_shingles,
            COUNT(b.g) AS n_boiler,
@@ -168,9 +172,10 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score each document's boilerplate density.
 
     Plan: distinct (doc, shingle) pairs -> shingle document frequency with
-    map-side combine -> the tiny surviving boilerplate set is BROADCAST
-    back against the per-doc shingles. The only large shuffle is the
-    distinct; the df table and the join never move the corpus.
+    map-side combine -> top-K by df (TakeOrdered, bounded by
+    BOILER_TOP_K) -> the bounded boilerplate set is BROADCAST back
+    against the per-doc shingles. The only large shuffle is the distinct;
+    the df table and the join never move the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
     shingles = (
@@ -191,6 +196,8 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles.groupBy("g")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= BOILER_MIN_DF)
+        .orderBy(F.desc("df"), "g")
+        .limit(BOILER_TOP_K)  # TakeOrdered: bounded, so broadcast is safe
         .select("g")
     )
     joined = shingles.join(
@@ -229,11 +236,11 @@ N_PACK_SHARDS = 8
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for training shards: lay documents end to
-    end in doc_id order and cut {SEQ_LEN}-token bins; a document belongs
-    to the bin its start offset falls in.
+    end in doc_id order and cut SEQ_LEN-token (2048) bins; a document
+    belongs to the bin its start offset falls in.
 
     A single global running sum would serialize the corpus through one
-    task, so packing is sharded: each of {N_PACK_SHARDS} hash shards packs
+    task, so packing is sharded: each of N_PACK_SHARDS hash shards packs
     independently (training shards are independent files anyway). Within a
     shard the cumulative sum is one window over the shard's partition —
     at 100 TB, shard count scales with the cluster, keeping every window

@@ -291,6 +291,36 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
+def _ivf_centroids(c: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: every 50th vector is a centroid."""
+    return c.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def _ivf_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Posting-list assignment shared by every IVF variant: each vector
+    to its nearest centroid by cosine — argmax via a min_by aggregate
+    over struct(-cos, cid), unique because cid tiebreaks. The partial
+    aggregation collapses the corpus-x-centroids rows map-side, so only
+    one row per vector reaches the shuffle."""
+    return (
+        c.join(broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct((-F.col("cent_cos")).alias("neg_cos"), F.col("cid")),
+            ).alias("cell"),
+            # v is functionally determined by vec_id (it is the corpus
+            # row's own vector), so first() is deterministic in value.
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", "cell")
+    )
+
+
 @registry.query(
     "sim_ann_ivf",
     oracle=f"""
@@ -328,24 +358,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin would ship the whole cross product); the posting lists are
     hash-partitioned by cell, and a query's scan is |corpus|/n_cells."""
     c = _corpus(spark, sf_dir)
-    cent = c.filter(F.col("vec_id") % 50 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    cells = (
-        c.join(broadcast(cent))
-        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.col("cid"),
-                F.struct((-F.col("cent_cos")).alias("neg_cos"), F.col("cid")),
-            ).alias("cell"),
-            # v is functionally determined by vec_id (it is the corpus
-            # row's own vector), so first() is deterministic in value.
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", "v", "cell")
-    )
+    cells = _ivf_cells(c, _ivf_centroids(c))
     q = cells.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -404,22 +417,8 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equality hash join with the broadcast probe side doubled.
     """
     c = _corpus(spark, sf_dir)
-    cent = c.filter(F.col("vec_id") % 50 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    cells = (
-        c.join(broadcast(cent))
-        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.col("cid"),
-                F.struct((-F.col("cent_cos")).alias("neg_cos"), F.col("cid")),
-            ).alias("cell"),
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", "v", "cell")
-    )
+    cent = _ivf_centroids(c)
+    cells = _ivf_cells(c, cent)
     qw = Window.partitionBy("query_id").orderBy(
         F.desc("qcent_cos"), F.asc("pcell")
     )

@@ -121,12 +121,16 @@ def udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def model_score(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        # once-per-partition init (the "model load")
-        w = np.array(
-            [(i * 2654435761) % 1000 for i in range(64)], dtype=np.int64
-        )
+        # once-per-partition init (the "model load"); width comes from
+        # the first batch so the weights track the embedding dimension
+        w = None
         for s in it:
             m = np.stack(s.to_numpy())
+            if w is None:
+                w = np.array(
+                    [(i * 2654435761) % 1000 for i in range(m.shape[1])],
+                    dtype=np.int64,
+                )
             q = np.floor(m.astype(np.float64) * 1000).astype(np.int64)
             yield pd.Series(q @ w)
 
@@ -143,8 +147,13 @@ def _asof_pair(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             columns=["user_id", "purchase_id", "click_id", "gap_s"]
         )
-    c = clicks.sort_values("ts").assign(click_ts=lambda d: d["ts"])
-    p = purchases.sort_values("ts")
+    # sort by (ts, event_id) HERE, not just ts: pandas' default quicksort
+    # is unstable, so a ts-only re-sort could permute equal-ts rows and
+    # break the highest-event_id tiebreak merge_asof relies on
+    c = clicks.sort_values(["ts", "event_id"]).assign(
+        click_ts=lambda d: d["ts"]
+    )
+    p = purchases.sort_values(["ts", "event_id"])
     m = pd.merge_asof(
         p, c[["ts", "event_id", "click_ts"]], on="ts",
         direction="backward", suffixes=("", "_c"),
@@ -196,9 +205,9 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     in relational.py (join_asof); this is the extension-point twin.
 
     Tiebreak note: merge_asof picks the LAST row among equal timestamps
-    in the sorted clicks frame, so clicks are pre-sorted by (ts,
-    event_id) making that the highest event_id — mirrored by the
-    oracle's ORDER BY c.ts DESC, c.event_id DESC.
+    in the sorted clicks frame; _asof_pair sorts by (ts, event_id), so
+    that is the highest event_id — mirrored by the oracle's ORDER BY
+    c.ts DESC, c.event_id DESC.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -211,10 +220,7 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.groupBy("user_id")
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(
-            lambda c, p: _asof_pair(
-                c.sort_values(["ts", "event_id"]),
-                p.sort_values(["ts", "event_id"]),
-            ),
+            _asof_pair,
             schema="user_id long, purchase_id long, click_id long, gap_s long",
         )
     )

@@ -453,7 +453,12 @@ def stream_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast compacted subscription state (sendMessage's inner-join
     fan-out), and rolled up into watermarked hourly delivery counts per
     (channel, member). This is the composition proof: every §2.A stage
-    chains inside a single unbounded plan with bounded state.
+    chains inside a single unbounded plan with bounded state — the
+    aggregation runs in UPDATE mode (complete mode would keep every
+    group forever and make the watermark inert) into the idempotent
+    epoch-keyed foreachBatch sink, and the final state takes each
+    group's last update (max_by epoch), the stream_watermark_late_drop
+    pattern.
 
     The wire seq here is event_id%100, NOT the batch path's per-channel
     row_number counter — windowed sequence numbering needs an ordered
@@ -501,7 +506,26 @@ def stream_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_deliveries",
         )
     )
-    return run_to_memory(agg, "mem_pipeline_e2e", "complete")
+    outdir = os.path.join(
+        tempfile.gettempdir(),
+        "quty_stream_e2e",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+    q = (
+        agg.writeStream.foreachBatch(_epoch_writer(outdir))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.read.option("basePath", outdir).parquet(
+        os.path.join(outdir, "epoch=*")
+    )
+    return upd.groupBy("hour_start", "channel", "member_id").agg(
+        F.max_by("n_deliveries", "epoch").alias("n_deliveries")
+    )
 
 
 @registry.query(

@@ -62,9 +62,12 @@ def df_to_multiset(cols, rows):
 def main():
     args = sys.argv[1:]
     json_path = None
-    if args and args[0] == "--json":
-        json_path = args[1]
-        args = args[2:]
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py [--json PATH] [sf_dir] [query ...]")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}
