@@ -1092,6 +1092,39 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "scalar_higher_order",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> LENGTH(t) > 4))
+               AS n_long,
+           len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0
+               AS has_spark,
+           list_aggregate(list_transform(string_split(text, ' '),
+               t -> LENGTH(t)), 'sum') AS total_chars
+    FROM documents
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda battery: transform / filter / exists /
+    aggregate over the token array, all inside codegen (no UDF). zip_with
+    is exercised across the engine by the fold-based dot product every
+    similarity query runs through (functions/vectors.py). Integer
+    accumulators keep the fold oracle-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.exists(toks, lambda t: t == "spark").alias("has_spark"),
+        F.aggregate(
+            lens, F.lit(0), lambda acc, x: acc + x
+        ).alias("total_chars"),
+    )
+
+
+@registry.query(
     "conditional_case_null",
     oracle="""
     SELECT o_orderkey,
