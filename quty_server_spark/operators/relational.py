@@ -1154,6 +1154,47 @@ def conditional_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS — expressed through spark.sql so
+    Catalyst performs the decorrelation itself (EXISTS -> left semi join,
+    NOT EXISTS -> left anti join; RewritePredicateSubquery). Customers
+    with at least one urgent order and no large finished one.
+
+    At scale both rewrites are hash joins on o_custkey — the correlated
+    per-row subquery a naive executor would run becomes two shuffles.
+    """
+    from quty_server_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@registry.query(
     "subquery_scalar_in",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal

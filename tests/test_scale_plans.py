@@ -280,6 +280,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_correlated_exists_decorrelates_to_joins(spark):
+    # Catalyst must rewrite EXISTS/NOT EXISTS into semi/anti hash joins
+    # (RewritePredicateSubquery) — a surviving correlated subquery would
+    # execute per outer row.
+    plan = plan_of(spark, "subquery_correlated_exists")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "InSubquery" not in plan and "exists#" not in plan.lower()
+
+
 def test_hll_sketch_merge_law(spark):
     # Mergeability, independent of cardinality: unioning per-day sketches
     # must estimate exactly what a direct whole-column sketch estimates —
