@@ -439,8 +439,9 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events),
     sess AS (
         SELECT user_id, event_id, value, ts,
-               SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS session_no
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                   AS session_no
         FROM seq)
     SELECT user_id, session_no, COUNT(*) AS n_events,
            {osum('value')} AS session_value,

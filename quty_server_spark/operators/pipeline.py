@@ -229,8 +229,8 @@ N_PACK_SHARDS = 8
                    AS start_off
         FROM toks
     )
-    SELECT shard, start_off // {SEQ_LEN} AS bin,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_packed
+    SELECT shard, CAST(start_off // {SEQ_LEN} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
     FROM offsets GROUP BY shard, start_off // {SEQ_LEN}
     """,
 )
@@ -278,8 +278,8 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     )
-    SELECT label, dim, SUM(q) AS sum_q, COUNT(*) AS n_vecs,
-           SUM(q) // COUNT(*) AS centroid_milli
+    SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_vecs,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS centroid_milli
     FROM comp GROUP BY label, dim
     """,
 )
@@ -313,12 +313,13 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_domain_mix",
     oracle="""
     WITH per AS (
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY lang, source
     )
     SELECT lang, source, n_docs, n_chars,
-           n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY lang)
-               AS share_permille
+           CAST(n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY lang)
+                AS BIGINT) AS share_permille
     FROM per
     """,
 )

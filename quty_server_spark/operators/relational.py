@@ -35,7 +35,7 @@ from quty_server_spark.plans.registry import registry
            COUNT(DISTINCT user_id) AS subscriber_count,
            {osum('value')} AS total_value,
            {oavg('value')} AS avg_value,
-           SUM(CAST(CAST(props ->> '$.k' AS INTEGER) AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k
     FROM events
     WHERE value > 0
     GROUP BY event_type
@@ -1011,7 +1011,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(CAST(props ->> '$.k' AS INTEGER) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(props ->> '$.k' AS INTEGER) > 50 THEN 1 END) AS n_high,
            MIN(CAST(props ->> '$.k' AS INTEGER)) AS min_k,
            MAX(CAST(props ->> '$.k' AS INTEGER)) AS max_k
@@ -1099,8 +1099,8 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_long,
            len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0
                AS has_spark,
-           list_aggregate(list_transform(string_split(text, ' '),
-               t -> LENGTH(t)), 'sum') AS total_chars
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+               t -> LENGTH(t)), 'sum') AS BIGINT) AS total_chars
     FROM documents
     """,
 )

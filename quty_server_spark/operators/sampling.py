@@ -76,7 +76,7 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'test'
            END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,

@@ -99,8 +99,8 @@ def udf_grouped_agg_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_iter_model_score",
     oracle="""
     SELECT vec_id, label,
-           SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-               * (((i - 1) * 2654435761) % 1000)) AS score
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+               * (((i - 1) * 2654435761) % 1000)) AS BIGINT) AS score
     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     GROUP BY vec_id, label
     """,
