@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # Session timezone pinned so epoch<->timestamp conversions are stable
     # and match the DuckDB oracle (naive timestamps).
     "spark.sql.session.timeZone": "UTC",
+    # The fixtures store naive parquet timestamps (isAdjustedToUTC=false).
+    # Scanning them as TIMESTAMP_NTZ would force a cast-projection above
+    # every scan (blocking parquet predicate pushdown on ts/date filters);
+    # with inference off they scan directly as session-tz TIMESTAMP, which
+    # under the UTC pin is bit-identical to the oracle's naive reading —
+    # filters stay pushed, plans stay cast-free.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

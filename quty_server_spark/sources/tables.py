@@ -9,6 +9,12 @@ normalized so every downstream operator sees clean types:
   ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as int64 ns and is
   converted here to a microsecond timestamp (truncation, matching DuckDB's
   ``ts::TIMESTAMP`` cast of a TIMESTAMP_NS value).
+- naive (isAdjustedToUTC=false) parquet timestamps: ``configure()`` disables
+  ``spark.sql.parquet.inferTimestampNTZ.enabled`` so they scan directly as
+  session-tz TIMESTAMP (UTC-pinned — wall-clock values bit-exact with the
+  oracle's naive reading) with NO cast above the scan, keeping ts/date
+  filters pushed down to parquet. The NTZ→TIMESTAMP cast below is a
+  defensive fallback for sessions where that conf could not be applied.
 
 Scale note: loads are plain ``spark.read.parquet`` so Catalyst keeps
 predicate pushdown / column pruning / partition pruning; do NOT cache or
@@ -46,6 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is mandatory: float division would round the ~1.7e18 ns epoch value
         # past double precision before truncating.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        # Session tz is UTC, so this cast keeps wall-clock values bit-exact
+        # with the DuckDB oracle's naive reading of the same parquet.
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

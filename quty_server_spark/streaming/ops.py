@@ -52,7 +52,23 @@ from quty_server_spark.session import configure
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) scans as int64 ns
+        StructField("ts", LongType()),  # internal staged files carry int64 ns
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# The driver fixture stores ``ts`` as naive parquet timestamp[us]
+# (isAdjustedToUTC=false). configure() disables TIMESTAMP_NTZ inference,
+# so under the pinned-UTC session it scans directly as TIMESTAMP with
+# wall-clock values bit-exact to the DuckDB oracle — the streaming mirror
+# of the load_table() normalization, with no cast above the scan.
+EVENTS_FIXTURE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -63,16 +79,15 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (file source, explicit schema),
-    normalizing the ns-epoch column to a proper event-time timestamp."""
+    normalizing the naive fixture timestamp to a session-tz event time."""
     configure(spark)
     # The fixture is a single FILE; FileStreamSource injects a basePath
     # option for non-glob paths and basePath must be a directory, so a
     # trailing glob char keeps the source on the plain-listing path.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS_FIXTURE_SCHEMA)
         .parquet(f"{sf_dir}/events.parquet*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -592,11 +607,19 @@ def _fold_subscriptions(
     if not chunks:  # timeout-only invocation delivers no data
         return
     pdf = pd.concat(chunks, ignore_index=True)
-    for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
-        if row["op"] == "join":
-            members.add(int(row["member_id"]))  # idempotent add
-        else:  # leave / kick (kick pre-fanned to every channel)
-            members.discard(int(row["member_id"]))
+    # Vectorized fold: member histories are independent, so folding in
+    # (ts, event_id) order == keeping each member's LAST op. (ts,
+    # event_id) is unique within a channel group — kick fan-out emits one
+    # row per channel and the original kick rows are filtered upstream —
+    # so the sort is deterministic. Joins add to the set, last-op leaves
+    # (incl. pre-fanned kicks) mask members out; untouched members keep
+    # their prior state.
+    last = pdf.sort_values(["ts", "event_id"]).drop_duplicates(
+        "member_id", keep="last"
+    )
+    joined = set(last.loc[last["op"] == "join", "member_id"].astype(int))
+    left = set(last.loc[last["op"] != "join", "member_id"].astype(int))
+    members = (members - left) | joined
     if members:
         state.update((json.dumps(sorted(members)),))
         yield pd.DataFrame(
