@@ -30,6 +30,40 @@ from quty_server_spark.session import get_spark  # noqa: E402
 from quty_server_spark.sources.tables import TABLES  # noqa: E402
 
 
+# DuckDB type names (appearing anywhere in a column type, including inside
+# LIST/STRUCT) that Spark cannot emit. The driver's comparator is
+# representation-sensitive, so an oracle column of one of these types can
+# hash-mismatch even when the VALUES are identical — the round-3 failure
+# mode: DuckDB promotes SUM(BIGINT) and list_aggregate(..., 'sum') to
+# HUGEINT (int128) while Spark emits int64. Every oracle must cast such
+# columns (CAST(... AS BIGINT) / DOUBLE) so both engines agree on the
+# representation, not just the value.
+NON_SPARK_TYPES = (
+    "HUGEINT",  # also matches UHUGEINT
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "INTERVAL",
+    "UUID",
+    "BIT",
+    "TIME WITH TIME ZONE",
+)
+
+
+def lint_oracle_types(con, sql: str) -> list[str]:
+    """Return ``["col: TYPE", ...]`` for oracle output columns whose DuckDB
+    type Spark cannot emit. Binds the query lazily (schema only — no rows
+    are materialized)."""
+    rel = con.sql(sql)
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(marker in t for marker in NON_SPARK_TYPES):
+            bad.append(f"{col}: {t}")
+    return bad
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -103,6 +137,17 @@ def main():
                 "rows_match": None, "schema_match": None, "hash_match": None,
                 "spark_rows": len(srows), "oracle_rows": None,
                 "err": "no_oracle",
+            }
+            continue
+        bad_types = lint_oracle_types(con, oracles[name])
+        if bad_types:
+            print(f"FAIL  {name}: oracle type-lint: {', '.join(bad_types)}")
+            n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"oracle type-lint: {', '.join(bad_types)}"[:200],
             }
             continue
         try:
