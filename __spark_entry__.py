@@ -24,6 +24,78 @@ from quty_server_spark.session import configure  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
+# The driver's correctness artifact samples the first ~50 registered
+# queries, so registration order IS driver coverage. Rounds 1-3 sampled
+# the relational surface only; this priority list front-loads the
+# surfaces the driver has never exercised (streaming, pub/sub, dedup /
+# similarity / LLM-pipeline picks) plus every query whose oracle carried
+# a latent DuckDB-HUGEINT column before the round-4 casts, so the fix is
+# driver-confirmed rather than just locally green. Queries not listed
+# keep their import order after these; nothing is removed — the full
+# local gate (tools/check_oracle.py) still checks all of them.
+DRIVER_PRIORITY = [
+    # previously driver-red (HUGEINT oracle, now cast) — re-prove first
+    "flagship_delivery_report",
+    "scalar_json",
+    "scalar_higher_order",
+    # latent-HUGEINT queries fixed this round
+    "scalar_math",
+    "scalar_array",
+    "events_retention_cohort",
+    "doc_pack_sequences",
+    "embed_label_centroids",
+    "sample_stratified_topk",
+    "udf_grouped_agg_wmean",
+    # streaming surface — never driver-checked
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_pipeline_end_to_end",
+    "stream_route_fanout",
+    "stream_subscriptions_stateful",
+    "stream_liveness_expiry",
+    "stream_watermark_late_drop",
+    "stream_checkpoint_recovery",
+    "stream_foreach_batch_sink",
+    "stream_rate_source",
+    # pub/sub surface — never driver-checked
+    "subs_current_state",
+    "subs_member_channels",
+    "subs_channel_catalog",
+    "subs_kick_cascade",
+    "subs_remove_node",
+    "route_fanout",
+    "route_broadcast_fallback",
+    "route_membership_recheck",
+    "route_loop_suppression",
+    "route_fanout_salted",
+    "status_snapshot",
+    "cluster_node_info",
+    "cluster_discovery",
+    "pending_event_buffer",
+    "route_event_dispatch",
+    "envelope_serialize",
+    "envelope_parse",
+    # LLM-pipeline / dedup / similarity picks — never driver-checked
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_cluster",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "text_pii_scrub",
+    "text_tfidf_keywords",
+]
+
+
+def _rotated(d: dict) -> dict:
+    front = {n: d[n] for n in DRIVER_PRIORITY if n in d}
+    return front | {n: v for n, v in d.items() if n not in front}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -32,10 +104,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.queries)
+    """One entry per implemented operator from SURVEY.md §2, rotated so
+    the driver's fixed-size sample covers never-checked surfaces."""
+    return _rotated(dict(registry.queries))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
-    return dict(registry.oracles)
+    return _rotated(dict(registry.oracles))
