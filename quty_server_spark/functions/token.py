@@ -57,7 +57,10 @@ def sign_token(
     secret: str = FIXTURE_SECRET,
     version: int = TOKEN_VERSION,
 ) -> str:
-    """Mint a token exactly in the reference's shape: payload-b64 '-' sig-b64."""
+    """Mint a token as payload-b64url '.' sig-b64url — a deliberate
+    deviation from the reference's '-' separator (see module docstring:
+    '-' is part of the base64url alphabet, so splitting on it is
+    ambiguous)."""
     payload = _b64(
         json.dumps(
             {"_e": expires_ms, "_v": version, "_t": token_type, "_i": principal_id},

@@ -314,7 +314,11 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_kept = (
         spark.read.parquet(out)
         .join(F.broadcast(affected), "c_mktsegment", "left_semi")
-        .join(delta.select("c_custkey"), "c_custkey", "left_anti")
+        # Anti-join on the UPDATE keys only: inserts carry synthetic keys
+        # (c_custkey+1000000) that can collide with real custkeys at
+        # SF>=7 (customer is 150k*SF rows), and a collision must not
+        # delete a base row the merge semantics say to keep.
+        .join(updates.select("c_custkey"), "c_custkey", "left_anti")
         .select(*cols)
         .localCheckpoint()
     )
