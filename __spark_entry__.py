@@ -46,6 +46,10 @@ DRIVER_PRIORITY = [
     "embed_label_centroids",
     "sample_stratified_topk",
     "udf_grouped_agg_wmean",
+    # Kafka wire-contract family (new in round 4)
+    "kafka_wire_encode",
+    "kafka_wire_decode",
+    "stream_kafka_replay",
     # streaming surface — never driver-checked
     "stream_tumbling_window",
     "stream_sliding_window",

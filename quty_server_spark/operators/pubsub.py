@@ -886,3 +886,127 @@ def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("payload", "$._q").cast("int").alias("seq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire shape (BASELINE.md: no broker in this container — the wire
+# CONTRACT is demonstrated instead: keyed partitioning, per-partition
+# monotone gap-free offsets, opaque key/value payloads)
+# ---------------------------------------------------------------------------
+
+KAFKA_TOPIC = "quty.events"
+N_KAFKA_PARTITIONS = 4
+
+# Kafka-shaped records synthesized through the envelope path: value = the
+# serialized wire frame (frames()), key = the channel, partition = a
+# deterministic keyed partitioner (channel number mod 4 — the fixture twin
+# of Kafka's murmur2(key) % numPartitions: what matters for the contract is
+# that ALL of a key's records land on ONE partition), offset = the
+# per-partition arrival sequence 0..n-1. At 100 TB the offsets exist on the
+# wire already (the broker assigns them); this synthesis is fixture-side
+# and its per-partition window parallelizes over partitions.
+SQL_KAFKA_RECORDS = (
+    SQL_FRAMES
+    + """,
+kafka_payloads AS (
+    SELECT event_id, frame, substr(frame, strpos(frame, '|') + 1) AS payload
+    FROM frames
+    WHERE strpos(frame, '|') > 0
+      AND json_valid(substr(frame, strpos(frame, '|') + 1))
+),
+kafka_records AS (
+    SELECT p.event_id,
+           'quty.events' AS topic,
+           CAST(CAST(substr(payload ->> '$.c', 3) AS INTEGER) % 4 AS INTEGER)
+               AS "partition",
+           payload ->> '$.c' AS "key",
+           frame AS "value",
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY CAST(substr(payload ->> '$.c', 3) AS INTEGER) % 4
+                    ORDER BY CAST(e.ts AS TIMESTAMP), p.event_id
+                ) - 1 AS BIGINT) AS "offset",
+           CAST(e.ts AS TIMESTAMP) AS ts
+    FROM kafka_payloads p JOIN events e ON p.event_id = e.event_id
+)"""
+)
+
+
+def kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build Kafka-shaped records (topic, partition, offset, key, value)
+    from the envelope serializer's valid frames.
+
+    Key/value are kept as STRING here (Spark's Kafka sink accepts string
+    or binary for both and casts implicitly); the keyed partitioner and
+    the per-partition offset window are the wire semantics under test.
+    The reference's ingress is a WebSocket feed (lib/Server.js), so this
+    is its lake-landing twin: one log per topic-partition, arrival order
+    = (event time, event id)."""
+    fr = frames(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    valid = (
+        fr.filter(F.instr("frame", "|") > 0)
+        .withColumn("payload", F.expr("substring(frame, instr(frame, '|') + 1)"))
+        .withColumn("key", F.get_json_object("payload", "$.c"))
+        .filter(F.col("key").isNotNull())  # JSON-parse failure → drop
+    )
+    rec = valid.join(ev, "event_id").select(
+        "event_id",
+        F.lit(KAFKA_TOPIC).alias("topic"),
+        (F.substring("key", 3, 10).cast("int") % N_KAFKA_PARTITIONS)
+        .cast("int")
+        .alias("partition"),
+        "key",
+        F.col("frame").alias("value"),
+        "ts",
+    )
+    w = Window.partitionBy("topic", "partition").orderBy("ts", "event_id")
+    return rec.withColumn("offset", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+@registry.query(
+    "kafka_wire_encode",
+    oracle=f"""
+    WITH {SQL_KAFKA_RECORDS}
+    SELECT event_id, topic, "partition", "offset", "key", "value"
+    FROM kafka_records
+    """,
+)
+def kafka_wire_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire emit: envelope frames wrapped as (topic, partition,
+    offset, key, value) records with keyed partitioning and per-partition
+    monotone offsets — the broker-less proof of the producer contract."""
+    return kafka_records(spark, sf_dir).select(
+        "event_id", "topic", "partition", "offset", "key", "value"
+    )
+
+
+@registry.query(
+    "kafka_wire_decode",
+    oracle=f"""
+    WITH {SQL_KAFKA_RECORDS}
+    SELECT topic, "partition", "offset", "key",
+           payload ->> '$.m' AS message,
+           payload ->> '$.s' AS sender,
+           CAST(payload ->> '$._q' AS INTEGER) AS seq
+    FROM (SELECT *, substr("value", strpos("value", '|') + 1) AS payload
+          FROM kafka_records)
+    """,
+)
+def kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire consume: parse each record's value back through the
+    envelope parser (split at first '|', JSON payload, seq lift-out) —
+    round-trips kafka_wire_encode's own output; key must equal the
+    payload channel by construction."""
+    rec = kafka_records(spark, sf_dir)
+    parsed = rec.withColumn(
+        "payload", F.expr("substring(value, instr(value, '|') + 1)")
+    )
+    return parsed.select(
+        "topic",
+        "partition",
+        "offset",
+        "key",
+        F.get_json_object("payload", "$.m").alias("message"),
+        F.get_json_object("payload", "$.s").alias("sender"),
+        F.get_json_object("payload", "$._q").cast("int").alias("seq"),
+    )

@@ -39,6 +39,7 @@ EXEMPT: set[tuple[str, str, str]] = {
     # reduced row crosses to the driver.
     ("quty_server_spark/streaming/ops.py", "stream_watermark_late_drop", "first"),
     ("quty_server_spark/streaming/ops.py", "checkpoint_recovery_run", "first"),
+    ("quty_server_spark/streaming/ops.py", "kafka_replay_run", "first"),
 }
 
 
