@@ -38,10 +38,14 @@ HEADLINE = [
     # pub/sub data plane
     "subs_current_state",
     "route_fanout",
+    # pub/sub wire
+    "kafka_wire_encode",
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster",  # iterative BSP (label propagation) — superstep latency
     "text_quality_score",
+    "text_pmi_collocations",  # TakeOrdered / heavy-shuffle text plan
     "sim_ann_lsh",
     "sim_ann_ivf",
     "mm_decode_features",

@@ -509,29 +509,41 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    for _ in range(20):  # cap >> any real component diameter
+    for _ in range(20):  # cap >> log2 of any real component diameter
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        hop = labels.join(neigh_min, labels.node == neigh_min.src, "left").select(
+            "node",
+            F.col("lbl").alias("old_lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "lbl1"
+            ),
+        )
+        # Pointer-doubling: also shortcut through the label's own label
+        # (lbl is always the id of a node in the same component, so
+        # lbl(lbl(node)) is a valid — and often much smaller — reachable
+        # label). Turns O(diameter) rounds into O(log diameter).
+        ll = labels.select(
+            F.col("node").alias("ll_node"), F.col("lbl").alias("ll_lbl")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            hop.join(ll, hop.lbl1 == ll.ll_node, "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "old_lbl",
+                F.least(F.col("lbl1"), F.coalesce(F.col("ll_lbl"), F.col("lbl1"))).alias(
                     "lbl"
                 ),
             )
             .localCheckpoint(eager=True)  # truncate lineage per superstep
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence check is a filter-count on the already-materialized
+        # frame (old label carried through), not an extra self-join.
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
