@@ -85,6 +85,12 @@ DRIVER_PRIORITY = [
     "route_event_dispatch",
     "envelope_serialize",
     "envelope_parse",
+    # round-4 additions
+    "sink_scd2_history",
+    "stream_window_topk",
+    "embed_dim_variance",
+    "events_anomaly_mad",
+    "dedup_prefix",
     # LLM-pipeline / dedup / similarity picks — never driver-checked
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -722,3 +722,64 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("n_name", "s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@registry.query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med_value
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med_value,
+               ABS(e.value - m.med_value) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_value
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(ANY_VALUE(d.med_value), 6) AS med_value,
+           ROUND(ANY_VALUE(m.mad_value), 6) AS mad_value,
+           COUNT(*) FILTER (
+               WHERE ABS(d.value - d.med_value) > 3 * m.mad_value) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation), flagging values beyond 3×MAD — the
+    skew-immune anomaly gate (mean/std break on heavy tails). Exact
+    interpolated medians (`percentile`) match DuckDB's quantile_cont;
+    the two median passes are each one shuffle on the same small key
+    (event_type), and the deviation join broadcasts the per-type
+    medians. At 100 TB swap `percentile` for `approx_percentile` with a
+    pinned accuracy — the operator shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med_value"), 6).alias("med_value"),
+            F.round(F.first("mad_value"), 6).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_value"))
+                    > 3 * F.col("mad_value"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -615,3 +615,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@registry.query(
+    "dedup_prefix",
+    oracle="""
+    WITH pref AS (
+        SELECT doc_id, lang, source,
+               array_to_string(string_split(text, ' ')[1:16], ' ') AS prefix16
+        FROM documents)
+    SELECT prefix16,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(DISTINCT source) AS n_sources
+    FROM pref
+    GROUP BY prefix16
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first 16 tokens collapse to
+    one keeper (min doc_id) — the cheap first pass of web-scale dedup
+    (boilerplate openers, mirrored pages): one hash-shuffle on the
+    prefix, no pairwise compare at all. At 100 TB, group on a 64-bit
+    xxhash of the prefix instead of the string to keep shuffle rows
+    small; semantics are unchanged modulo hash collisions."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16))
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix16"))
+        .groupBy("prefix16")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -623,3 +623,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "embeddings")
     return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@registry.query(
+    "embed_dim_variance",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    comp AS (
+        SELECT CAST(u.i - 1 AS INTEGER) AS dim, c.v[u.i] AS x
+        FROM c, UNNEST(range(1, len(c.v) + 1)) AS u(i))
+    SELECT dim,
+           ROUND(AVG(x), 6) AS mean_x,
+           ROUND(VAR_POP(x), 6) AS var_x,
+           COUNT(*) AS n
+    FROM comp GROUP BY dim
+    """,
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance across the corpus — the embedding-QA
+    scan that catches dead or collapsed dimensions before they poison
+    ANN recall. posexplode fans each vector into (dim, x) rows and the
+    aggregate combines map-side, so the shuffle carries 64 partial states
+    per task, not the corpus. Values are rounded to a fixed scale on both
+    sides (variance is order-sensitive in floats; the DECIMAL trick does
+    not apply to VAR_POP, so the determinism contract is the rounding)."""
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.var_pop("x"), 6).alias("var_x"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -369,3 +369,104 @@ def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )
+
+
+@registry.query(
+    "sink_scd2_history",
+    oracle=f"""
+    WITH dmax AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    spend AS (
+        SELECT o_custkey, {osum('o_totalprice')} AS recent_spend,
+               CAST(MAX(o_orderdate) AS TIMESTAMP) AS eff
+        FROM orders, dmax
+        WHERE o_orderdate >= d - INTERVAL 30 DAY
+        GROUP BY o_custkey
+    ),
+    changed AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, s.recent_spend, s.eff
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1992-01-01' AS valid_from,
+           TIMESTAMP '9999-12-31' AS valid_to,
+           TRUE AS is_current
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1992-01-01', eff, FALSE
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal + recent_spend,
+           eff, TIMESTAMP '9999-12-31', TRUE
+    FROM changed
+    """,
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: customers whose balance changes
+    (recent orders fold in as spend) get their current row CLOSED
+    (valid_to = effective date, is_current = false) and a new open row
+    appended; untouched customers keep their single open row. The history
+    is written to parquet and read back — the audit-dimension pattern
+    every 100 TB lake maintains. Scale: one broadcast of the 1-row dmax,
+    one shuffle of orders by custkey for the spend agg, and the change
+    split is a single left-anti/inner pair on the same join key; the
+    sentinel high date (9999-12-31) keeps ``is_current`` derivable by
+    predicate pushdown (valid_to = sentinel) instead of a NULL scan."""
+    out = _workdir(sf_dir, "scd2_parquet")
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    lo = F.lit("1992-01-01").cast("timestamp")
+    hi = F.lit("9999-12-31").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    o = load_table(spark, sf_dir, "orders")
+    dmax = o.agg(F.max("o_orderdate").alias("d"))
+    spend = (
+        o.crossJoin(F.broadcast(dmax))
+        .filter(F.col("o_orderdate") >= F.date_sub(F.col("d"), 30))
+        .groupBy("o_custkey")
+        .agg(
+            dsum("o_totalprice").alias("recent_spend"),
+            F.max("o_orderdate").cast("timestamp").alias("eff"),
+        )
+    )
+    changed = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        *cols, "recent_spend", "eff"
+    )
+    unchanged = c.join(changed.select("c_custkey"), "c_custkey", "left_anti")
+    history = (
+        unchanged.select(
+            *cols,
+            lo.alias("valid_from"),
+            hi.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .unionByName(
+            changed.select(
+                *cols,
+                lo.alias("valid_from"),
+                F.col("eff").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        .unionByName(
+            changed.select(
+                "c_custkey",
+                "c_mktsegment",
+                (F.col("c_acctbal") + F.col("recent_spend")).alias("c_acctbal"),
+                F.col("eff").alias("valid_from"),
+                hi.alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+    )
+    history.write.partitionBy("is_current").parquet(out)
+    # partition-column type inference surfaces is_current as string on
+    # read; restore the boolean (values are unambiguous true/false dirs)
+    return spark.read.parquet(out).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )

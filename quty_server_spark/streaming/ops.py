@@ -1296,3 +1296,50 @@ def stream_kafka_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("partition", F.col("partition").cast("int"))
         .select("event_id", "topic", "partition", "offset", "key", "value")
     )
+
+
+@registry.query(
+    "stream_window_topk",
+    oracle="""
+    WITH spend AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2)
+    SELECT hour_start, user_id, spend, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                    ORDER BY spend DESC, user_id) AS rn FROM spend)
+    WHERE rn <= 3
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per event-time hour: the watermarked windowed
+    aggregation runs IN the stream (state = open windows only); the
+    rank-and-take runs on the closed windows it emits — the standard
+    split for leaderboard queries on an unbounded feed, since a global
+    rank inside the stream would need unbounded state. The final top-k
+    is a window over (hour, spend) with a deterministic tiebreak."""
+    s = events_stream(spark, sf_dir)
+    spend = (
+        s.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("spend")
+        )
+        .select(F.col("w.start").alias("hour_start"), "user_id", "spend")
+    )
+    closed = run_to_memory(spend, "mem_window_topk", "complete")
+    from pyspark.sql import Window as W
+
+    rank_w = W.partitionBy("hour_start").orderBy(
+        F.desc("spend"), F.asc("user_id")
+    )
+    return (
+        closed.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
+        .select("hour_start", "user_id", "spend", "rn")
+    )
