@@ -412,3 +412,42 @@ def test_global_topk_is_take_ordered(spark):
     for name in ["text_pmi_collocations", "agg_skew_profile"]:
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_mad_medians_broadcast(spark):
+    # events_anomaly_mad: both per-type median frames are tiny (one row per
+    # event_type) and must broadcast — the events fact side is never
+    # shuffled for the deviation joins.
+    plan = plan_of(spark, "events_anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_dedup_single_aggregate(spark):
+    # dedup_prefix is a pure aggregation pipeline: no join, no window. The
+    # COUNT(DISTINCT source) expands to the standard two-phase distinct
+    # aggregate — (prefix, source) then prefix — so exactly two exchanges,
+    # both with map-side partials, and nothing else.
+    plan = plan_of(spark, "dedup_prefix")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count(") Exchange") == 2
+    assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_scd2_change_split_broadcasts(spark):
+    # sink_scd2_history: the 1-row dmax broadcasts, and the changed/
+    # unchanged split must not multiply the customer scan through a
+    # cartesian.
+    plan = plan_of(spark, "sink_scd2_history")
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_variance_partial_aggregation(spark):
+    # embed_dim_variance: posexplode fans out 64x, so the aggregate MUST
+    # combine map-side — the exchange carries 64 partial states per task,
+    # not the exploded corpus. partial_ aggregate functions before the
+    # exchange prove map-side combine.
+    plan = plan_of(spark, "embed_dim_variance")
+    assert "partial_avg" in plan and "partial_var_pop" in plan
+    assert plan.count(") Exchange") == 1
