@@ -86,6 +86,7 @@ DRIVER_PRIORITY = [
     "envelope_serialize",
     "envelope_parse",
     # round-4 additions
+    "sink_incremental_matview",
     "sink_scd2_history",
     "stream_window_topk",
     "embed_dim_variance",
