@@ -59,6 +59,7 @@ DRIVER_PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stream_left_outer",
+    "stream_stream_full_outer",
     "stream_pipeline_end_to_end",
     "stream_route_fanout",
     "stream_subscriptions_stateful",

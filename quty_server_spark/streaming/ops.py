@@ -1343,3 +1343,105 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("hour_start", "user_id", "spend", "rn")
     )
+
+
+@registry.query(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+                     (SELECT MAX(purchase_ts) FROM purchases))
+               - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               CAST(date_diff('second', c.click_ts, p.purchase_ts) AS BIGINT)
+                   AS lag_s
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    unmatched_clicks AS (
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+               CAST(NULL AS BIGINT) AS lag_s
+        FROM clicks c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+          AND c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    ),
+    unmatched_purchases AS (
+        -- a purchase null-extends once the watermark proves no click can
+        -- still match: its latest admissible click has click_ts <=
+        -- purchase_ts, so decidability is purchase_ts < watermark
+        SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id,
+               CAST(NULL AS BIGINT) AS lag_s
+        FROM purchases p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM clicks c
+            WHERE c.user_id = p.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+          AND p.purchase_ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_clicks
+    UNION ALL SELECT * FROM unmatched_purchases
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: clicks and purchases each
+    null-extend once the watermark proves their window closed — the
+    both-directions attribution feed (unconverted clicks AND organic
+    purchases) in one bounded-state unbounded plan. Left-side emission is
+    gated on the click's 30-min window passing the watermark; right-side
+    on the purchase's own event time passing it (its latest admissible
+    click is no newer than itself). The oracle encodes both rules, so
+    trailing rows still inside the horizon are absent on BOTH sides."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_s"
+        ),
+    )
+    return run_to_memory(joined, "mem_ssfo", "append")
