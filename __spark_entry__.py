@@ -46,7 +46,9 @@ DRIVER_PRIORITY = [
     "embed_label_centroids",
     "sample_stratified_topk",
     "udf_grouped_agg_wmean",
-    # Kafka wire-contract family (new in round 4)
+    # wire envelope + Kafka contract family
+    "envelope_serialize",
+    "envelope_parse",
     "kafka_wire_encode",
     "kafka_wire_decode",
     "stream_kafka_replay",
@@ -84,8 +86,6 @@ DRIVER_PRIORITY = [
     "cluster_discovery",
     "pending_event_buffer",
     "route_event_dispatch",
-    "envelope_serialize",
-    "envelope_parse",
     # round-4 additions
     "sink_incremental_matview",
     "sink_scd2_history",

@@ -9,9 +9,9 @@ Two entry points:
 
 Scale stance (100 TB design point): every conf here is either a no-op or a
 win on a real cluster — AQE handles skew/coalescing at runtime, Arrow keeps
-the unavoidable pandas-UDF paths vectorized, and the nanos conf is required
-to scan the canonical ``events`` table (parquet TIMESTAMP(NANOS), which the
-Spark vectorized reader does not map natively).
+the unavoidable pandas-UDF paths vectorized, and the two parquet-timestamp
+confs pin how fixture timestamps scan (naive micros → session-tz TIMESTAMP
+with pushdown intact; legacy NANOS → int64 fallback path in load_table).
 """
 
 from __future__ import annotations
@@ -23,7 +23,10 @@ from pyspark.sql import SparkSession
 # Confs that are runtime-settable and required/valuable regardless of who
 # built the SparkSession.
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet carries TIMESTAMP(NANOS); read as long (ns) and convert.
+    # Defensive: through round 3 events.parquet carried TIMESTAMP(NANOS),
+    # scanned as long (ns) and converted in load_table. The round-4 fixtures
+    # are timestamp[us], but the conf is kept so a future regeneration back
+    # to nanos degrades to the handled int64 path instead of erroring.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
