@@ -87,6 +87,7 @@ DRIVER_PRIORITY = [
     "pending_event_buffer",
     "route_event_dispatch",
     # round-4 additions
+    "join_range_banded",
     "sink_incremental_matview",
     "sink_scd2_history",
     "stream_window_topk",

@@ -388,6 +388,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "join_range_banded",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_close, MIN(c.c_custkey) AS min_cust
+    FROM supplier s
+    JOIN customer c ON c.c_acctbal BETWEEN s.s_acctbal - 50 AND s.s_acctbal + 50
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ±50 range join as join_range_nonequi, restated as the
+    100 TB band join: both sides bucket acctbal into width-50 bands —
+    the supplier's ±50 window spans at most 3 consecutive bands, exploded
+    into candidate rows — so the join is an EQUI-join on band (hash/SMJ,
+    shuffle-partitionable) followed by the exact range filter, instead of
+    a broadcast-nested-loop compare of every pair. Identical answer
+    (same oracle as join_range_nonequi); the plan is the one that
+    survives when NEITHER side fits in a broadcast. Candidate blowup is
+    bounded at 3× the small side; band width tunes selectivity-vs-fanout
+    exactly like LSH band tuning."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cb = c.withColumn("band", F.floor(F.col("c_acctbal") / 50).cast("long"))
+    sb = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 50) / 50).cast("long"),
+                F.floor((F.col("s_acctbal") + 50) / 50).cast("long"),
+            )
+        ).alias("band"),
+    )
+    return (
+        cb.join(sb, "band")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 50)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 50)
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"), F.min("c_custkey").alias("min_cust"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------

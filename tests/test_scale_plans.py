@@ -451,3 +451,13 @@ def test_dim_variance_partial_aggregation(spark):
     plan = plan_of(spark, "embed_dim_variance")
     assert "partial_avg" in plan and "partial_var_pop" in plan
     assert plan.count(") Exchange") == 1
+
+
+def test_banded_range_join_is_equi_join(spark):
+    # join_range_banded must never fall back to a nested-loop compare:
+    # the band key makes it a hash-partitionable equi-join (broadcast at
+    # this SF; SMJ when both sides are facts).
+    plan = plan_of(spark, "join_range_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
