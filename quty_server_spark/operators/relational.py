@@ -519,14 +519,45 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@registry.query("agg_approx_distinct")  # rows-only: sketch output is engine-specific
+@registry.query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the scale path for
-    count-distinct at 100 TB (no exact-distinct shuffle explosion)."""
+    count-distinct at 100 TB (no exact-distinct shuffle explosion).
+
+    The sketch estimate is engine-specific, so the oracle contract is a
+    BOUND, not a value: the query emits the exact counts plus booleans
+    asserting the 2%-rsd HLL landed within 5% (>2 sigma) of exact; the
+    oracle emits the exact counts and TRUE. An HLL regression past the
+    bound flips a boolean and fails the hash compare — upgrading this
+    from a rows-only check to a value-checked query. (The exact
+    countDistinct here is the verification harness, not the scale path.)
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("ap", "exact_parts").alias("parts_within_5pct"),
+        within("ao", "exact_orders").alias("orders_within_5pct"),
     )
 
 
