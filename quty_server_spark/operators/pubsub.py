@@ -124,19 +124,21 @@ def fold_current_subs(log: DataFrame) -> DataFrame:
     batch fold, streaming fold and SQL oracle agree on adversarial
     same-timestamp histories (tests/test_pubsub_semantics.py).
     """
-    w = Window.partitionBy("channel", "member_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    # Last op via max(struct(ts, event_id, op)): (ts, event_id) is unique
+    # per (channel, member) — event ids are unique — so the lexicographic
+    # max IS the latest op. A hash aggregate with map-side partial combine
+    # replaces the sort+window top-1: no per-partition sort, no spill
+    # pressure, same tie rule as the streaming fold.
     last_op = (
         log.filter(F.col("op").isin("join", "leave"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("channel", "member_id")
+        .agg(F.max(F.struct("ts", "event_id", "op")).alias("s"))
         .select(
             "channel",
             "member_id",
-            F.col("op").alias("last_op"),
-            F.col("ts").alias("op_ts"),
-            F.col("event_id").alias("op_eid"),
+            F.col("s.op").alias("last_op"),
+            F.col("s.ts").alias("op_ts"),
+            F.col("s.event_id").alias("op_eid"),
         )
     )
     last_kick = (
