@@ -88,6 +88,8 @@ DRIVER_PRIORITY = [
     "route_event_dispatch",
     # round-4 additions
     "join_range_banded",
+    "window_range_interval",
+    "agg_percentile_approx_check",
     "sink_incremental_matview",
     "sink_scd2_history",
     "stream_window_topk",

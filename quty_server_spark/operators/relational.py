@@ -1293,3 +1293,78 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), c.c_nationkey == n.n_nationkey, "left_semi")
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@registry.query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each event's trailing-1-hour count and
+    decimal-exact sum per user — the sliding-by-time frame (RANGE, not
+    ROWS: peers are defined by the ORDER BY value, so same-ts rows share
+    a frame and the tiebreaker column is deliberately absent). This is
+    the rate-limiter / rolling-exposure primitive; at scale it is one
+    sort within user partitions, identical shuffle shape to the ROWS
+    frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_last_hour"),
+    )
+
+
+@registry.query(
+    "agg_percentile_approx_check",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_within_2pct,
+           TRUE AS p90_within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile under a bounded-error oracle contract (same
+    device as agg_approx_distinct): emit the exact interpolated
+    percentiles plus booleans asserting the sketch (accuracy 10000 →
+    rank error <= 0.01%) landed within 2% of exact; the oracle emits the
+    exact values and TRUE. This is how the approximate scale path
+    (KLL/GK-style sketch, mergeable, single pass) stays verifiable
+    against an exact engine."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("ap90"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.02)
+    )
+    return agg.select(
+        "o_orderpriority",
+        "p50_exact",
+        "p90_exact",
+        within("ap50", "p50_exact").alias("p50_within_2pct"),
+        within("ap90", "p90_exact").alias("p90_within_2pct"),
+    )
