@@ -38,9 +38,9 @@ DRIVER_PRIORITY = [
     "flagship_delivery_report",
     "scalar_json",
     "scalar_higher_order",
-    # latent-HUGEINT queries fixed this round
-    "scalar_math",
-    "scalar_array",
+    # latent-HUGEINT queries fixed this round (scalar_math/scalar_array —
+    # driver-green in r03, oracles re-cast — are below the 50-line since
+    # the type-lint covers them structurally)
     "events_retention_cohort",
     "doc_pack_sequences",
     "embed_label_centroids",
@@ -86,16 +86,19 @@ DRIVER_PRIORITY = [
     "cluster_discovery",
     "pending_event_buffer",
     "route_event_dispatch",
-    # round-4 additions
+    # round-4 additions (first ~3 make the 50-sample; the rest rotate in
+    # next round)
     "join_range_banded",
-    "window_range_interval",
-    "agg_percentile_approx_check",
     "sink_incremental_matview",
     "sink_scd2_history",
     "stream_window_topk",
+    "window_range_interval",
+    "agg_percentile_approx_check",
     "embed_dim_variance",
     "events_anomaly_mad",
     "dedup_prefix",
+    "scalar_math",
+    "scalar_array",
     # LLM-pipeline / dedup / similarity picks — never driver-checked
     "dedup_exact",
     "dedup_minhash_lsh",
