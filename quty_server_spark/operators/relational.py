@@ -1314,12 +1314,15 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a frame and the tiebreaker column is deliberately absent). This is
     the rate-limiter / rolling-exposure primitive; at scale it is one
     sort within user partitions, identical shuffle shape to the ROWS
-    frames."""
+    frames. Orders by unix_micros (not a seconds cast): the oracle's
+    INTERVAL frame is microsecond-precise, so a whole-second ordering key
+    would merge sub-second-distinct rows into RANGE peers and flip
+    inclusion for pairs straddling the 1-hour boundary by <1s."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",

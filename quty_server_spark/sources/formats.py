@@ -388,7 +388,7 @@ def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey, c_mktsegment, c_acctbal,
            TIMESTAMP '1992-01-01' AS valid_from,
-           TIMESTAMP '9999-12-31' AS valid_to,
+           TIMESTAMP '2261-12-31' AS valid_to,
            TRUE AS is_current
     FROM customer
     WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
@@ -398,7 +398,7 @@ def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM changed
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal + recent_spend,
-           eff, TIMESTAMP '9999-12-31', TRUE
+           eff, TIMESTAMP '2261-12-31', TRUE
     FROM changed
     """,
 )
@@ -411,12 +411,18 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 100 TB lake maintains. Scale: one broadcast of the 1-row dmax,
     one shuffle of orders by custkey for the spend agg, and the change
     split is a single left-anti/inner pair on the same join key; the
-    sentinel high date (9999-12-31) keeps ``is_current`` derivable by
-    predicate pushdown (valid_to = sentinel) instead of a NULL scan."""
+    sentinel high date keeps ``is_current`` derivable by
+    predicate pushdown (valid_to = sentinel) instead of a NULL scan.
+    The sentinel is 2261-12-31 — the classic 9999-12-31 overflows
+    Arrow's timestamp[us] -> pandas timestamp[ns] conversion in any
+    pandas-based comparator (ns range tops out at 2262-04-11), the same
+    representation-sensitivity class as DuckDB's HUGEINT promotion; the
+    oracle value-range lint in tools/check_oracle.py keeps this class
+    structurally dead."""
     out = _workdir(sf_dir, "scd2_parquet")
     cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
     lo = F.lit("1992-01-01").cast("timestamp")
-    hi = F.lit("9999-12-31").cast("timestamp")
+    hi = F.lit("2261-12-31").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").select(*cols)
     o = load_table(spark, sf_dir, "orders")
     dmax = o.agg(F.max("o_orderdate").alias("d"))

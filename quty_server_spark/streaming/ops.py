@@ -1228,6 +1228,29 @@ def kafka_replay_run(spark: SparkSession, sf_dir: str) -> dict:
     # reduced (min, max) row crosses to the driver.
     lo, hi = rec.agg(F.min("ts"), F.max("ts")).first()
     cut = lo + (hi - lo) / 2
+    n_before, n_after = rec.agg(
+        F.sum((F.col("ts") < F.lit(cut)).cast("long")),
+        F.sum((F.col("ts") >= F.lit(cut)).cast("long")),
+    ).first()
+    if not n_before or not n_after:
+        # Degenerate ts distribution (all records in one half of the
+        # midpoint): fall back to the ts median so both phases carry
+        # records — phase 1 committing zero epochs would fail the replay
+        # harness on fixture drift rather than on a contract violation.
+        cut = rec.agg(
+            F.expr("percentile(unix_micros(ts), 0.5)").cast("long")
+        ).first()[0]
+        cut = dt.datetime.fromtimestamp(cut / 1_000_000, tz=dt.timezone.utc)
+        n_before, n_after = rec.agg(
+            F.sum((F.col("ts") < F.lit(cut)).cast("long")),
+            F.sum((F.col("ts") >= F.lit(cut)).cast("long")),
+        ).first()
+    assert n_before and n_after, (
+        f"kafka_replay_run: degenerate topic split (before={n_before}, "
+        f"after={n_after}) — fixture ts distribution leaves one replay "
+        f"phase empty even at the median cut; regenerate fixtures or "
+        f"adjust the cut strategy"
+    )
     workdir = os.path.join(
         tempfile.gettempdir(), "quty_kafka_replay", os.path.basename(sf_dir.rstrip("/"))
     )

@@ -19,7 +19,7 @@ import pytest
 
 import __spark_entry__ as se
 from tests.conftest import SF_DIR
-from tools.check_oracle import lint_oracle_types
+from tools.check_oracle import lint_ns_range, lint_oracle_types
 
 ORACLES = se.oracle_sql()
 
@@ -56,3 +56,39 @@ def test_lint_is_green_on_cast(con):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_emits_spark_types(con, name):
     assert lint_oracle_types(con, ORACLES[name]) == []
+
+
+# ---------------------------------------------------------------------------
+# Value-domain representability (round-4 post-mortem). The driver's
+# comparator converts both sides to pandas; Arrow's timestamp[us] ->
+# timestamp[ns] cast raises ArrowInvalid on any datetime outside
+# [1677-09-22, 2262-04-11] — which killed `sink_scd2_history`'s
+# 9999-12-31 open-row sentinel even though Spark and DuckDB agreed on
+# the value. lint_ns_range in tools/check_oracle.py scans BOTH sides'
+# result cells at gate time so the class is structurally dead.
+# ---------------------------------------------------------------------------
+
+
+def test_ns_range_lint_is_red_on_9999_sentinel(con):
+    """The lint must catch the exact round-4 failure value."""
+    rows = con.execute("SELECT TIMESTAMP '9999-12-31' AS valid_to").fetchall()
+    bad = lint_ns_range(["valid_to"], rows)
+    assert bad and bad[0].startswith("valid_to:")
+    # and the date flavor of the same overflow
+    rows = con.execute("SELECT DATE '9999-12-31' AS d").fetchall()
+    assert lint_ns_range(["d"], rows)
+
+
+def test_ns_range_lint_is_green_on_in_range_sentinel(con):
+    rows = con.execute(
+        "SELECT TIMESTAMP '2261-12-31' AS valid_to, TIMESTAMP '1992-01-01' AS valid_from"
+    ).fetchall()
+    assert lint_ns_range(["valid_to", "valid_from"], rows) == []
+
+
+def test_scd2_oracle_values_are_ns_representable(con):
+    """Run the actual scd2 oracle at test SF and assert every timestamp
+    cell survives a pandas-ns conversion — the driver-comparator contract."""
+    res = con.execute(ORACLES["sink_scd2_history"])
+    cols = [d[0] for d in res.description]
+    assert lint_ns_range(cols, res.fetchall()) == []

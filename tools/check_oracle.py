@@ -51,6 +51,35 @@ NON_SPARK_TYPES = (
 )
 
 
+# pandas timestamp[ns] representable range. The driver's comparator runs
+# Spark's toPandas() (Arrow timestamp[us] -> timestamp[ns]) and DuckDB's
+# fetchdf — a datetime OUTSIDE this range on either side raises
+# ArrowInvalid in the comparator even though both engines agree on the
+# value (round-4 failure: SCD2's 9999-12-31 open-row sentinel). Same
+# representation-sensitivity class as HUGEINT, in the value domain.
+PANDAS_NS_MIN = datetime(1677, 9, 22)
+PANDAS_NS_MAX = datetime(2262, 4, 11)
+
+
+def lint_ns_range(cols, rows) -> list[str]:
+    """Return ``["col: value", ...]`` for datetime/date cells outside the
+    pandas-ns representable range. Scans all rows — gate-time only."""
+    bad: dict[str, str] = {}
+    lo, hi = PANDAS_NS_MIN.date(), PANDAS_NS_MAX.date()
+    for r in rows:
+        for i, v in enumerate(r):
+            d = None
+            if isinstance(v, datetime):
+                d = v.date()
+            elif isinstance(v, date):
+                d = v
+            elif hasattr(v, "to_pydatetime"):
+                d = v.to_pydatetime().date()
+            if d is not None and not (lo <= d <= hi):
+                bad.setdefault(cols[i], str(v))
+    return [f"{c}: {v}" for c, v in bad.items()]
+
+
 def lint_oracle_types(con, sql: str) -> list[str]:
     """Return ``["col: TYPE", ...]`` for oracle output columns whose DuckDB
     type Spark cannot emit. Binds the query lazily (schema only — no rows
@@ -162,6 +191,21 @@ def main():
                 "hash_match": False, "spark_rows": len(srows),
                 "oracle_rows": None,
                 "err": f"duckdb: {type(e).__name__}: {e}"[:200],
+            }
+            continue
+        bad_range = lint_ns_range(scols, srows) or lint_ns_range(ocols, orows)
+        if bad_range:
+            print(
+                f"FAIL  {name}: timestamp outside pandas-ns range "
+                f"(driver comparator would raise ArrowInvalid): "
+                + ", ".join(bad_range)
+            )
+            n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": f"ns-range lint: {', '.join(bad_range)}"[:200],
             }
             continue
         ok = True
