@@ -492,24 +492,59 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clustering: connected components over the SimHash
     near-pair graph, each doc labeled with the min doc_id of its
-    component (the canonical keeper). Iterative min-label propagation —
-    each superstep is one distributed join+aggregate, converging in
-    O(component diameter) steps (near-dup clusters are shallow). The
+    component (the canonical keeper). Iterative min-label propagation
+    with pointer doubling — see :func:`min_label_components`. The
     oracle is a recursive CTE computing min reachable label. This is the
     keeper-assignment step a 100 TB dedup pipeline runs after pair
     mining; the driver only coordinates supersteps, all data movement is
     shuffle-side."""
     pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = min_label_components(spark, pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+# Reliable-checkpoint cadence for the BSP loop: every k-th superstep goes
+# to the checkpoint dir (survives executor loss; bounds recompute to <k
+# supersteps), the rest use executor-local checkpoints (lineage
+# truncation only). On a real cluster point setCheckpointDir at durable
+# storage (HDFS/S3); here it defaults to local tmp.
+CLUSTER_CKPT_EVERY = 5
+
+
+def min_label_components(
+    spark: SparkSession, pairs: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation over an undirected
+    pair list ``(doc_a, doc_b)``. Returns ``(labels, rounds)`` where
+    labels is ``(node, lbl)`` with lbl = min node id reachable.
+
+    Each superstep is one distributed job: the neighbor-min join, a
+    pointer-doubling shortcut (lbl(lbl(node)) — turns O(diameter) rounds
+    into O(log diameter)), then a LAZY checkpoint whose materialization
+    and the convergence count share a single action (``agg(sum(changed))``
+    runs the job that also writes the checkpoint — no second pass, no
+    driver-side data beyond one count). Every CLUSTER_CKPT_EVERY-th
+    superstep checkpoints reliably so an executor loss mid-loop replays
+    at most k supersteps instead of the whole lineage."""
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="quty_cluster_ckpt_")
+        )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.localCheckpoint(eager=True)  # pair mining runs once
+    edges = edges.checkpoint(eager=True)  # pair mining runs once, durably
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    for _ in range(20):  # cap >> log2 of any real component diameter
+    rounds = 0
+    for step in range(max_rounds):  # cap >> log2 of any real diameter
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -522,31 +557,30 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lbl1"
             ),
         )
-        # Pointer-doubling: also shortcut through the label's own label
-        # (lbl is always the id of a node in the same component, so
-        # lbl(lbl(node)) is a valid — and often much smaller — reachable
-        # label). Turns O(diameter) rounds into O(log diameter).
         ll = labels.select(
             F.col("node").alias("ll_node"), F.col("lbl").alias("ll_lbl")
         )
-        new_labels = (
-            hop.join(ll, hop.lbl1 == ll.ll_node, "left")
-            .select(
-                "node",
-                "old_lbl",
-                F.least(F.col("lbl1"), F.coalesce(F.col("ll_lbl"), F.col("lbl1"))).alias(
-                    "lbl"
-                ),
-            )
-            .localCheckpoint(eager=True)  # truncate lineage per superstep
+        new_labels = hop.join(ll, hop.lbl1 == ll.ll_node, "left").select(
+            "node",
+            "old_lbl",
+            F.least(
+                F.col("lbl1"), F.coalesce(F.col("ll_lbl"), F.col("lbl1"))
+            ).alias("lbl"),
         )
-        # Convergence check is a filter-count on the already-materialized
-        # frame (old label carried through), not an extra self-join.
-        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
+        if (step + 1) % CLUSTER_CKPT_EVERY == 0:
+            new_labels = new_labels.checkpoint(eager=False)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        # Single action: materializes the (lazy) checkpoint AND reduces
+        # the changed-count — the convergence check costs no extra job.
+        changed = new_labels.agg(
+            F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("c")
+        ).first()[0]
         labels = new_labels.select("node", "lbl")
-        if changed == 0:
+        rounds = step + 1
+        if not changed:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels, rounds
 
 
 @registry.query(

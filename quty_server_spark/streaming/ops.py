@@ -857,9 +857,10 @@ def _protobuf_available() -> bool:
 def stream_seq_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel wire sequence numbers via transformWithStateInPandas —
     the second arbitrary-state API (alongside applyInPandasWithState),
-    requiring the RocksDB state store and google.protobuf (registered
-    only when available — absent in this container, so the
-    applyInPandasWithState fold is the tested arbitrary-state path).
+    requiring the RocksDB state store and google.protobuf. The name
+    `stream_seq_counter_tws` registers unconditionally: this
+    implementation when the tws runtime deps exist, else
+    :func:`stream_seq_counter_apws` (identical fold on the other API).
     State is one long per channel; at scale that is O(channels), not
     O(messages)."""
     configure(spark)
@@ -868,13 +869,7 @@ def stream_seq_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        s = events_stream(spark, sf_dir)
-        k = F.get_json_object("props", "$.k").cast("int")
-        msgs = s.filter(F.col("event_type") == "click").select(
-            F.concat(F.lit("ch"), (k % 7).cast("string")).alias("channel"),
-            "event_id",
-            "ts",
-        )
+        msgs = _seq_counter_messages(spark, sf_dir)
         seq = msgs.groupBy("channel").transformWithStateInPandas(
             statefulProcessor=_make_seq_processor(),
             outputStructType=_SEQ_OUT_SCHEMA,
@@ -889,18 +884,78 @@ def stream_seq_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-if _protobuf_available():  # pragma: no cover - environment-dependent
-    registry.register(
-        "stream_seq_counter_tws",
-        stream_seq_counter_tws,
-        oracle=f"""
-        WITH {pubsub.SQL_MESSAGES}
-        SELECT channel, event_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY channel
-                                       ORDER BY ts, event_id) % 100 AS BIGINT) AS seq
-        FROM messages
-        """,
+_SEQ_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def _seq_counter_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of SeqProcessor: identical fold (sort by
+    (ts, event_id), attach-then-increment mod 100, counter carried in keyed
+    state across micro-batches). Exists so the `stream_seq_counter_tws`
+    name registers unconditionally — transformWithStateInPandas needs
+    google.protobuf, which some environments (this container) lack."""
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"]
     )
+    start = state.get[0] if state.exists else 0
+    n = len(pdf)
+    state.update((start + n,))
+    yield pd.DataFrame(
+        {
+            "channel": key[0],
+            "event_id": pdf["event_id"].values,
+            "seq": [(start + i) % 100 for i in range(1, n + 1)],
+        }
+    )
+
+
+def _seq_counter_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return s.filter(F.col("event_type") == "click").select(
+        F.concat(F.lit("ch"), (k % 7).cast("string")).alias("channel"),
+        "event_id",
+        "ts",
+    )
+
+
+def stream_seq_counter_apws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback implementation of the per-channel wire sequence counter on
+    the applyInPandasWithState API (no protobuf / RocksDB requirement);
+    same output schema and fold semantics as the tws path, so either
+    implementation satisfies the same oracle. State is one long per
+    channel — O(channels), not O(messages)."""
+    configure(spark)
+    seq = (
+        _seq_counter_messages(spark, sf_dir)
+        .groupBy("channel")
+        .applyInPandasWithState(
+            _seq_counter_fold,
+            outputStructType=_SEQ_OUT_SCHEMA,
+            stateStructType=_SEQ_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(seq, "mem_seq_apws", "append")
+
+
+# The name always registers; the implementation is the tws path when its
+# runtime deps exist, else the applyInPandasWithState twin — so the
+# registry carries the query unconditionally and the local gate proves the
+# fold either way.
+registry.register(
+    "stream_seq_counter_tws",
+    stream_seq_counter_tws if _protobuf_available() else stream_seq_counter_apws,
+    oracle=f"""
+    WITH {pubsub.SQL_MESSAGES}
+    SELECT channel, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                                   ORDER BY ts, event_id) % 100 AS BIGINT) AS seq
+    FROM messages
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -45,3 +45,26 @@ def test_jaccard_df_cap_vacuous_below_threshold(spark):
         (r.doc_a, r.doc_b): r.jaccard for r in D._pair_jaccard_from(sh).collect()
     }
     assert got == {(1, 2): 1 / 4}
+
+
+def test_min_label_components_line_topology_converges_log_rounds(spark):
+    # A 16-node line 0-1-2-...-15: diameter 15, so plain one-hop
+    # propagation needs ~15 supersteps. Pointer doubling must label the
+    # whole component 0 in O(log diameter) rounds — the property that
+    # makes the BSP loop viable at 100 TB component sizes.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    labels, rounds = D.min_label_components(spark, pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(16)}
+    assert rounds <= 7, f"pointer doubling degraded: {rounds} rounds for diameter 15"
+
+
+def test_min_label_components_two_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels, _ = D.min_label_components(spark, pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
