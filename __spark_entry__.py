@@ -25,88 +25,98 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Rounds 1-3 sampled
-# the relational surface only; this priority list front-loads the
-# surfaces the driver has never exercised (streaming, pub/sub, dedup /
-# similarity / LLM-pipeline picks) plus every query whose oracle carried
-# a latent DuckDB-HUGEINT column before the round-4 casts, so the fix is
-# driver-confirmed rather than just locally green. Queries not listed
-# keep their import order after these; nothing is removed — the full
-# local gate (tools/check_oracle.py) still checks all of them.
+# queries, so registration order IS driver coverage. Round-5 rotation:
+# (1) re-prove the queries changed this round — the SCD2 sentinel fix
+# (r04's one driver-red), the microsecond-precise RANGE frame, the
+# replay split guard, the newly-unconditional seq counter, the hardened
+# BSP clustering; (2) one canary from the long-driver-green relational
+# surface (flagship) so a comparator regression on the old surface is
+# still externally detectable; (3) fill the remaining ~45 slots with
+# queries NEVER sampled in CORRECTNESS_r01-r04 — dedup / similarity /
+# text / multimodal / UDF / sources+sinks / tpch picks. Queries not
+# listed keep their import order after these; nothing is removed — the
+# full local gate (tools/check_oracle.py) still checks all of them.
 DRIVER_PRIORITY = [
-    # previously driver-red (HUGEINT oracle, now cast) — re-prove first
-    "flagship_delivery_report",
-    "scalar_json",
-    "scalar_higher_order",
-    # latent-HUGEINT queries fixed this round (scalar_math/scalar_array —
-    # driver-green in r03, oracles re-cast — are below the 50-line since
-    # the type-lint covers them structurally)
-    "events_retention_cohort",
-    "doc_pack_sequences",
-    "embed_label_centroids",
-    "sample_stratified_topk",
-    "udf_grouped_agg_wmean",
-    # wire envelope + Kafka contract family
-    "envelope_serialize",
-    "envelope_parse",
-    "kafka_wire_encode",
-    "kafka_wire_decode",
-    "stream_kafka_replay",
-    # streaming surface — never driver-checked
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_dedup_within_watermark",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_stream_full_outer",
-    "stream_pipeline_end_to_end",
-    "stream_route_fanout",
-    "stream_subscriptions_stateful",
-    "stream_liveness_expiry",
-    "stream_watermark_late_drop",
-    "stream_checkpoint_recovery",
-    "stream_foreach_batch_sink",
-    "stream_rate_source",
-    # pub/sub surface — never driver-checked
-    "subs_current_state",
-    "subs_member_channels",
-    "subs_channel_catalog",
-    "subs_kick_cascade",
-    "subs_remove_node",
-    "route_fanout",
-    "route_broadcast_fallback",
-    "route_membership_recheck",
-    "route_loop_suppression",
-    "route_fanout_salted",
-    "status_snapshot",
-    "cluster_node_info",
-    "cluster_discovery",
-    "pending_event_buffer",
-    "route_event_dispatch",
-    # round-4 additions (first ~3 make the 50-sample; the rest rotate in
-    # next round)
-    "join_range_banded",
-    "sink_incremental_matview",
+    # changed this round — re-prove via driver
     "sink_scd2_history",
-    "stream_window_topk",
     "window_range_interval",
+    "stream_kafka_replay",
+    "stream_seq_counter_tws",
+    "dedup_cluster",
+    # canary: driver-green every round since r01
+    "flagship_delivery_report",
+    # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on
     "agg_percentile_approx_check",
     "embed_dim_variance",
     "events_anomaly_mad",
+    # dedup family
     "dedup_prefix",
-    "scalar_math",
-    "scalar_array",
-    # LLM-pipeline / dedup / similarity picks — never driver-checked
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_cluster",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # similarity / embedding family
     "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
     "sim_ann_ivf",
+    "sim_ann_ivf_nprobe2",
+    "embed_quantize_int8",
+    "sim_label_cohesion",
+    # text-analysis family
+    "text_stats",
+    "text_tokenize",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    "text_pmi_collocations",
+    "text_quality_score",
     "text_pii_scrub",
     "text_tfidf_keywords",
+    # multimodal plumbing (Arrow mapInPandas paths — the comparator-risk
+    # class driver confirmation matters most for)
+    "mm_decode_features",
+    "mm_resize_dims",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    # UDF surface
+    "udf_grouped_zscore",
+    "udf_iter_model_score",
+    "udf_cogrouped_asof",
+    # auth + sampling/splits
+    "auth_admission",
+    "sample_bernoulli_hash",
+    "split_train_val_test",
+    # sources/sinks (file-format paths — same risk class as multimodal)
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "source_json_corrupt_records",
+    "sink_partitioned_parquet",
+    # tpch picks (complex plans never sampled)
+    "q8_market_share",
+    "q13_order_distribution",
+    "q19_discounted_revenue",
+    # --- ~50-line; below rotates in next round ---
+    "sink_merge_upsert",
+    "sink_compacted_parquet",
+    "join_bucketed_colocated",
+    "min_cost_supplier",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+    "agg_unpivot",
+    "events_sessionize_batch",
+    "agg_histogram_mode",
+    "agg_skew_profile",
+    "audit_referential_integrity",
+    "events_densified_hourly",
+    "agg_approx_distinct",
+    "scalar_math",
+    "scalar_array",
 ]
 
 

@@ -73,17 +73,24 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(line))
+    # Append to the per-query wall-time history so host-noise vs
+    # regression is a diff against prior runs, not a judgement call
+    # (tools/ab_bench.py settles ambiguous cases on one host).
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **line}) + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

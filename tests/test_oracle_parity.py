@@ -37,3 +37,35 @@ def test_query_matches_oracle(spark, ducks, name):
 def test_entry_smoke(spark):
     df = se.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_priority_is_subset_of_registry():
+    """Every rotated name must resolve — a typo'd DRIVER_PRIORITY entry
+    would silently fall out of _rotated() and waste a driver-sample slot."""
+    missing = [n for n in se.DRIVER_PRIORITY if n not in ALL]
+    assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
+
+
+def test_rotation_front_loads_never_sampled_queries():
+    """The driver samples the first ~50 registered queries. The rotation's
+    whole purpose is pushing never-driver-verified queries into that
+    window — assert the first 50 contain at least 40 names absent from
+    every prior round's CORRECTNESS artifact, so rotation drift fails
+    loudly instead of silently re-sampling the green surface."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json")))
+    if not arts:
+        pytest.skip("no prior driver artifacts in this checkout")
+    sampled: set[str] = set()
+    for p in arts:
+        sampled |= set(json.load(open(p)))
+    first50 = list(ALL)[:50]
+    fresh = [n for n in first50 if n not in sampled]
+    assert len(fresh) >= 40, (
+        f"only {len(fresh)} of the first 50 registered queries are "
+        f"never-driver-sampled — rotation drifted; first50={first50}"
+    )
