@@ -610,6 +610,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint. Pigeonhole banding (4 x 12-bit chunks - any pair within
     distance 3 shares at least one intact chunk) proposes candidates;
     bit_count(xor) verifies. DuckDB spells xor as ``xor()``."""
+    # The signature aggregation (token explode + 48 conditional sums) is
+    # the expensive subtree; carry ``sig`` THROUGH the band explode so it
+    # appears exactly once in the plan — the earlier shape (band join on
+    # bare ids, then two re-joins against sigs to fetch sig_a/sig_b) made
+    # Catalyst recompute the aggregation three times, and forced the
+    # dedup `distinct` to run over unverified candidates. With sigs
+    # attached, Hamming verification runs BEFORE distinct, so the shuffle
+    # dedups only true near-pairs (hamming is pair-determined, so
+    # distinct over (doc_a, doc_b, hamming) equals distinct over pairs).
+    # Cost: +8 bytes per exploded band row — negligible against two
+    # aggregations and a wider distinct at any scale.
     sigs = simhash_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -625,29 +636,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_val")
+    ).select("doc_id", "sig", "band.band_id", "band.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

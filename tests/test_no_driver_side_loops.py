@@ -40,6 +40,11 @@ EXEMPT: set[tuple[str, str, str]] = {
     ("quty_server_spark/streaming/ops.py", "stream_watermark_late_drop", "first"),
     ("quty_server_spark/streaming/ops.py", "checkpoint_recovery_run", "first"),
     ("quty_server_spark/streaming/ops.py", "kafka_replay_run", "first"),
+    # BSP convergence check: a 1-row SUM(changed) aggregate per superstep
+    # whose action also materializes that superstep's lazy checkpoint —
+    # only the single count crosses to the driver (the standard
+    # driver-coordinated BSP idiom).
+    ("quty_server_spark/operators/dedup.py", "min_label_components", "first"),
 }
 
 
