@@ -57,6 +57,7 @@ DRIVER_PRIORITY = [
     "dedup_containment",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_keep_canonical",
     # similarity / embedding family
     "sim_cosine_topk",
     "sim_ann_lsh",

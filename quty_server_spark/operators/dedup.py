@@ -711,3 +711,73 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@registry.query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup decision: every document gets its near-dup
+    cluster id (connected components over the SimHash near-pair graph;
+    singletons are their own cluster) and a ``keep`` flag — true exactly
+    for the cluster's canonical doc (min doc_id). This is the full
+    keeper policy a 100 TB training-data pipeline materializes before
+    filtering: ``WHERE keep`` yields the deduplicated corpus, the
+    cluster_id column keeps the provenance auditable. Scale shape: the
+    expensive parts are the banded pair mining and the O(log diameter)
+    BSP loop (both documented above); the final step is one left
+    broadcast-join of the corpus against the label table (labels <=
+    near-dup docs << corpus)."""
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = min_label_components(spark, pairs)
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # labels are already materialized by the BSP loop, so the count is a
+    # cheap scan; same threshold rationale as BROADCAST_NODES_MAX.
+    small = lab.count() <= BROADCAST_NODES_MAX
+    out = d.join(F.broadcast(lab) if small else lab, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+        ).alias("keep"),
+    )
