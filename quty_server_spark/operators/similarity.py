@@ -303,7 +303,20 @@ def _ivf_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
     to its nearest centroid by cosine — argmax via a min_by aggregate
     over struct(-cos, cid), unique because cid tiebreaks. The partial
     aggregation collapses the corpus-x-centroids rows map-side, so only
-    one row per vector reaches the shuffle."""
+    one row per vector reaches the shuffle.
+
+    The result is materialized (lazy checkpoint): the assignment IS the
+    IVF index build, and every variant reads it at least twice (query
+    derivation + scoring join) — without materialization Catalyst
+    recomputes the corpus-x-centroids pass per consumer. At real scale
+    this is the posting-list write every IVF system performs once at
+    index time. (:func:`_ivf_cells_plan` is the unmaterialized plan —
+    tests pin its aggregate shape there, since the checkpoint node hides
+    the subtree from explain output.)"""
+    return _ivf_cells_plan(c, cent).localCheckpoint(eager=False)
+
+
+def _ivf_cells_plan(c: DataFrame, cent: DataFrame) -> DataFrame:
     return (
         c.join(broadcast(cent))
         .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))

@@ -401,7 +401,22 @@ def test_ivf_assignment_is_aggregate_not_window(spark):
     plan = plan_of(spark, "sim_ann_ivf")
     # \b keeps WindowGroupLimit (the rank-pushdown helper) out of the count.
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
-    assert "min_by" in plan
+    # The assignment subtree is materialized as the IVF index (lazy
+    # checkpoint), which hides it from the end-to-end explain — pin its
+    # aggregate shape on the unmaterialized plan instead.
+    from quty_server_spark.operators.similarity import (
+        _corpus,
+        _ivf_cells_plan,
+        _ivf_centroids,
+    )
+
+    c = _corpus(spark, SF_DIR)
+    df = _ivf_cells_plan(c, _ivf_centroids(c))
+    assign_plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "min_by" in assign_plan
+    assert not re.findall(r"\(\d+\) Window\b", assign_plan)
 
 
 def test_global_topk_is_take_ordered(spark):
