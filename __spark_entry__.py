@@ -43,6 +43,16 @@ DRIVER_PRIORITY = [
     "stream_kafka_replay",
     "stream_seq_counter_tws",
     "dedup_cluster",
+    # new this round (never existed before r05)
+    "doc_chunk_overlap",
+    "dedup_fuzzy_levenshtein",
+    "agg_heavy_hitters",
+    "events_concurrency_sweep",
+    "join_asof_tolerance",
+    "window_percent_rank_cume",
+    "agg_filtered_conditional",
+    "sink_zorder_clustered",
+    "stream_chained_windows",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

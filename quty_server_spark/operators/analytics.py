@@ -783,3 +783,96 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@registry.query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id)
+    SELECT event_type, user_id, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM per
+    WHERE n >= 3
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report: per channel (event_type), the members whose
+    traffic count crosses an integer threshold, with their exact
+    share-of-channel in ppm (integer arithmetic — no float rounding to
+    disagree across engines). The skew-diagnosis query a routing layer
+    runs before deciding to salt a hot channel (SURVEY §7 'hard' #2).
+
+    Scale: two-level aggregation — the corpus shuffles ONCE to
+    (event_type, user_id) grain with map-side combine; the share window
+    then runs over the already-aggregated (tiny) table, never the raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    return (
+        per.withColumn(
+            "share_ppm", F.expr("n * 1000000 div sum(n) over (partition by event_type)")
+        )
+        .filter(F.col("n") >= 3)
+        .select("event_type", "user_id", "n", "share_ppm")
+    )
+
+
+@registry.query(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS bts, 1 AS delta,
+               event_id
+        FROM events
+        UNION ALL
+        SELECT event_type, CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
+               -1 AS delta, event_id
+        FROM events),
+    swept AS (
+        SELECT event_type,
+               SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY bts, delta DESC, event_id, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM bounds)
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY event_type
+    """,
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via sweep-line: each event opens a 5-minute
+    interval; the peak number of simultaneously-open intervals per
+    channel is the max of a running +1/−1 sum over interval boundaries.
+    (The reference's analog: peak live subscriptions per channel under
+    heartbeat-window liveness, SURVEY §2.A #26.)
+
+    Scale: the naive formulation is an interval SELF-join (O(n²) pairs
+    on a hot channel); the sweep restates it as sort + running sum —
+    one shuffle on the channel key, linear in events. Boundary ties
+    process opens before closes (delta DESC) so touching intervals
+    count as overlapping, with event_id as the final unique tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(
+        "event_type", F.col("ts").alias("bts"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("bts"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bts"), F.col("delta").desc(), F.col("event_id"), F.col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = opens.unionByName(closes).select(
+        "event_type", F.sum("delta").over(w).alias("live")
+    )
+    return swept.groupBy("event_type").agg(
+        F.max("live").cast("bigint").alias("peak_concurrent")
+    )

@@ -800,3 +800,54 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
         ).alias("keep"),
     )
+
+
+@registry.query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               lang || '|' || string_split(text, ' ')[1]
+                    || '|' || CAST(n_chars // 64 AS VARCHAR) AS block_key,
+               substr(text, 1, 48) AS head
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 16
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup mining by edit distance, blocked: candidate pairs
+    come from an EQUALITY self-join on a blocking key (language, first
+    token, 64-char length bucket) and only those pairs pay the O(L²)
+    levenshtein verify on a 48-char head. The classic entity-resolution
+    shape: never all-pairs — at 100 TB the cost is the blocking
+    shuffle plus per-block pair expansion, bounded by block cardinality
+    (word-frequency-bounded here; a production run would add a
+    block-size cap exactly like dedup_ngram_jaccard's df cap).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            "lang",
+            F.split("text", " ").getItem(0),
+            (F.col("n_chars") / 64).cast("bigint").cast("string"),
+        ).alias("block_key"),
+        F.substring("text", 1, 48).alias("head"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= 16)

@@ -338,3 +338,53 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_permille",
         F.expr("n_docs * 1000 div sum(n_docs) over (partition by lang)"),
     )
+
+
+@registry.query(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s // 48 AS BIGINT) AS chunk_idx,
+               list_slice(t, s + 1, s + 64) AS chunk
+        FROM toks, UNNEST(generate_series(0, len(t) - 1, 48)) AS g(s))
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking: split each document into
+    64-token chunks with stride 48 (16-token overlap) — the standard
+    prep step for context-window-bounded training/RAG ingestion. Emits
+    a per-chunk md5 (not the text) so the result stays hash-comparable
+    and small.
+
+    Scale shape: pure narrow operations — split, sequence, explode,
+    slice — all JVM builtins inside one whole-stage-codegen scan; no
+    shuffle, no UDF. Output rows ≈ input tokens / stride, produced
+    streaming per input partition, so 100 TB chunks exactly like 100 MB.
+    Chunk boundaries are token-index-deterministic (layout-independent).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(48)
+    )
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 48).cast("bigint").alias("chunk_idx"),
+            F.slice("t", F.col("s") + 1, F.lit(64)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )

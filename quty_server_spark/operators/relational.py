@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from quty_server_spark.operators._helpers import davg, dsum, load_table, oavg, osum
+from quty_server_spark.operators._helpers import DEC, davg, dsum, load_table, oavg, osum
 from quty_server_spark.plans.registry import registry
 
 # ---------------------------------------------------------------------------
@@ -1370,4 +1370,137 @@ def agg_percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_exact",
         within("ap50", "p50_exact").alias("p50_within_2pct"),
         within("ap90", "p90_exact").alias("p90_within_2pct"),
+    )
+
+
+@registry.query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           epoch_us(MIN(p.ts)) AS next_purchase_us
+    FROM clicks c
+    LEFT JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.event_id, c.user_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance: for each click, the FIRST
+    purchase by the same user at-or-after the click but within 1 hour
+    (attribution-window semantics; the reference's at-most-once delivery
+    window is the same shape, SURVEY §2.A #25-26).
+
+    Scale shape: same shuffle-once device as ``join_asof`` — union both
+    sides, one window per user ordered by time looking FORWARD
+    (first purchase ts over currentRow..unboundedFollowing), then null
+    out matches beyond the tolerance. Never a per-row range probe; cost
+    is one sort within user partitions, identical at 100 TB. The oracle
+    states the semantics as a range join + MIN, which DuckDB can afford
+    at oracle scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+    )
+    # At equal ts the purchase must sort AFTER the click (>= semantics:
+    # a same-instant purchase is visible to the click's forward window).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "p_ts",
+        F.first(F.when(F.col("is_p") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return unioned.filter(F.col("is_p") == 0).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.unix_micros("p_ts") - F.unix_micros("ts") <= 3_600_000_000,
+            F.unix_micros("p_ts"),
+        ).alias("next_purchase_us"),
+    )
+
+
+@registry.query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           NTH_VALUE(c_name, 2) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window battery: percent_rank + cume_dist +
+    nth_value with an explicit whole-partition frame. Ordering carries a
+    unique tiebreaker (c_custkey) so rank-derived ratios are identical
+    across engines; the ratios themselves are int/int divisions (exact in
+    IEEE double), rounded only as belt-and-braces. One shuffle on the
+    partition key; partitions are per-nation (bounded)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("c_name", 2).over(wf).alias("second_poorest"),
+    )
+
+
+@registry.query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+           {osum('c_acctbal')} AS bal_all,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                FILTER (WHERE c_acctbal > 5000) AS DOUBLE) AS bal_rich,
+           CAST(MIN(c_custkey) FILTER (WHERE c_acctbal < 0) AS BIGINT)
+               AS first_debtor
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (conditional aggregation): several
+    differently-filtered measures in ONE pass over the table — the
+    idiomatic replacement for N self-joins or N scans. Spark expresses
+    the filter as `when(cond, x)` inside the aggregate; partial
+    aggregation still applies, so this stays a single map-side-combined
+    shuffle at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive"),
+        dsum("c_acctbal").alias("bal_all"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal")).cast(DEC))
+        .cast("double")
+        .alias("bal_rich"),
+        F.min(F.when(F.col("c_acctbal") < 0, F.col("c_custkey")))
+        .cast("bigint")
+        .alias("first_debtor"),
     )

@@ -529,3 +529,70 @@ def sink_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+def _z16_sql(a: str, b: str) -> str:
+    """DuckDB expression: interleave the low 8 bits of ``a`` (odd bit
+    positions) and ``b`` (even) into a 16-bit Z-value."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def _z16_col(a, b):
+    """Spark twin of :func:`_z16_sql` (bitwise builtins, codegen'd)."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+@registry.query(
+    "sink_zorder_clustered",
+    oracle=f"""
+    WITH z AS (
+        SELECT {_z16_sql('(l_partkey % 256)', '(l_suppkey % 256)')} AS zval,
+               l_extendedprice
+        FROM lineitem)
+    SELECT CAST(zval // 256 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           {osum('l_extendedprice')} AS bucket_revenue
+    FROM z GROUP BY z_bucket
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet sink: interleave the bits of two join
+    keys into a Z-value, range-repartition + sort on it, write, read
+    back. Multi-dimensional clustering means min/max footer stats are
+    narrow on BOTH keys in every file, so later scans filtering on
+    either key skip most files — the data-skipping layout (Delta
+    OPTIMIZE ZORDER's device) a 100 TB fact table wants when no single
+    partition column dominates. The query returns per-Z-bucket stats of
+    the read-back data, proving the sink round-trips; the clustering
+    (disjoint per-file zval ranges) is pinned in
+    tests/test_scale_plans.py."""
+    out = _workdir(sf_dir, "zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    zed = li.withColumn(
+        "zval", _z16_col(F.col("l_partkey") % 256, F.col("l_suppkey") % 256)
+    )
+    (
+        zed.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy((F.col("zval") / 256).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("bucket_revenue"),
+        )
+    )

@@ -1523,3 +1523,66 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(joined, "mem_ssfo", "append")
+
+
+@registry.query(
+    "stream_chained_windows",
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+    ten AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+               + INTERVAL (10 * (EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) // 10)) MINUTE
+                   AS w10_start,
+               event_type, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(38,6))) AS total_dec
+        FROM events GROUP BY 1, 2)
+    SELECT date_trunc('hour', w10_start) AS hour_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_subwindows,
+           CAST(SUM(total_dec) AS DOUBLE) AS total_value
+    FROM ten, horizon
+    WHERE date_trunc('hour', w10_start) + INTERVAL 1 HOUR <= max_ts
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained (multi-level) streaming aggregation: a 10-minute windowed
+    count/sum per channel feeds a second stateful aggregation that rolls
+    the CLOSED 10-minute windows up to hours — two stateful operators in
+    ONE unbounded plan via ``window_time`` (Spark 3.4+ multi-stateful
+    support), append mode. This is the streaming rollup cascade (minute →
+    hour → day) that keeps per-level state bounded by the watermark
+    instead of re-scanning raw events per grain.
+
+    Append-mode emission: with a 0-second watermark delay the final
+    watermark equals max(ts), so exactly the hour windows whose END is
+    <= max(ts) are emitted; the oracle states the same horizon filter.
+    """
+    s = events_stream(spark, sf_dir)
+    ten = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total_dec"),
+        )
+    )
+    hour = (
+        ten.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("w60"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count("*").alias("n_subwindows"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w60.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+            "total_value",
+        )
+    )
+    return run_to_memory(hour, "mem_chained_windows", "append")

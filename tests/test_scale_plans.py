@@ -476,3 +476,74 @@ def test_banded_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_chunking_is_narrow_no_shuffle(spark):
+    # doc_chunk_overlap must be a pure scan→generate→project pipeline:
+    # chunking 100 TB needs zero shuffles and zero Python workers.
+    plan = plan_of(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode of chunk starts
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_join_is_equi_blocked(spark):
+    # Candidate generation must be an equality join on the blocking key —
+    # never a cartesian/theta product over the corpus.
+    plan = plan_of(spark, "dedup_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_single_corpus_shuffle(spark):
+    # Raw events shuffle once to (event_type, user_id) grain with map-side
+    # combine; the share window runs over the aggregate only.
+    import re
+
+    plan = plan_of(spark, "agg_heavy_hitters")
+    # Exactly two Exchange nodes: the (event_type, user_id) aggregation
+    # shuffle and the event_type window repartition of the aggregate.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_concurrency_sweep_no_self_join(spark):
+    # The sweep-line restatement must contain NO join at all (the naive
+    # interval overlap is an O(n^2) self-join).
+    plan = plan_of(spark, "events_concurrency_sweep")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_single_user_sort(spark):
+    # Forward as-of with tolerance: one shuffle on user_id, one window
+    # pass — the shuffle-once union+window shape, not a range join.
+    plan = plan_of(spark, "join_asof_tolerance")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_sink_files_are_disjoint_in_zval(spark):
+    # The clustering claim itself: after range-repartition + sort on the
+    # Z-value, per-output-file [min(zval), max(zval)] ranges must not
+    # overlap — that disjointness is what makes footer-stats skipping
+    # effective on both interleaved keys.
+    import quty_server_spark.operators  # noqa: F401
+    se.queries()["sink_zorder_clustered"](spark, SF_DIR)  # writes the files
+    import glob
+    import os
+    import tempfile
+    base = os.path.join(
+        tempfile.gettempdir(), "quty_formats", os.path.basename(SF_DIR), "zorder"
+    )
+    files = sorted(glob.glob(os.path.join(base, "part-*.parquet")))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        df = spark.read.parquet(f)
+        row = df.selectExpr("min(zval) AS lo", "max(zval) AS hi").collect()[0]
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping zval ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
