@@ -53,6 +53,10 @@ DRIVER_PRIORITY = [
     "agg_filtered_conditional",
     "sink_zorder_clustered",
     "stream_chained_windows",
+    "window_gaps_islands",
+    "orders_market_basket",
+    "graph_pagerank_2iter",
+    "text_bigram_familiarity",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

@@ -13,6 +13,7 @@ from quty_server_spark.operators import (  # noqa: F401
     udfs,
     sampling,
     pipeline,
+    graph,
 )
 from quty_server_spark import streaming  # noqa: F401
 from quty_server_spark.sources import formats  # noqa: F401

@@ -876,3 +876,46 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("event_type").agg(
         F.max("live").cast("bigint").alias("peak_concurrent")
     )
+
+
+@registry.query(
+    "orders_market_basket",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (association mining support
+    count): expand each order's basket to its within-order pairs, count
+    pair occurrences across orders, keep support >= 2.
+
+    Scale: the pair expansion is an equality self-join on the ORDER key
+    — per-order cost is C(basket_size, 2), bounded by basket size, never
+    a corpus cross product; the pair count then aggregates with map-side
+    combine. This is how FP-growth-style candidate counting lowers to
+    SQL; a hot SKU appearing in many orders skews only the final count
+    aggregation, which partial aggregation absorbs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

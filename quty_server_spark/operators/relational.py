@@ -1504,3 +1504,45 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_debtor"),
     )
+
+
+@registry.query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS island
+        FROM days)
+    SELECT user_id, MIN(d) AS streak_start, COUNT(*) AS streak_days
+    FROM grp GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user, via the classic date-minus-row_number grouping key (consecutive
+    dates collapse to one island id). Reports streaks of >= 3 days.
+
+    Scale: one distinct to (user, day) grain — map-side combined — then
+    a window and an aggregation both partitioned by user_id; no joins,
+    no self-comparison of rows. The 100 TB shape is one shuffle of the
+    (user, day) table, which is already orders smaller than raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.count("*").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .select("user_id", "streak_start", "streak_days")
+    )

@@ -404,3 +404,52 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_score"),
         (0.4 * length_score + 0.3 * diversity + 0.3 * stop_ratio).alias("quality"),
     )
+
+
+@registry.query(
+    "text_bigram_familiarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bigrams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+    corpus AS (
+        SELECT bg, COUNT(*) AS cnt FROM bigrams GROUP BY bg)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c.cnt) AS BIGINT) AS freq_mass,
+           CAST(SUM(c.cnt) // COUNT(*) AS BIGINT) AS familiarity
+    FROM bigrams b JOIN corpus c ON b.bg = c.bg
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded fluency heuristic: score each document by the
+    average corpus frequency of its word bigrams (a log-free stand-in
+    for bigram-LM perplexity — documents made of common word
+    transitions score high, word-soup outliers score low). All-integer
+    output, so the score is bit-identical across engines.
+
+    Scale: bigram explode is narrow; the corpus count is one shuffle to
+    bigram grain (map-side combined — Zipf head bigrams pre-sum inside
+    each partition); the score join shuffles by bigram then re-aggregates
+    per doc. No UDF, no driver-side vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")
+        ).alias("bg"),
+    )
+    corpus = bigrams.groupBy("bg").agg(F.count("*").alias("cnt"))
+    return (
+        bigrams.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("freq_mass"),
+            F.expr("sum(cnt) div count(*)").cast("bigint").alias("familiarity"),
+        )
+    )

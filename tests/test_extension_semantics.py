@@ -116,3 +116,89 @@ def test_heavy_hitters_shares_are_consistent(spark):
     for r in rows:
         by_type[r.event_type] += r.share_ppm
     assert all(v <= 1_000_000 for v in by_type.values())
+
+
+def test_market_basket_matches_bruteforce(spark):
+    import itertools
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    counts = defaultdict(int)
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    expect = {p: n for p, n in counts.items() if n >= 2}
+    got = {(r.part_a, r.part_b): r.n_orders for r in _rows(spark, "orders_market_basket")}
+    assert got == expect
+
+
+def test_gaps_islands_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.ts.date())
+    expect = set()
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        start, streak = ds[0], 1
+        for prev, cur in zip(ds, ds[1:]):
+            if (cur - prev).days == 1:
+                streak += 1
+            else:
+                if streak >= 3:
+                    expect.add((uid, start, streak))
+                start, streak = cur, 1
+        if streak >= 3:
+            expect.add((uid, start, streak))
+    got = {(r.user_id, r.streak_start, r.streak_days) for r in _rows(spark, "window_gaps_islands")}
+    assert got == expect
+
+
+def test_pagerank_matches_integer_recurrence(spark):
+    # Re-run the exact integer recurrence in plain Python and require
+    # bit-identical ranks — proves the distributed join/agg lowering
+    # computes the stated fixpoint step, not an approximation of it.
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    cust = {r.o_orderkey: r.o_custkey for r in o}
+    edges = {(f"c:{cust[r.l_orderkey]}", f"s:{r.l_suppkey}") for r in li}
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ppb, tele = 1_000_000_000, 150_000_000
+    r = {v: ppb // n for v in nodes}
+    for _ in range(2):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {v: tele // n + 85 * contrib.get(v, 0) // 100 for v in nodes}
+    expect = {v: x for v, x in r.items() if x > ppb // 1000}
+    got = {row.node: row.rank_ppb for row in _rows(spark, "graph_pagerank_2iter")}
+    assert got == expect
+    # at fixture shape, exactly the supplier sinks accumulate rank
+    assert all(v.startswith("s:") for v in got)
+
+
+def test_bigram_familiarity_matches_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    grams = {}
+    corpus = defaultdict(int)
+    for r in docs:
+        t = r.text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(t, t[1:])]
+        grams[r.doc_id] = bgs
+        for bg in bgs:
+            corpus[bg] += 1
+    got = {r.doc_id: (r.n_bigrams, r.freq_mass, r.familiarity)
+           for r in _rows(spark, "text_bigram_familiarity")}
+    expect = {}
+    for doc_id, bgs in grams.items():
+        if not bgs:
+            continue
+        mass = sum(corpus[bg] for bg in bgs)
+        expect[doc_id] = (len(bgs), mass, mass // len(bgs))
+    assert got == expect

@@ -547,3 +547,27 @@ def test_zorder_sink_files_are_disjoint_in_zval(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping zval ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_pagerank_iterations_broadcast_ranks(spark):
+    # Each PageRank superstep joins edges to ranks/outdeg via broadcast —
+    # the edge table (the 100 TB side) must never sort-merge.
+    plan = plan_of(spark, "graph_pagerank_2iter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_pair_expansion_is_equi_join(spark):
+    plan = plan_of(spark, "orders_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_islands_no_join_single_user_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "window_gaps_islands")
+    assert "Join" not in plan
+    # (user, day) distinct + user window + island agg reuse one
+    # user-keyed partitioning lineage: at most 2 exchanges.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
