@@ -57,6 +57,9 @@ DRIVER_PRIORITY = [
     "orders_market_basket",
     "graph_pagerank_2iter",
     "text_bigram_familiarity",
+    "scalar_bitwise",
+    "agg_corr_regression",
+    "window_running_distinct",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

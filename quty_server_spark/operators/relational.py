@@ -1546,3 +1546,169 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 3)
         .select("user_id", "streak_start", "streak_days")
     )
+
+
+@registry.query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & 255 AS low_byte,
+           l_partkey | 4096 AS with_flag,
+           xor(l_partkey, l_suppkey) AS key_xor,
+           l_suppkey << 4 AS shifted_up,
+           l_partkey >> 2 AS shifted_down,
+           bit_count(l_partkey) AS pop_count
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery: AND/OR/XOR/shifts/popcount — the
+    primitives behind bitmap indexes, bloom filters, and the Z-order
+    sink's bit interleaving. All JVM codegen'd builtins; output is
+    integer-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_partkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("l_partkey").bitwiseXOR(F.col("l_suppkey")).alias("key_xor"),
+        F.shiftleft(F.col("l_suppkey"), 4).alias("shifted_up"),
+        F.shiftright(F.col("l_partkey"), 2).alias("shifted_down"),
+        F.bit_count(F.col("l_partkey")).alias("pop_count"),
+    )
+
+
+@registry.query(
+    "agg_corr_regression",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(18,6))) AS sxy,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(18,6))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 9) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE),
+                 9) AS intercept
+    FROM m
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept per group — NOT via the
+    builtin corr/regr_* (whose double partial states are
+    summation-order-sensitive and so can differ between engines and
+    between partitionings). Instead the five moments (Σx, Σy, Σxx, Σxy,
+    Σyy) accumulate as exact DECIMAL(38,6) products — associative, so
+    partial aggregation still applies — and the closed forms are
+    evaluated in double once per GROUP. Bit-stable at any partition
+    count; same single-shuffle cost as a plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Product operands are DECIMAL(19,6) x DECIMAL(18,6): the 19-digit
+    # side forces DuckDB onto int128 internals (a DECIMAL(18) square
+    # overflows its int64 path) and the product precision 19+18+1 = 38
+    # stays exact in Spark — scale 12, no precision-loss rounding, in
+    # BOTH engines.
+    x, x19 = (F.col("l_quantity").cast(t) for t in ("decimal(18,6)", "decimal(19,6)"))
+    y, y19 = (
+        F.col("l_extendedprice").cast(t) for t in ("decimal(18,6)", "decimal(19,6)")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x19 * x).alias("sxx"),
+        F.sum(x19 * y).alias("sxy"),
+        F.sum(y19 * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / nd, 9).alias("intercept"),
+    )
+
+
+@registry.query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which Spark's window
+    functions refuse directly — restated exactly: flag the first
+    occurrence of each (user, event_type) with row_number()=1, then a
+    running sum of the flag gives the number of distinct event types
+    the user has touched up to each event. Two window passes over the
+    SAME user_id partitioning (one sort each), no join, no distinct
+    state — the restatement that scales where a per-row distinct scan
+    cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )

@@ -202,3 +202,43 @@ def test_bigram_familiarity_matches_bruteforce(spark):
         mass = sum(corpus[bg] for bg in bgs)
         expect[doc_id] = (len(bgs), mass, mass // len(bgs))
     assert got == expect
+
+
+def test_running_distinct_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expect = {}
+    for uid, rows in by_user.items():
+        seen = set()
+        for ts, eid, et in sorted(rows):
+            seen.add(et)
+            expect[eid] = len(seen)
+    got = {r.event_id: r.distinct_types_so_far for r in _rows(spark, "window_running_distinct")}
+    assert got == expect
+
+
+def test_corr_regression_matches_closed_form(spark):
+    from decimal import Decimal
+    from math import sqrt
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append((r.l_quantity, r.l_extendedprice))
+    q = lambda v: Decimal(str(round(v, 6)))  # noqa: E731
+    for row in _rows(spark, "agg_corr_regression"):
+        pts = groups[row.l_returnflag]
+        n = len(pts)
+        sx = sum(q(x) for x, _ in pts)
+        sy = sum(q(y) for _, y in pts)
+        sxx = sum(q(x) * q(x) for x, _ in pts)
+        sxy = sum(q(x) * q(y) for x, y in pts)
+        syy = sum(q(y) * q(y) for _, y in pts)
+        cov_n = n * float(sxy) - float(sx) * float(sy)
+        var_x = n * float(sxx) - float(sx) ** 2
+        var_y = n * float(syy) - float(sy) ** 2
+        assert row.n == n
+        assert abs(row.corr_qty_price - cov_n / sqrt(var_x * var_y)) < 1e-8
+        assert abs(row.slope - cov_n / var_x) < 1e-8

@@ -571,3 +571,23 @@ def test_gaps_islands_no_join_single_user_shuffle(spark):
     # (user, day) distinct + user window + island agg reuse one
     # user-keyed partitioning lineage: at most 2 exchanges.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_running_distinct_two_windows_no_join(spark):
+    import re
+
+    plan = plan_of(spark, "window_running_distinct")
+    assert "Join" not in plan
+    # first-occurrence flag window + running-sum window: at most two
+    # exchanges ((user, type) then user), never a distinct-state scan.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_corr_moments_partially_aggregate(spark):
+    # The five decimal moments must flow through partial (map-side)
+    # aggregation — a single-pass groupBy, no second scan per moment.
+    import re
+
+    plan = plan_of(spark, "agg_corr_regression")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan
