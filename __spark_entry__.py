@@ -60,6 +60,8 @@ DRIVER_PRIORITY = [
     "scalar_bitwise",
     "agg_corr_regression",
     "window_running_distinct",
+    "events_transition_matrix",
+    "subquery_lateral_topk",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

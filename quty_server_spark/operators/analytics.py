@@ -919,3 +919,49 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@registry.query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                AS BIGINT) AS prob_ppm
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with the user's next one, pairs
+    aggregate to a 5×5 matrix with exact integer-ppm transition
+    probabilities. The behavioral-model / next-event-prediction feature
+    table.
+
+    Scale: one shuffle by user for the lead() sort; the pair aggregation
+    map-side combines down to |types|² rows, and the probability window
+    runs over that tiny matrix — never over events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").alias("n_transitions"))
+        .withColumn(
+            "prob_ppm",
+            F.expr(
+                "n_transitions * 1000000 div sum(n_transitions) "
+                "over (partition by from_type)"
+            ),
+        )
+    )

@@ -1712,3 +1712,40 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
     )
+
+
+@registry.query(
+    "subquery_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) AS t
+    """,
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, its two richest
+    customers — expressed as actual SQL LATERAL on both engines.
+    Catalyst decorrelates the per-row LIMIT subquery into a partitioned
+    rank (DecorrelateInnerQuery), so the executed plan is the same
+    window-top-k shape as `window_row_number_topk`, NOT a per-nation
+    re-scan of customer — which is why the construct survives 100 TB:
+    correlation never executes as iteration."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("v_nation")
+    c.createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM v_nation n,
+             LATERAL (SELECT c_name, c_acctbal
+                      FROM v_customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) AS t
+        """
+    )

@@ -242,3 +242,21 @@ def test_corr_regression_matches_closed_form(spark):
         assert row.n == n
         assert abs(row.corr_qty_price - cov_n / sqrt(var_x * var_y)) < 1e-8
         assert abs(row.slope - cov_n / var_x) < 1e-8
+
+
+def test_transition_matrix_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = defaultdict(int)
+    outflow = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            pairs[(a, b)] += 1
+            outflow[a] += 1
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.prob_ppm)
+           for r in _rows(spark, "events_transition_matrix")}
+    expect = {p: (n, n * 1_000_000 // outflow[p[0]]) for p, n in pairs.items()}
+    assert got == expect

@@ -591,3 +591,24 @@ def test_corr_moments_partially_aggregate(spark):
     plan = plan_of(spark, "agg_corr_regression")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_sum" in plan
+
+
+def test_lateral_subquery_decorrelates_to_window(spark):
+    # The LATERAL per-nation LIMIT must lower to a partitioned
+    # row_number + broadcast join — correlation-as-iteration (a
+    # nested-loop re-scan of customer per nation row) must not appear.
+    plan = plan_of(spark, "subquery_lateral_topk")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_window_over_aggregate_only(spark):
+    import re
+
+    plan = plan_of(spark, "events_transition_matrix")
+    # one user-sort shuffle + one pair-agg shuffle + one window exchange
+    # over the |types|^2 matrix at most — never a corpus-sized window.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "Join" not in plan
