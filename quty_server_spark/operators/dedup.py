@@ -451,26 +451,53 @@ simhash AS (
 )"""
 
 
+_SIM_LANES = 3  # bit-counters per packed 64-bit accumulator
+_SIM_LANE_BITS = 20  # counter width: supports up to 2^(63-40) ≈ 8M tokens/doc
+
+
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash over distinct tokens: majority vote per bit of the
-    60-bit md5 token hash. One aggregation — no UDF, no cross join."""
+    60-bit md5 token hash. One aggregation — no UDF, no cross join.
+
+    The votes are SIMD-packed: instead of 48 separate ±1-sum aggregation
+    buffers, each packed sum carries three 20-bit lane counters (lane j
+    accumulates bit j's popcount; the ±1 vote "sum > 0" is equivalent to
+    "2*count > n"), so the aggregate needs 16 buffers + a row count.
+    Same signatures bit-for-bit — the DuckDB oracle keeps the direct
+    per-bit formulation — at a third of the aggregation state. Lanes
+    cannot carry into each other below 2^20 tokens/doc per lane step and
+    the top lane stays under 2^63 for any doc below ~8M distinct tokens.
+    Wall-clock at sf0.1 is unchanged (the fixture's 31-word vocabulary
+    makes every document near-identical, so the banded candidate join —
+    not this aggregation — dominates); the win is 48 -> 17 aggregation
+    buffers per group, which is what matters when the grouping state
+    must fit memory across billions of docs."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).withColumn("h", hash60(F.col("token")))
-    bit_sum = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sum)
+    n_groups = SIMHASH_BITS // _SIM_LANES
+    packed = []
+    for g in range(n_groups):
+        expr = None
+        for lane in range(_SIM_LANES):
+            j = _SIM_LANES * g + lane
+            t = F.shiftleft(
+                F.shiftright(F.col("h"), j).bitwiseAND(1), _SIM_LANE_BITS * lane
+            )
+            expr = t if expr is None else expr + t
+        packed.append(F.sum(expr).alias(f"p{g}"))
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *packed)
+    mask = (1 << _SIM_LANE_BITS) - 1
     sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
+    for g in range(n_groups):
+        for lane in range(_SIM_LANES):
+            j = _SIM_LANES * g + lane
+            s_j = F.shiftright(F.col(f"p{g}"), _SIM_LANE_BITS * lane).bitwiseAND(mask)
+            term = F.when(
+                s_j * 2 > F.col("n_tok"), F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.alias("sig"))
 
 
