@@ -1,0 +1,105 @@
+"""Whole-surface physical-plan audit.
+
+test_scale_plans.py pins specific plans query-by-query; this sweep
+instead asserts three anti-patterns are absent from EVERY registered
+batch query, so a future operator cannot ship with a scale-killing plan
+unnoticed:
+
+- ``CartesianProduct`` — an unconditional cross product of two
+  distributed sides;
+- ``BatchEvalPython`` — a row-at-a-time Python UDF on the plan (only
+  Arrow-vectorized Python is acceptable, and only where declared);
+- ``BroadcastNestedLoopJoin`` anywhere OUTSIDE the justified allowlist
+  below (BNLJ with a broadcast one-row/tiny build side is the optimal
+  plan for scalar-subquery joins and bounded theta joins — the audit
+  exists to catch NEW, unjustified ones).
+
+Streaming queries are excluded: building them executes the stream to a
+memory sink, and the returned table's plan is a bare memory scan —
+their plan properties are pinned in their own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as se
+from tests.conftest import SF_DIR
+
+# name -> why a BroadcastNestedLoopJoin is the right plan there.
+BNLJ_JUSTIFIED = {
+    "join_cross": "the query IS a cross join (explicit Cartesian semantics)",
+    "route_broadcast_fallback": "reference semantics: flood to ALL nodes; "
+    "nodes side is the tiny broadcast flood list",
+    "join_range_nonequi": "pure theta join; the banded equi restatement "
+    "(join_range_banded) is the both-sides-large scale path",
+    "agg_histogram_mode": "1-row global-stats build side joined back",
+    "agg_skew_profile": "1-row global moments build side joined back",
+    "events_densified_hourly": "1-row [min,max] time-bounds build side",
+    "events_user_funnel": "1-row stage-threshold build side",
+    "pending_event_buffer": "1-row readiness-watermark clamp build side",
+    "q22_sales_opportunity": "1-row AVG(acctbal) scalar subquery",
+    "subquery_scalar_in": "1-row scalar subquery build side",
+    "text_pmi_collocations": "1-row corpus-total build side",
+    "text_tfidf_keywords": "1-row corpus-doc-count build side",
+    "sim_cosine_topk": "documented brute-force baseline over a bounded "
+    "query set (ANN variants are the scale path)",
+    "sim_ann_ivf_nprobe2": "probe set x 256-centroid broadcast table "
+    "(bounded tiny side by construction)",
+}
+
+
+@pytest.fixture(scope="module")
+def audit(spark):
+    flags: dict[str, list[str]] = {}
+    for name, fn in se.queries().items():
+        if name.startswith("stream_"):
+            continue
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("cartesian")
+        if "BatchEvalPython" in plan:
+            hits.append("row_python_udf")
+        if "BroadcastNestedLoopJoin" in plan:
+            hits.append("bnlj")
+        if hits:
+            flags[name] = hits
+    return flags
+
+
+def test_no_cartesian_products_anywhere(audit):
+    bad = [n for n, h in audit.items() if "cartesian" in h]
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_no_row_at_a_time_python_udfs(audit):
+    bad = [n for n, h in audit.items() if "row_python_udf" in h]
+    assert not bad, f"row-wise BatchEvalPython in: {bad}"
+
+
+def test_bnlj_only_where_justified(audit):
+    bad = [
+        n for n, h in audit.items() if "bnlj" in h and n not in BNLJ_JUSTIFIED
+    ]
+    assert not bad, (
+        f"unjustified BroadcastNestedLoopJoin in: {bad} — either fix the "
+        f"plan (broadcast-equi / banded restatement) or add an explicit "
+        f"justification to BNLJ_JUSTIFIED"
+    )
+
+
+def test_allowlist_carries_no_dead_entries(audit):
+    # An allowlist entry whose query no longer BNLJs is stale — prune it
+    # so the list stays an honest inventory of cross-shaped plans.
+    stale = [
+        n
+        for n in BNLJ_JUSTIFIED
+        if n not in audit or "bnlj" not in audit.get(n, [])
+    ]
+    assert not stale, f"stale BNLJ_JUSTIFIED entries: {stale}"
