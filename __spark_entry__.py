@@ -62,6 +62,8 @@ DRIVER_PRIORITY = [
     "window_running_distinct",
     "events_transition_matrix",
     "subquery_lateral_topk",
+    "events_cumulative_uniques",
+    "orders_rfm_segmentation",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

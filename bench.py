@@ -49,6 +49,10 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "mm_decode_features",
+    # round-5 additions (new families — no prior-round comparable)
+    "doc_chunk_overlap",
+    "orders_market_basket",
+    "graph_pagerank_2iter",
 ]
 
 

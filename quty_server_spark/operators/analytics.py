@@ -965,3 +965,105 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@registry.query(
+    "events_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+        FROM events GROUP BY user_id),
+    daily AS (
+        SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY d0)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, the count of first-ever-seen users and
+    the running total of distinct users to date. The standard DAU/user
+    growth curve — computed WITHOUT a cumulative distinct (which would
+    need per-day distinct state over the whole history): min(first day)
+    per user, then a per-day count, then a running sum over the tiny
+    daily table.
+
+    Scale: one shuffle to user grain (map-side combined min), one to day
+    grain; the unpartitioned running window is over |days| rows only —
+    the corpus never flows through an ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@registry.query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey, frequency, monetary,
+               NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM rfm)
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           COUNT(*) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+    FROM scored GROUP BY segment
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency (last
+    order), frequency (order count) and monetary (decimal-exact spend),
+    combined into a 3-digit segment code, with segment sizes. Every
+    NTILE ordering carries o_custkey as the unique tiebreaker so
+    quartile boundaries are engine-independent.
+
+    Scale: the corpus aggregates once to customer grain; the three
+    unpartitioned NTILEs run over the customer AGGREGATE (orders of
+    magnitude smaller than orders). For billions of customers the ntile
+    would become percentile buckets over a sampled CDF (percent_rank is
+    the same single-sort shape); at fixture scale the exact sort is the
+    honest plan."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.select(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("segment"),
+            "o_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("o_custkey").cast("bigint").alias("sample_custkey"),
+        )
+    )

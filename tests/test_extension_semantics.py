@@ -260,3 +260,33 @@ def test_transition_matrix_matches_bruteforce(spark):
            for r in _rows(spark, "events_transition_matrix")}
     expect = {p: (n, n * 1_000_000 // outflow[p[0]]) for p, n in pairs.items()}
     assert got == expect
+
+
+def test_cumulative_uniques_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    first = {}
+    for r in ev:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    daily = defaultdict(int)
+    for d in first.values():
+        daily[d] += 1
+    cum, expect = 0, {}
+    for d in sorted(daily):
+        cum += daily[d]
+        expect[d] = (daily[d], cum)
+    got = {r.day: (r.new_users, r.cumulative_users)
+           for r in _rows(spark, "events_cumulative_uniques")}
+    assert got == expect
+    assert max(v[1] for v in got.values()) == len(first)
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = _rows(spark, "orders_rfm_segmentation")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    n_cust = len({r.o_custkey for r in o})
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        rs, fs, ms = r.segment // 100, r.segment // 10 % 10, r.segment % 10
+        assert 1 <= rs <= 4 and 1 <= fs <= 4 and 1 <= ms <= 4
