@@ -847,6 +847,28 @@ def envelope_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames(spark, sf_dir)
 
 
+def parse_frame_cols(fr: DataFrame, frame: str = "frame") -> DataFrame:
+    """The reference's parse contract (util.parseSocketEvent,
+    lib/util.js:208-246) as reusable column logic: split at the FIRST
+    '|' (payloads may contain pipes), JSON-parse the remainder, and
+    silently drop frames with no pipe or a non-JSON payload. Adds
+    ``event_code``, ``payload`` (raw JSON) and ``c`` (channel) columns;
+    rows surviving the filter are well-formed frames. Property-tested
+    against arbitrary payloads in tests/test_envelope_properties.py."""
+    pipe_pos = F.instr(frame, "|")
+    parsed = (
+        fr.filter(pipe_pos > 0)
+        .withColumn(
+            "event_code", F.expr(f"substring({frame}, 1, instr({frame}, '|') - 1)")
+        )
+        .withColumn("payload", F.expr(f"substring({frame}, instr({frame}, '|') + 1)"))
+    )
+    # JSON-parse failure -> $.c extraction yields null -> drop.
+    return parsed.withColumn("c", F.get_json_object("payload", "$.c")).filter(
+        F.col("c").isNotNull()
+    )
+
+
 @registry.query(
     "envelope_parse",
     oracle=f"""
@@ -869,16 +891,8 @@ def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.A #1: source-side parse — split at the FIRST '|', JSON-parse the
     payload, lift out the seq; malformed frames are silently dropped
     (lib/util.js:208-246). Round-trips the serializer's own output."""
-    fr = frames(spark, sf_dir)
-    pipe_pos = F.instr("frame", "|")
-    parsed = (
-        fr.filter(pipe_pos > 0)
-        .withColumn("event_code", F.expr("substring(frame, 1, instr(frame, '|') - 1)"))
-        .withColumn("payload", F.expr("substring(frame, instr(frame, '|') + 1)"))
-    )
     return (
-        parsed.withColumn("c", F.get_json_object("payload", "$.c"))
-        .filter(F.col("c").isNotNull())  # JSON-parse failure → drop
+        parse_frame_cols(frames(spark, sf_dir))
         .select(
             "event_id",
             "event_code",
