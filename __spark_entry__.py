@@ -64,6 +64,7 @@ DRIVER_PRIORITY = [
     "subquery_lateral_topk",
     "events_cumulative_uniques",
     "orders_rfm_segmentation",
+    "udf_map_in_arrow",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

@@ -224,3 +224,58 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, purchase_id long, click_id long, gap_s long",
         )
     )
+
+
+def _arrow_vec_stats(batches):
+    """mapInArrow worker: per-vector integer stats straight off the Arrow
+    buffers — quantize each component to int milli-units (floor(x*1000),
+    matching embed_quantize_int8's device) and emit the sum of squares
+    plus the argmax dimension. Integer math end-to-end, so no float
+    reduction-order slack against the SQL oracle."""
+    import pyarrow as pa
+
+    for batch in batches:
+        tbl = pa.table(batch)
+        vec_ids = tbl.column("vec_id").to_pylist()
+        out_ids, out_sq, out_dim = [], [], []
+        for vid, vec in zip(vec_ids, tbl.column("embedding").to_pylist()):
+            q = [int(np.floor(x * 1000)) for x in vec]
+            out_ids.append(vid)
+            out_sq.append(sum(v * v for v in q))
+            out_dim.append(max(range(len(q)), key=lambda i: (q[i], -i)) + 1)
+        yield pa.record_batch(
+            [
+                pa.array(out_ids, pa.int64()),
+                pa.array(out_sq, pa.int64()),
+                pa.array(out_dim, pa.int32()),
+            ],
+            names=["vec_id", "sq_norm_milli", "argmax_dim"],
+        )
+
+
+@registry.query(
+    "udf_map_in_arrow",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(list_sum([v * v FOR v IN qv]) AS BIGINT) AS sq_norm_milli,
+           CAST(list_position(qv, list_max(qv)) AS INT) AS argmax_dim
+    FROM q
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the rawest Python extension point — the worker
+    receives Arrow RecordBatches directly (no pandas conversion layer),
+    the shape for zero-copy handoff to native kernels (tokenizers,
+    image codecs, vector engines). Computes per-embedding integer
+    milli-quantized squared norms and the argmax dimension (first-wins
+    on ties, matching list_position's first-match). Arrow batches
+    stream per partition — no shuffle, no collect; the batch iterator
+    keeps memory at batch granularity at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        _arrow_vec_stats, "vec_id long, sq_norm_milli long, argmax_dim int"
+    )
