@@ -790,11 +790,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
         SELECT event_type, user_id, COUNT(*) AS n
-        FROM events GROUP BY event_type, user_id)
-    SELECT event_type, user_id, n,
-           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
-                AS BIGINT) AS share_ppm
-    FROM per
+        FROM events GROUP BY event_type, user_id),
+    shared AS (
+        SELECT event_type, user_id, n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS share_ppm
+        FROM per)
+    SELECT event_type, user_id, n, share_ppm
+    FROM shared
     WHERE n >= 3
     """,
 )

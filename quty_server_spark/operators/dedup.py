@@ -451,8 +451,14 @@ simhash AS (
 )"""
 
 
-_SIM_LANES = 3  # bit-counters per packed 64-bit accumulator
-_SIM_LANE_BITS = 20  # counter width: supports up to 2^(63-40) ≈ 8M tokens/doc
+# Two 31-bit lane counters per packed 64-bit sum. Lane carry needs a
+# per-bit popcount of 2^31 (2.1B distinct tokens in ONE doc) and the top
+# lane's accumulator stays under 2^63 for any doc below 2^31 tokens —
+# i.e. unreachable for real documents, with no silent-corruption cliff.
+# (A 20-bit/3-lane packing was briefly used but capped at 2^20
+# tokens/doc, a bound large corpora can actually hit.)
+_SIM_LANES = 2
+_SIM_LANE_BITS = 31
 
 
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,18 +466,17 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit md5 token hash. One aggregation — no UDF, no cross join.
 
     The votes are SIMD-packed: instead of 48 separate ±1-sum aggregation
-    buffers, each packed sum carries three 20-bit lane counters (lane j
+    buffers, each packed sum carries two 31-bit lane counters (lane j
     accumulates bit j's popcount; the ±1 vote "sum > 0" is equivalent to
-    "2*count > n"), so the aggregate needs 16 buffers + a row count.
+    "2*count > n"), so the aggregate needs 24 buffers + a row count.
     Same signatures bit-for-bit — the DuckDB oracle keeps the direct
-    per-bit formulation — at a third of the aggregation state. Lanes
-    cannot carry into each other below 2^20 tokens/doc per lane step and
-    the top lane stays under 2^63 for any doc below ~8M distinct tokens.
-    Wall-clock at sf0.1 is unchanged (the fixture's 31-word vocabulary
-    makes every document near-identical, so the banded candidate join —
-    not this aggregation — dominates); the win is 48 -> 17 aggregation
-    buffers per group, which is what matters when the grouping state
-    must fit memory across billions of docs."""
+    per-bit formulation — at half the aggregation state, and the packing
+    has no reachable overflow (see _SIM_LANES note: carry would need a
+    2^31-token document). Wall-clock at sf0.1 is unchanged (the
+    fixture's 31-word vocabulary makes every document near-identical, so
+    the banded candidate join — not this aggregation — dominates); the
+    win is halved per-group state, which is what matters when signature
+    aggregation spans billions of docs."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
@@ -631,16 +636,21 @@ def min_label_components(
                 F.col("lbl1"), F.coalesce(F.col("ll_lbl"), F.col("lbl1"))
             ).alias("lbl"),
         )
-        if (step + 1) % CLUSTER_CKPT_EVERY == 0:
-            new_labels = new_labels.checkpoint(eager=False)
-        else:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        # Single action: materializes the (lazy) checkpoint AND reduces
-        # the changed-count — the convergence check costs no extra job.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # Single action: materializes the (lazy) local checkpoint AND
+        # reduces the changed-count — the convergence check costs no
+        # extra job.
         changed = new_labels.agg(
             F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("c")
         ).first()[0]
         labels = new_labels.select("node", "lbl")
+        if (step + 1) % CLUSTER_CKPT_EVERY == 0:
+            # Reliable checkpoint AFTER the local materialization: the
+            # write job re-reads the executor-cached blocks instead of
+            # recomputing the superstep's joins (a lazy reliable
+            # checkpoint + action runs the whole lineage twice — measured
+            # 2x partition computations on this Spark build).
+            labels = labels.checkpoint(eager=True)
         rounds = step + 1
         if not changed:
             break

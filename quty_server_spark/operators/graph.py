@@ -94,12 +94,17 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), matching the Pregel lowering; skewed in-degree hubs cost
     only their own aggregation partition because contributions pre-sum
     map-side."""
-    edges = _edges(spark, sf_dir).cache()
+    # localCheckpoint, not cache(): both frames feed every superstep, but
+    # CacheManager entries outlive the query and pin executor memory for
+    # the whole session — localCheckpointed blocks are GC-cleanable once
+    # the returned DataFrame is dropped (the repo-wide pattern for
+    # multi-consumer intermediates).
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))

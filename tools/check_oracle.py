@@ -57,8 +57,13 @@ NON_SPARK_TYPES = (
 # ArrowInvalid in the comparator even though both engines agree on the
 # value (round-4 failure: SCD2's 9999-12-31 open-row sentinel). Same
 # representation-sensitivity class as HUGEINT, in the value domain.
+# Date-granular bounds, shrunk one day on the hot end: pandas' true max
+# is 2262-04-11 23:47:16.854775807, so a date-level check admitting
+# 04-11 would pass TIMESTAMP '2262-04-11 23:59:59' and still blow up the
+# comparator — exactly the failure class this lint exists to kill. Every
+# time-of-day on 04-10 (and on 1677-09-22) is safely inside the range.
 PANDAS_NS_MIN = datetime(1677, 9, 22)
-PANDAS_NS_MAX = datetime(2262, 4, 11)
+PANDAS_NS_MAX = datetime(2262, 4, 10)
 
 
 def lint_ns_range(cols, rows) -> list[str]:
