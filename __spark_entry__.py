@@ -65,6 +65,10 @@ DRIVER_PRIORITY = [
     "events_cumulative_uniques",
     "orders_rfm_segmentation",
     "udf_map_in_arrow",
+    "join_dpp_partition_pruned",
+    "agg_grouping_id",
+    "scalar_try_arithmetic",
+    "window_ignore_nulls",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

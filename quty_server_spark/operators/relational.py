@@ -1749,3 +1749,129 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) AS t
         """
     )
+
+
+@registry.query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING()/grouping_id: the bitmask that tells a
+    subtotal row apart from a row whose key is genuinely NULL — without
+    it, rollup output is ambiguous on nullable keys. The coalesced
+    labels + gid together are the standard report shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            F.col("gid").cast("int").alias("gid"),
+            "n",
+        )
+    )
+
+
+@registry.query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice / NULLIF(l_discount, 0.0) AS DOUBLE)
+               AS price_per_disc,
+           TRY_CAST(l_returnflag AS INTEGER) AS rf_as_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INTEGER)
+               AS qty_int,
+           CAST(NULL AS BIGINT) AS overflow_guard
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar battery under ANSI semantics: try_divide turns
+    /0 into NULL instead of an error, try_cast turns unparseable input
+    into NULL, try_add NULLs on int64 overflow — the contract batch
+    pipelines want ('quarantine the bad cell, keep the scan alive'),
+    complementing source_json_corrupt_records' row-level quarantine.
+    DuckDB twins: NULLIF guard and TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 200 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.nullif(F.col("l_discount"), F.lit(0.0)),
+        ).alias("price_per_disc"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias(
+            "rf_as_int"
+        ),
+        F.expr("try_cast(cast(cast(l_quantity AS bigint) AS string) AS int)").alias(
+            "qty_int"
+        ),
+        F.try_add(F.lit(9223372036854775807).cast("bigint"), F.lit(1).cast("bigint"))
+        .alias("overflow_guard"),
+    )
+
+
+@registry.query(
+    "window_ignore_nulls",
+    oracle="""
+    WITH gappy AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS pval
+        FROM events)
+    SELECT event_id, user_id,
+           LAST_VALUE(pval IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value,
+           FIRST_VALUE(pval IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_purchase_value,
+           LEAD(pval, 1 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_purchase_value
+    FROM gappy
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window battery: carry the last known purchase value
+    forward across non-purchase events (the gap-fill / last-observation-
+    carried-forward idiom), plus first-ever and next purchase values.
+    One shuffle by user; the NULL-skipping runs inside the window
+    operator, never as a self-join against the purchase subset."""
+    ev = load_table(spark, sf_dir, "events")
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.last("pval", ignorenulls=True)
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("last_purchase_value"),
+        F.first("pval", ignorenulls=True)
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("first_purchase_value"),
+        F.expr(
+            "lead(pval, 1) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("next_purchase_value"),
+    )

@@ -596,3 +596,47 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("bucket_revenue"),
         )
     )
+
+
+@registry.query(
+    "join_dpp_partition_pruned",
+    oracle=f"""
+    WITH dims AS (
+        SELECT DISTINCT event_type, 1 AS dim_flag
+        FROM events WHERE event_type IN ('purchase', 'signup'))
+    SELECT e.event_type, COUNT(*) AS n_events,
+           {osum('e.value')} AS total_value
+    FROM events e JOIN dims d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by event_type; the join's dim side carries a selective filter the
+    planner cannot see statically (the dim rows exist only at runtime),
+    so Spark injects a dynamicpruning subquery into the fact scan — at
+    execution only the partition directories matching the dim's keys are
+    read. THE mechanism that lets a 100 TB star join touch 2 of 1000
+    date/tenant partitions. Plan pinned in tests/test_scale_plans.py
+    (dynamicpruningexpression on the scan)."""
+    out = _workdir(sf_dir, "dpp_parquet")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dims = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_type")
+        .distinct()
+        .withColumn("dim_flag", F.lit(1))
+    )
+    return (
+        fact.join(dims, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

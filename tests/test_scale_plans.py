@@ -612,3 +612,18 @@ def test_transition_matrix_window_over_aggregate_only(spark):
     # over the |types|^2 matrix at most — never a corpus-sized window.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
     assert "Join" not in plan
+
+
+def test_dpp_injects_dynamic_pruning_subquery(spark):
+    # The partitioned fact scan must carry a dynamicpruningexpression
+    # fed by the dim side — the runtime partition-skipping mechanism —
+    # alongside whatever static pruning constraint propagation infers.
+    plan = plan_of(spark, "join_dpp_partition_pruned")
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_ignore_nulls_runs_in_window_not_self_join(spark):
+    plan = plan_of(spark, "window_ignore_nulls")
+    assert "Join" not in plan
+    assert "Window" in plan
