@@ -69,6 +69,7 @@ DRIVER_PRIORITY = [
     "agg_grouping_id",
     "scalar_try_arithmetic",
     "window_ignore_nulls",
+    "sink_manifest_snapshot",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

@@ -640,3 +640,64 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@registry.query(
+    "sink_manifest_snapshot",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events, {osum('value')} AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-manifest table layout (the core device of Delta/Iceberg,
+    reduced to its minimum): every commit writes immutable parquet files
+    plus a JSON manifest listing exactly the files belonging to that
+    version; readers resolve a version's manifest and load ONLY its file
+    list — never `listStatus` over the directory. Commit v1 writes the
+    click partition; commit v2 adds purchases WITHOUT touching v1's
+    files. The query reads snapshot v2 through its manifest; stale and
+    uncommitted files in the same directory are invisible (a dirty
+    "orphan" file is planted to prove it). Snapshot isolation and time
+    travel then follow from manifest immutability; at 100 TB this is
+    also the O(1)-listing property object stores require.
+    """
+    import json as _json
+
+    out = _workdir(sf_dir, "manifest_tbl")
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def commit(version: int, df, prev_files: list) -> list:
+        data_dir = os.path.join(out, f"commit_v{version}")
+        df.write.parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {"version": version, "files": prev_files + files}
+        with open(os.path.join(out, f"manifest_v{version}.json"), "w") as fh:
+            _json.dump(manifest, fh)
+        return manifest["files"]
+
+    v1 = commit(1, ev.filter(F.col("event_type") == "click"), [])
+    commit(2, ev.filter(F.col("event_type") == "purchase"), v1)
+    # Orphan: present in the directory, referenced by NO manifest — a
+    # failed write that never committed. Snapshot reads must not see it.
+    ev.limit(50).write.parquet(os.path.join(out, "commit_orphan"))
+
+    with open(os.path.join(out, "manifest_v2.json")) as fh:
+        snapshot = _json.load(fh)
+    return (
+        spark.read.parquet(*snapshot["files"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

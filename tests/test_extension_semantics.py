@@ -290,3 +290,28 @@ def test_rfm_segments_partition_customers(spark):
     for r in rows:
         rs, fs, ms = r.segment // 100, r.segment // 10 % 10, r.segment % 10
         assert 1 <= rs <= 4 and 1 <= fs <= 4 and 1 <= ms <= 4
+
+
+def test_manifest_snapshot_time_travel_and_orphan_isolation(spark):
+    # v1 sees only clicks; v2 sees clicks+purchases; the orphan parquet
+    # (never referenced by a manifest) is invisible to both snapshots.
+    import json
+    import os
+    import tempfile
+
+    se.queries()["sink_manifest_snapshot"](spark, SF_DIR).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "quty_formats", os.path.basename(SF_DIR), "manifest_tbl"
+    )
+    assert os.path.isdir(os.path.join(base, "commit_orphan"))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_click = ev.filter("event_type = 'click'").count()
+    n_purchase = ev.filter("event_type = 'purchase'").count()
+    for version, expect in [(1, n_click), (2, n_click + n_purchase)]:
+        with open(os.path.join(base, f"manifest_v{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        snap = spark.read.parquet(*files)
+        assert snap.count() == expect
+        assert set(
+            r.event_type for r in snap.select("event_type").distinct().collect()
+        ) == ({"click"} if version == 1 else {"click", "purchase"})
