@@ -1810,13 +1810,13 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.try_divide(
-            F.col("l_extendedprice"),
-            F.nullif(F.col("l_discount"), F.lit(0.0)),
-        ).alias("price_per_disc"),
-        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias(
-            "rf_as_int"
+        # try_divide sees the RAW divisor: zero-discount rows hit the
+        # /0 path and come back NULL (the oracle states the same
+        # semantics portably as division by NULLIF(d, 0)).
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
         ),
+        F.expr("try_cast(l_returnflag AS int)").alias("rf_as_int"),
         F.expr("try_cast(cast(cast(l_quantity AS bigint) AS string) AS int)").alias(
             "qty_int"
         ),
