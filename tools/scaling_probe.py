@@ -1,0 +1,97 @@
+"""Measure how query wall-time scales with data volume.
+
+Runs a representative query set at sf0.001 / sf0.01 / sf0.1 (100x data
+range) in ONE warm session, best-of-3 per (query, SF), and prints a
+table plus a JSON line. The quantity reported for the 100 TB
+question is the **10x step ratio**
+
+    step = t_sf0.1 / t_sf0.01
+
+across the final 10x of data. step ~ 1 means the fixed per-query floor
+(scheduling, planning, JVM) still dominates and the data is effectively
+free; step <= ~10 bounds the query by linear-in-data; step >> 10 is a
+superlinear blowup (lost pushdown, pair explosion — a scale bug).
+Subtracting the floor to get a "marginal" ratio is NOT done on purpose:
+at these SFs the floor deltas are tens of milliseconds and dividing by
+them manufactures noise.
+
+Usage: python tools/scaling_probe.py [--json PATH] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as se  # noqa: E402
+from quty_server_spark.session import get_spark  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+DEFAULT = [
+    # scan-bound relational
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    # broadcast star join
+    "q5_local_supplier_volume",
+    # shuffle agg + window
+    "agg_count_distinct",
+    "window_row_number_topk",
+    # pub/sub fan-out join (output grows superlinearly by design:
+    # messages x subscribers both scale with SF)
+    "route_fanout",
+    # LLM-pipeline candidates
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_chunk_overlap",
+    "text_bigram_familiarity",
+    "sim_ann_lsh",
+    # sweep-line + as-of (sort-shaped)
+    "events_concurrency_sweep",
+    "join_asof",
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_json = None
+    if args and args[0] == "--json":
+        out_json = args[1]
+        args = args[2:]
+    names = args or DEFAULT
+    spark = get_spark("scaling-probe")
+    qs = se.queries()
+    # Warm once per SF so parquet footers/codegen are loaded.
+    for sf in SFS:
+        qs[names[0]](spark, sf).write.format("noop").mode("overwrite").save()
+    table: dict[str, dict[str, float]] = {}
+    for name in names:
+        row = {}
+        for sf in SFS:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            row[sf.rsplit("sf", 1)[-1]] = round(best, 3)
+        table[name] = row
+    print(f"{'query':28s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} "
+          f"{'step(10x)':>10s}")
+    results = {}
+    for name, row in table.items():
+        t1, t2, t3 = row["0.001"], row["0.01"], row["0.1"]
+        step = round(t3 / t2, 2)
+        results[name] = {**row, "step_ratio_10x": step}
+        print(f"{name:28s} {t1:8.3f} {t2:8.3f} {t3:8.3f} {step:10.2f}")
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
