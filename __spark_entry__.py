@@ -73,6 +73,8 @@ DRIVER_PRIORITY = [
     "scalar_try_arithmetic",
     "window_ignore_nulls",
     "sink_manifest_snapshot",
+    "events_ab_test_lift",
+    "orders_cohort_ltv",
     # canary: driver-green every round since r01
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on

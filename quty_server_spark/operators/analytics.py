@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from quty_server_spark.functions.hashing import hash28, sql_hash28
 from quty_server_spark.operators._helpers import davg, dsum, load_table, oavg, osum
 from quty_server_spark.plans.registry import registry
 
@@ -1069,4 +1070,149 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.min("o_custkey").cast("bigint").alias("sample_custkey"),
         )
+    )
+
+
+@registry.query(
+    "events_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               {sql_hash28("'ab1|' || CAST(user_id AS VARCHAR)")} % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+                   AS conv_ppm
+        FROM assigned GROUP BY variant)
+    SELECT a.n_users AS users_a, a.n_converted AS conv_a, a.conv_ppm AS ppm_a,
+           b.n_users AS users_b, b.n_converted AS conv_b, b.conv_ppm AS ppm_b,
+           CAST(b.conv_ppm - a.conv_ppm AS BIGINT) AS lift_ppm,
+           CASE WHEN a.n_converted + b.n_converted = 0
+                  OR a.n_converted + b.n_converted = a.n_users + b.n_users
+                THEN NULL
+                ELSE ROUND((CAST(b.n_converted AS DOUBLE) / b.n_users
+                       - CAST(a.n_converted AS DOUBLE) / a.n_users)
+                      / sqrt((CAST(a.n_converted + b.n_converted AS DOUBLE)
+                              / (a.n_users + b.n_users))
+                             * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                                    / (a.n_users + b.n_users))
+                             * (1.0 / a.n_users + 1.0 / b.n_users)), 6)
+           END AS z_stat
+    FROM arms a JOIN arms b ON a.variant = 0 AND b.variant = 1
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B conversion analysis: users hash-assigned to arms
+    (salted md5 split — deterministic, layout-independent, re-runnable,
+    the same device as sample_bernoulli_hash, so assignment never
+    drifts when data is appended), conversion = any purchase, lift in
+    exact integer ppm plus the pooled two-proportion z-statistic. The
+    z formula runs on integers both engines agree on, so the doubles
+    (and the rounded z) are bit-identical.
+
+    Scale: one shuffle to user grain with map-side combine, then the
+    arm aggregate is 2 rows — the z computation is free. The
+    experiment-analysis query shape at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (hash28(key) % 2).alias("variant"),
+        "converted",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr("CAST(sum(converted) * 1000000 div count(*) AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+    )
+    a = arms.filter(F.col("variant") == 0).alias("a")
+    b = arms.filter(F.col("variant") == 1).alias("b")
+    ca, na = F.col("a.n_converted").cast("double"), F.col("a.n_users").cast("double")
+    cb, nb = F.col("b.n_converted").cast("double"), F.col("b.n_users").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z_raw = (cb / nb - ca / na) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when((ca + cb > 0) & (ca + cb < na + nb), z_raw)
+    return a.crossJoin(b).select(
+        F.col("a.n_users").alias("users_a"),
+        F.col("a.n_converted").alias("conv_a"),
+        F.col("a.conv_ppm").alias("ppm_a"),
+        F.col("b.n_users").alias("users_b"),
+        F.col("b.n_converted").alias("conv_b"),
+        F.col("b.conv_ppm").alias("ppm_b"),
+        (F.col("b.conv_ppm") - F.col("a.conv_ppm")).cast("bigint").alias("lift_ppm"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@registry.query(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate)) AS cohort_m
+        FROM orders GROUP BY o_custkey),
+    aged AS (
+        SELECT f.cohort_m,
+               EXTRACT(year FROM o.o_orderdate) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - f.cohort_m AS age_m,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    cells AS (
+        SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+               CAST(age_m AS BIGINT) AS age_m,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        FROM aged GROUP BY 1, 2)
+    SELECT cohort_m, age_m, n_orders,
+           CAST(SUM(rev_dec) OVER (
+               PARTITION BY cohort_m ORDER BY age_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cum_revenue
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month (encoded as year*12+month integers — no engine-specific month
+    arithmetic), revenue accumulated per cohort across月age, the
+    retention/LTV triangle every growth team maintains. Decimal-exact
+    partial sums; the running window runs over the tiny cohort×age
+    aggregate, never over orders.
+
+    Scale: one shuffle to customer grain for first-order month (the
+    firsts side then broadcasts), one to the cohort×age grain."""
+    o = load_table(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_m"))
+    aged = o.join(broadcast(firsts), "o_custkey").select(
+        "cohort_m",
+        (month - F.col("cohort_m")).alias("age_m"),
+        "o_totalprice",
+    )
+    cells = aged.groupBy("cohort_m", "age_m").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_m",
+        "age_m",
+        "n_orders",
+        F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
     )

@@ -315,3 +315,47 @@ def test_manifest_snapshot_time_travel_and_orphan_isolation(spark):
         assert set(
             r.event_type for r in snap.select("event_type").distinct().collect()
         ) == ({"click"} if version == 1 else {"click", "purchase"})
+
+
+def test_ab_test_lift_matches_bruteforce(spark):
+    import hashlib
+    from math import sqrt
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    conv = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase" and r.value > 150:
+            conv[r.user_id] = 1
+        else:
+            conv.setdefault(r.user_id, 0)
+    arms = {0: [0, 0], 1: [0, 0]}  # variant -> [n_users, n_converted]
+    for uid, c in conv.items():
+        h = int(hashlib.md5(f"ab1|{uid}".encode()).hexdigest()[:7], 16) % 2
+        arms[h][0] += 1
+        arms[h][1] += c
+    (na, ca), (nb, cb) = arms[0], arms[1]
+    row = _rows(spark, "events_ab_test_lift")[0]
+    assert (row.users_a, row.conv_a) == (na, ca)
+    assert (row.users_b, row.conv_b) == (nb, cb)
+    assert row.ppm_a == ca * 1_000_000 // na
+    assert row.lift_ppm == cb * 1_000_000 // nb - ca * 1_000_000 // na
+    pool = (ca + cb) / (na + nb)
+    if 0 < pool < 1:
+        z = (cb / nb - ca / na) / sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+        assert abs(row.z_stat - z) < 1e-5
+    else:
+        assert row.z_stat is None
+
+
+def test_cohort_ltv_is_monotone_and_complete(spark):
+    rows = _rows(spark, "orders_cohort_ltv")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    assert sum(r.n_orders for r in rows) == len(o)
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_m].append((r.age_m, r.cum_revenue))
+    for ages in by_cohort.values():
+        ages.sort()
+        assert all(a[0] >= 0 for a in ages)
+        # cumulative revenue never decreases with age
+        assert all(x[1] <= y[1] + 1e-6 for x, y in zip(ages, ages[1:]))
