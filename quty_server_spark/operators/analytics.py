@@ -1136,21 +1136,32 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_ppm"
         ),
     )
-    a = arms.filter(F.col("variant") == 0).alias("a")
-    b = arms.filter(F.col("variant") == 1).alias("b")
-    ca, na = F.col("a.n_converted").cast("double"), F.col("a.n_users").cast("double")
-    cb, nb = F.col("b.n_converted").cast("double"), F.col("b.n_users").cast("double")
+    # Pivot the 2-row arm aggregate into one row with a conditional
+    # aggregation — NOT filter(variant==0) x filter(variant==1) +
+    # crossJoin, which would compile the whole events scan + user-grain
+    # aggregation subtree twice into the plan.
+    arm = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    wide = arms.agg(
+        arm(0, "n_users").alias("users_a"),
+        arm(0, "n_converted").alias("conv_a"),
+        arm(0, "conv_ppm").alias("ppm_a"),
+        arm(1, "n_users").alias("users_b"),
+        arm(1, "n_converted").alias("conv_b"),
+        arm(1, "conv_ppm").alias("ppm_b"),
+    )
+    ca, na = F.col("conv_a").cast("double"), F.col("users_a").cast("double")
+    cb, nb = F.col("conv_b").cast("double"), F.col("users_b").cast("double")
     pool = (ca + cb) / (na + nb)
     z_raw = (cb / nb - ca / na) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
     z = F.when((ca + cb > 0) & (ca + cb < na + nb), z_raw)
-    return a.crossJoin(b).select(
-        F.col("a.n_users").alias("users_a"),
-        F.col("a.n_converted").alias("conv_a"),
-        F.col("a.conv_ppm").alias("ppm_a"),
-        F.col("b.n_users").alias("users_b"),
-        F.col("b.n_converted").alias("conv_b"),
-        F.col("b.conv_ppm").alias("ppm_b"),
-        (F.col("b.conv_ppm") - F.col("a.conv_ppm")).cast("bigint").alias("lift_ppm"),
+    return wide.select(
+        "users_a",
+        "conv_a",
+        "ppm_a",
+        "users_b",
+        "conv_b",
+        "ppm_b",
+        (F.col("ppm_b") - F.col("ppm_a")).cast("bigint").alias("lift_ppm"),
         F.round(z, 6).alias("z_stat"),
     )
 
@@ -1186,17 +1197,21 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value matrix: customers cohorted by first-order
     month (encoded as year*12+month integers — no engine-specific month
-    arithmetic), revenue accumulated per cohort across月age, the
+    arithmetic), revenue accumulated per cohort across month age, the
     retention/LTV triangle every growth team maintains. Decimal-exact
     partial sums; the running window runs over the tiny cohort×age
     aggregate, never over orders.
 
-    Scale: one shuffle to customer grain for first-order month (the
-    firsts side then broadcasts), one to the cohort×age grain."""
+    Scale: one shuffle to customer grain for first-order month; the
+    firsts join is left to the optimizer — it broadcasts while small
+    and falls back to a co-partitioned shuffle join when the customer
+    dimension outgrows the broadcast cap (a forced broadcast of a
+    linearly-growing side would be a scale bug); then one shuffle to
+    the cohort×age grain."""
     o = load_table(spark, sf_dir, "orders")
     month = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
     firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_m"))
-    aged = o.join(broadcast(firsts), "o_custkey").select(
+    aged = o.join(firsts, "o_custkey").select(
         "cohort_m",
         (month - F.col("cohort_m")).alias("age_m"),
         "o_totalprice",

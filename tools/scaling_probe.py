@@ -20,6 +20,7 @@ Usage: python tools/scaling_probe.py [--json PATH] [query ...]
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -57,14 +58,18 @@ DEFAULT = [
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    out_json = None
-    if args and args[0] == "--json":
-        out_json = args[1]
-        args = args[2:]
-    names = args or DEFAULT
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", dest="out_json", metavar="PATH", default=None)
+    ap.add_argument("queries", nargs="*", help="query names (default: built-in slice)")
+    ns = ap.parse_args()
+    out_json = ns.out_json
+    names = ns.queries or DEFAULT
+    qs_all = se.queries()
+    unknown = [n for n in names if n not in qs_all]
+    if unknown:
+        sys.exit(f"unknown queries (checked before Spark startup): {unknown}")
     spark = get_spark("scaling-probe")
-    qs = se.queries()
+    qs = qs_all
     # Warm once per SF so parquet footers/codegen are loaded.
     for sf in SFS:
         qs[names[0]](spark, sf).write.format("noop").mode("overwrite").save()
@@ -74,9 +79,9 @@ def main() -> None:
         for sf in SFS:
             best = float("inf")
             for _ in range(3):
-                t0 = time.time()
+                t0 = time.perf_counter()
                 qs[name](spark, sf).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                best = min(best, time.perf_counter() - t0)
             row[sf.rsplit("sf", 1)[-1]] = round(best, 3)
         table[name] = row
     print(f"{'query':28s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} "
