@@ -29,11 +29,11 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) re-prove the 5 queries changed early this round — the SCD2
 # sentinel fix (r04's one driver-red), the microsecond-precise RANGE
 # frame, the replay split guard, the newly-unconditional seq counter,
-# the hardened BSP clustering; (2) the 29 operators NEW in round 5 —
+# the hardened BSP clustering; (2) the 31 operators NEW in round 5 —
 # never driver-sampled by definition and the highest correctness risk;
 # (3) one canary from the long-driver-green relational surface
 # (flagship) so a comparator regression on the old surface is still
-# externally detectable; (4) the remaining ~15 slots go to queries
+# externally detectable; (4) the remaining ~13 slots go to queries
 # never sampled in CORRECTNESS_r01-r04 (approx-contract aggs, the dedup
 # and similarity families — see the marker comment below for the
 # families this displaces to round 6). Queries not listed keep their
@@ -75,8 +75,10 @@ DRIVER_PRIORITY = [
     "sink_manifest_snapshot",
     "events_ab_test_lift",
     "orders_cohort_ltv",
-    # canary: driver-green every round since r01 (29 new + 5 changed
-    # + canary above = 35 head entries; ~15 never-sampled slots remain)
+    "lineitem_abc_pareto",
+    "events_anomaly_running_z",
+    # canary: driver-green every round since r01 (31 new + 5 changed
+    # + canary above = 37 head entries; ~13 never-sampled slots remain)
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on
     "agg_percentile_approx_check",
@@ -95,15 +97,15 @@ DRIVER_PRIORITY = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_lsh_multiprobe",
-    "sim_ann_ivf",
-    "sim_ann_ivf_nprobe2",
-    # --- ~50-line with the 29 round-5 additions in front: everything
+    # --- ~50-line with the 31 round-5 additions in front: everything
     # below lands outside the driver's sample THIS round. The remaining
     # similarity entries plus the text / multimodal / UDF /
     # sources-sinks / tpch-picks families were queued for first
     # sampling in r05 but were displaced by the new operators (new
     # queries are the higher correctness risk); they are the round-6
     # rotation head. ---
+    "sim_ann_ivf",
+    "sim_ann_ivf_nprobe2",
     "embed_quantize_int8",
     "sim_label_cohesion",
     "text_stats",

@@ -1231,3 +1231,150 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@registry.query(
+    "lineitem_abc_pareto",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev_dec
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, rev_dec,
+               SUM(rev_dec) OVER (
+                   ORDER BY rev_dec DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_dec,
+               SUM(rev_dec) OVER () AS total_dec
+        FROM per_part),
+    classed AS (
+        SELECT l_partkey,
+               CASE WHEN cum_dec * 100 <= total_dec * 80 THEN 'A'
+                    WHEN cum_dec * 100 <= total_dec * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_dec
+        FROM ranked)
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(rev_dec) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    classed A while cumulative revenue stays within 80% of total, B to
+    95%, else C. The boundary test is exact decimal arithmetic
+    (cum*100 <= total*80) — no float share to round differently across
+    engines — and the rank ordering carries l_partkey as unique
+    tiebreak.
+
+    Scale: the corpus aggregates once to part grain; the ranked
+    cumulative window runs over the PART aggregate. That window is
+    unpartitioned by the semantics of a global Pareto cut — at billions
+    of parts the same cut is computed from a percentile sketch of the
+    revenue distribution instead of an exact global sort (same
+    single-aggregation cost; the exact sort is honest at fixture
+    scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("rev_dec")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        "l_partkey",
+        "rev_dec",
+        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("total_dec"),
+    )
+    classed = ranked.select(
+        "rev_dec",
+        F.when(F.col("cum_dec") * 100 <= F.col("total_dec") * 80, "A")
+        .when(F.col("cum_dec") * 100 <= F.col("total_dec") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_dec").cast("double").alias("class_revenue"),
+    )
+
+
+@registry.query(
+    "events_anomaly_running_z",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               COUNT(*) OVER w AS n_prior,
+               SUM(value) OVER w AS sum_prior,
+               SUM(value * value) OVER w AS sumsq_prior
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    scored AS (
+        SELECT user_id, event_id,
+               CASE WHEN n_prior >= 5
+                     AND sumsq_prior / n_prior
+                         - (sum_prior / n_prior) * (sum_prior / n_prior)
+                         > 1e-12
+                    THEN abs(value - sum_prior / n_prior)
+                         / sqrt(sumsq_prior / n_prior
+                                - (sum_prior / n_prior)
+                                  * (sum_prior / n_prior))
+                    END AS z
+        FROM seq)
+    SELECT user_id,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies
+    FROM scored WHERE z IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_anomaly_running_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection, batch-replayable form: each event is
+    scored against the running mean/std of the user's PRIOR events only
+    (frame ends at 1 PRECEDING — no lookahead leakage), flagged when
+    |z| > 3, after a 5-event warm-up. This is the batch twin of a
+    streaming per-key state fold (applyInPandasWithState carrying
+    n/sum/sumsq), and the prior-only frame is what makes the scores
+    identical between the batch replay and the incremental stream.
+
+    Determinism note: the running sums accumulate left-to-right over one
+    fixed (ts, event_id) order in both engines, so the doubles agree
+    bit-for-bit. One shuffle by user; both windows and the final
+    aggregate share it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("value").over(w).alias("sum_prior"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("sumsq_prior"),
+    )
+    mean = F.col("sum_prior") / F.col("n_prior")
+    var = F.col("sumsq_prior") / F.col("n_prior") - mean * mean
+    z = F.when(
+        (F.col("n_prior") >= 5) & (var > 1e-12),
+        F.abs(F.col("value") - mean) / F.sqrt(var),
+    )
+    scored = seq.select("user_id", "event_id", z.alias("z")).filter(
+        F.col("z").isNotNull()
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(F.col("z") > 3, 1).otherwise(0)).cast("bigint").alias(
+            "n_anomalies"
+        ),
+    )

@@ -359,3 +359,58 @@ def test_cohort_ltv_is_monotone_and_complete(spark):
         assert all(a[0] >= 0 for a in ages)
         # cumulative revenue never decreases with age
         assert all(x[1] <= y[1] + 1e-6 for x, y in zip(ages, ages[1:]))
+
+
+def test_abc_pareto_classes_partition_revenue(spark):
+    from decimal import Decimal
+
+    rows = {r.abc_class: (r.n_parts, r.class_revenue)
+            for r in _rows(spark, "lineitem_abc_pareto")}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    per_part = defaultdict(Decimal)
+    for r in li:
+        per_part[r.l_partkey] += Decimal(str(round(r.l_extendedprice, 6)))
+    total = sum(per_part.values())
+    ranked = sorted(per_part.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = defaultdict(lambda: [0, Decimal(0)])
+    cum = Decimal(0)
+    for pk, rev in ranked:
+        cum += rev
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        expect[cls][0] += 1
+        expect[cls][1] += rev
+    assert set(rows) == set(expect)
+    for cls, (n, rev) in expect.items():
+        assert rows[cls][0] == n
+        assert abs(rows[cls][1] - float(rev)) < 1e-6
+    # ABC shape: A holds the most revenue in the fewest parts
+    assert rows["A"][1] >= rows["B"][1] >= rows["C"][1]
+
+
+def test_running_z_uses_only_prior_events(spark):
+    # No-lookahead property: recompute sequentially per user and match.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.value))
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        n = s = sq = 0.0
+        n_scored = n_anom = 0
+        for _, _, v in rows:
+            if n >= 5:
+                var = sq / n - (s / n) ** 2
+                if var > 1e-12:
+                    z = abs(v - s / n) / var ** 0.5
+                    n_scored += 1
+                    if z > 3:
+                        n_anom += 1
+            n += 1
+            s += v
+            sq += v * v
+        if n_scored:
+            expect[uid] = (n_scored, n_anom)
+    got = {r.user_id: (r.n_scored, r.n_anomalies)
+           for r in _rows(spark, "events_anomaly_running_z")}
+    assert got == expect
