@@ -77,8 +77,9 @@ DRIVER_PRIORITY = [
     "orders_cohort_ltv",
     "lineitem_abc_pareto",
     "events_anomaly_running_z",
-    # canary: driver-green every round since r01 (31 new + 5 changed
-    # + canary above = 37 head entries; ~13 never-sampled slots remain)
+    # canary: driver-green every round since r01 — 36 head entries
+    # above (5 changed + 30 new + the round-4 tws re-registration),
+    # leaving 14 never-sampled slots before the ~50-line
     "flagship_delivery_report",
     # never driver-sampled (absent from CORRECTNESS_r01-r04) from here on
     "agg_percentile_approx_check",
@@ -94,9 +95,12 @@ DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_keep_canonical",
     # similarity / embedding family
+    "sim_ann_ivf",
+    "sim_ann_ivf_nprobe2",
     "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe",
+    # (sim_ann_ivf / sim_ann_ivf_nprobe2 stay above this line: their
+    # posting-list materialization changed this round, so they carry
+    # changed-query risk, not just never-sampled risk.)
     # --- ~50-line with the 31 round-5 additions in front: everything
     # below lands outside the driver's sample THIS round. The remaining
     # similarity entries plus the text / multimodal / UDF /
@@ -104,8 +108,8 @@ DRIVER_PRIORITY = [
     # sampling in r05 but were displaced by the new operators (new
     # queries are the higher correctness risk); they are the round-6
     # rotation head. ---
-    "sim_ann_ivf",
-    "sim_ann_ivf_nprobe2",
+    "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
     "embed_quantize_int8",
     "sim_label_cohesion",
     "text_stats",

@@ -1308,26 +1308,30 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 @registry.query(
     "events_anomaly_running_z",
     oracle="""
-    WITH seq AS (
-        SELECT user_id, event_id, value,
+    WITH milli AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events),
+    seq AS (
+        SELECT user_id, event_id, v,
                COUNT(*) OVER w AS n_prior,
-               SUM(value) OVER w AS sum_prior,
-               SUM(value * value) OVER w AS sumsq_prior
-        FROM events
+               SUM(v) OVER w AS sum_prior,
+               SUM(v * v) OVER w AS sumsq_prior
+        FROM milli
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
     scored AS (
         SELECT user_id, event_id,
                CASE WHEN n_prior >= 5
-                     AND sumsq_prior / n_prior
-                         - (sum_prior / n_prior) * (sum_prior / n_prior)
-                         > 1e-12
-                    THEN abs(value - sum_prior / n_prior)
-                         / sqrt(sumsq_prior / n_prior
-                                - (sum_prior / n_prior)
-                                  * (sum_prior / n_prior))
+                     AND CAST(sumsq_prior AS DOUBLE) / n_prior
+                         - (CAST(sum_prior AS DOUBLE) / n_prior)
+                           * (CAST(sum_prior AS DOUBLE) / n_prior) > 1e-12
+                    THEN abs(v - CAST(sum_prior AS DOUBLE) / n_prior)
+                         / sqrt(CAST(sumsq_prior AS DOUBLE) / n_prior
+                                - (CAST(sum_prior AS DOUBLE) / n_prior)
+                                  * (CAST(sum_prior AS DOUBLE) / n_prior))
                     END AS z
-        FROM seq)
+ FROM seq)
     SELECT user_id,
            COUNT(*) AS n_scored,
            CAST(SUM(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1345,29 +1349,39 @@ def events_anomaly_running_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/sum/sumsq), and the prior-only frame is what makes the scores
     identical between the batch replay and the incremental stream.
 
-    Determinism note: the running sums accumulate left-to-right over one
-    fixed (ts, event_id) order in both engines, so the doubles agree
-    bit-for-bit. One shuffle by user; both windows and the final
-    aggregate share it."""
+    Determinism note: values are quantized to integer milli-units BEFORE
+    the running sums, so the window accumulators are exact integers —
+    engines may combine window partials in any order (DuckDB uses a
+    segment tree, Spark accumulates sequentially) and still agree
+    bit-for-bit; the z itself is then derived in double from identical
+    integers. Raw-double running sums would gamble on accumulation
+    order. One shuffle by user; both windows and the final aggregate
+    share it."""
     ev = load_table(spark, sf_dir, "events")
+    milli = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    seq = ev.select(
+    seq = milli.select(
         "user_id",
         "event_id",
-        "value",
+        "v",
         F.count("*").over(w).alias("n_prior"),
-        F.sum("value").over(w).alias("sum_prior"),
-        F.sum(F.col("value") * F.col("value")).over(w).alias("sumsq_prior"),
+        F.sum("v").over(w).alias("sum_prior"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sumsq_prior"),
     )
-    mean = F.col("sum_prior") / F.col("n_prior")
-    var = F.col("sumsq_prior") / F.col("n_prior") - mean * mean
+    mean = F.col("sum_prior").cast("double") / F.col("n_prior")
+    var = F.col("sumsq_prior").cast("double") / F.col("n_prior") - mean * mean
     z = F.when(
         (F.col("n_prior") >= 5) & (var > 1e-12),
-        F.abs(F.col("value") - mean) / F.sqrt(var),
+        F.abs(F.col("v") - mean) / F.sqrt(var),
     )
     scored = seq.select("user_id", "event_id", z.alias("z")).filter(
         F.col("z").isNotNull()

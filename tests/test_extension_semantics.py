@@ -381,10 +381,12 @@ def test_abc_pareto_classes_partition_revenue(spark):
         expect[cls][1] += rev
     assert set(rows) == set(expect)
     for cls, (n, rev) in expect.items():
-        assert rows[cls][0] == n
-        assert abs(rows[cls][1] - float(rev)) < 1e-6
-    # ABC shape: A holds the most revenue in the fewest parts
-    assert rows["A"][1] >= rows["B"][1] >= rows["C"][1]
+        got_n, got_rev = rows.get(cls, (0, 0.0))
+        assert got_n == n, cls
+        assert abs(got_rev - float(rev)) < 1e-6, cls
+    # ABC shape (when all classes exist): revenue concentrates at the top
+    if {"A", "B", "C"} <= set(rows):
+        assert rows["A"][1] >= rows["B"][1] >= rows["C"][1]
 
 
 def test_running_z_uses_only_prior_events(spark):
@@ -396,9 +398,10 @@ def test_running_z_uses_only_prior_events(spark):
     expect = {}
     for uid, rows in by_user.items():
         rows.sort()
-        n = s = sq = 0.0
+        n = s = sq = 0
         n_scored = n_anom = 0
-        for _, _, v in rows:
+        for _, _, raw in rows:
+            v = int(raw * 1000 // 1)  # floor to integer milli-units
             if n >= 5:
                 var = sq / n - (s / n) ** 2
                 if var > 1e-12:
