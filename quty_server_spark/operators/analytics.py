@@ -1154,6 +1154,14 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (ca + cb) / (na + nb)
     z_raw = (cb / nb - ca / na) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
     z = F.when((ca + cb > 0) & (ca + cb < na + nb), z_raw)
+    # The oracle's `arms a JOIN arms b ON a.variant=0 AND b.variant=1`
+    # emits ZERO rows when either arm is empty; the pivoted agg would
+    # emit one all-NULL row — require both arms present to match the
+    # inner-join semantics (unreachable at fixture shape, but the
+    # degenerate-input contract should agree).
+    wide = wide.filter(
+        F.col("users_a").isNotNull() & F.col("users_b").isNotNull()
+    )
     return wide.select(
         "users_a",
         "conv_a",

@@ -868,10 +868,15 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
-        F.concat_ws(
-            "|",
-            "lang",
+        # F.concat, not concat_ws: `||` in the oracle propagates NULL
+        # (a NULL lang/text/n_chars row never joins), while concat_ws
+        # would skip the NULL input and still produce a joinable key —
+        # divergent candidate sets on dirty data.
+        F.concat(
+            F.col("lang"),
+            F.lit("|"),
             F.split("text", " ").getItem(0),
+            F.lit("|"),
             (F.col("n_chars") / 64).cast("bigint").cast("string"),
         ).alias("block_key"),
         F.substring("text", 1, 48).alias("head"),

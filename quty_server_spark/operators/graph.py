@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.operators.dedup import BROADCAST_NODES_MAX
 from quty_server_spark.plans.registry import registry
 
 PPB = 1_000_000_000  # rank unit: parts-per-billion
@@ -110,16 +111,25 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     teleport = (PPB - PPB * 85 // 100) // n_nodes
 
+    # The rank/contrib/outdeg tables are all |nodes|-row. Below the
+    # threshold they broadcast (edges stay in place, zero per-iteration
+    # edge shuffle); at billion-node scale a broadcast build would OOM
+    # the driver, so the shuffle (sort-merge) path engages — same gate
+    # as dedup's BSP frontier (dedup.py BROADCAST_NODES_MAX), and the
+    # n_nodes count needed for the teleport term pays for the decision.
+    small = n_nodes <= BROADCAST_NODES_MAX
+    side = F.broadcast if small else (lambda df: df)
+
     ranks = nodes.select("node", F.lit(PPB // n_nodes).cast("bigint").alias("r"))
     for _ in range(2):
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outdeg), "src")
+            edges.join(side(ranks), edges.src == ranks.node)
+            .join(side(outdeg), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div deg")).alias("contrib"))
         )
         ranks = (
-            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            nodes.join(side(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (

@@ -346,6 +346,31 @@ def subs_remove_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Routing operators (§2.A #3-#6, #9, #14)
 # ---------------------------------------------------------------------------
 
+# Broadcast the compacted subscription state into the fan-out join only
+# while it is broadcast-sized; above this the salted-shuffle shape
+# engages automatically (same self-contained-at-scale gate as
+# dedup.BROADCAST_NODES_MAX). (channel, member_id) is ~16 bytes/row, so
+# the threshold is a few tens of MB of broadcast relation.
+BROADCAST_SUBS_MAX = 1_000_000
+
+N_SALTS = 8
+
+
+def _salted_fanout(msgs: DataFrame, subs: DataFrame) -> DataFrame:
+    """Hot-channel-safe fan-out: messages carry a salt (event_id mod 8),
+    subscriptions explode across all salts, join on (channel, salt) —
+    a hot channel's fan-out spreads over 8 tasks instead of one
+    straggler, and neither side needs to broadcast."""
+    m = msgs.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    s = subs.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return m.join(s, ["channel", "salt"]).select(
+        "event_id", "channel", "member_id", "sender_id", "value"
+    )
+
 
 @registry.query(
     "route_fanout",
@@ -362,12 +387,18 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     subscribers are dropped by the inner join — the reference's
     at-most-once drop (lib/ChannelHub.js:274).
 
-    Plan: shuffle messages by channel; the subscription side is broadcast
-    (it is the compacted state, small relative to traffic). Hot channels
-    (10^6 subscribers) are the skew risk — AQE skew-join splits them.
+    Plan: the subscription side is broadcast while broadcast-sized (it
+    is the compacted state, small relative to traffic); past
+    BROADCAST_SUBS_MAX the salted-shuffle shape engages so the operator
+    stays self-contained at any state size. Hot channels (10^6
+    subscribers) are the skew risk — the salt (and AQE skew-join on the
+    broadcast path) splits them. The state side is checkpointed once so
+    the gate's count and the join share one materialization of the fold.
     """
     msgs = messages(spark, sf_dir)
-    subs = current_subs(spark, sf_dir)
+    subs = current_subs(spark, sf_dir).localCheckpoint(eager=True)
+    if subs.count() > BROADCAST_SUBS_MAX:
+        return _salted_fanout(msgs, subs)
     return msgs.join(broadcast(subs), "channel").select(
         "event_id", "channel", "member_id", "sender_id", "value"
     )
@@ -469,9 +500,6 @@ def route_loop_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_SALTS = 8
-
-
 @registry.query(
     "route_fanout_salted",
     oracle=f"""
@@ -486,16 +514,11 @@ def route_fanout_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salts, and the join key becomes (channel, salt) — a hot channel's
     fan-out spreads over 8 tasks instead of one straggler. Result is
     bit-identical to route_fanout (same oracle); only the partitioning
-    changes. This is the fallback when the state side is too large to
-    broadcast and AQE's skew split is not enough."""
-    msgs = messages(spark, sf_dir).withColumn(
-        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int")
-    )
-    subs = current_subs(spark, sf_dir).withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
-    )
-    return msgs.join(subs, ["channel", "salt"]).select(
-        "event_id", "channel", "member_id", "sender_id", "value"
+    changes. This is the exact shape route_fanout itself falls back to
+    past BROADCAST_SUBS_MAX — registered separately so the shuffle plan
+    is independently driver-verified and plan-pinned."""
+    return _salted_fanout(
+        messages(spark, sf_dir), current_subs(spark, sf_dir)
     )
 
 

@@ -627,3 +627,29 @@ def test_ignore_nulls_runs_in_window_not_self_join(spark):
     plan = plan_of(spark, "window_ignore_nulls")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_pagerank_shuffle_fallback_above_broadcast_gate(spark, monkeypatch):
+    # Above BROADCAST_NODES_MAX the rank/contrib/outdeg broadcasts must
+    # NOT be forced: a billion-node rank table cannot build a broadcast
+    # relation without OOMing the driver. With the gate tripped the
+    # superstep joins fall back to shuffle (sort-merge) joins.
+    from quty_server_spark.operators import graph
+
+    monkeypatch.setattr(graph, "BROADCAST_NODES_MAX", 0)
+    plan = plan_of(spark, "graph_pagerank_2iter")
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_route_fanout_salts_above_broadcast_gate(spark, monkeypatch):
+    # route_fanout must be self-contained at scale: past
+    # BROADCAST_SUBS_MAX the forced state broadcast is replaced by the
+    # salted (channel, salt) shuffle shape — same shape as the
+    # independently-pinned route_fanout_salted twin.
+    from quty_server_spark.operators import pubsub
+
+    monkeypatch.setattr(pubsub, "BROADCAST_SUBS_MAX", 0)
+    plan = plan_of(spark, "route_fanout")
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan
