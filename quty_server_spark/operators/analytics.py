@@ -1400,3 +1400,75 @@ def events_anomaly_running_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies"
         ),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c in _PROFILE_COLS:
+        mn, mx = f"MIN({c})", f"MAX({c})"
+        if c == "o_totalprice":
+            # doubles stringify differently across engines; both sides
+            # pin the representation through DECIMAL(18,2).
+            mn, mx = (
+                f"CAST({mn} AS DECIMAL(18,2))",
+                f"CAST({mx} AS DECIMAL(18,2))",
+            )
+        branches.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST({mn} AS VARCHAR) AS min_value,
+           CAST({mx} AS VARCHAR) AS max_value
+    FROM orders"""
+        )
+    return "\n    UNION ALL".join(branches)
+
+
+@registry.query("profile_column_stats", oracle=_profile_oracle())
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the data-quality summary every
+    ingest pipeline runs before training: per column, NULL count,
+    exact distinct count, and min/max (stringified; doubles pinned
+    through DECIMAL(18,2) so both engines agree on representation).
+
+    Plan: ONE aggregation over the table computes all 6x4 statistics
+    (Spark plans the multi-distinct via Expand — 6 passes worth of
+    grouping in one shuffle), then a 1-row stack() unpivots to the
+    (column, stat) grid driver-side-free. The oracle states the same
+    stats as 6 UNION ALL branches. At 100 TB the profile is one
+    map-side-combined pass; swap countDistinct for approx_count_distinct
+    when exactness is not required (agg_approx_distinct pins that
+    contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        mn, mx = F.min(col), F.max(col)
+        if c == "o_totalprice":
+            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"nn_{c}"),
+            F.countDistinct(col).alias(f"nd_{c}"),
+            mn.cast("string").alias(f"mn_{c}"),
+            mx.cast("string").alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack = (
+        f"stack({len(_PROFILE_COLS)}, "
+        + ", ".join(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+        )
+        + ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+    return wide.selectExpr(stack)

@@ -143,3 +143,195 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("r") > PPB // 1000).select(
         "node", F.col("r").alias("rank_ppb")
     )
+
+
+def _unrolled_pagerank_sql(k: int) -> str:
+    """Generate the exact-integer oracle for ``k`` unrolled PageRank
+    iterations — the same recurrence the 2-iter oracle states, produced
+    programmatically so the convergence-driven variant can pin the
+    iteration count the fixture converges at (bipartite graphs converge
+    at exactly 3: customers stabilize after step 1, so supplier inputs
+    — and hence supplier ranks — repeat from step 3 on)."""
+    ctes = [
+        f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+        SELECT node, CAST({PPB} // n_nodes AS BIGINT) AS r
+        FROM nodes, n)"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""
+    c{i} AS (
+        SELECT e.dst AS node, SUM(r{i - 1}.r // o.deg) AS contrib
+        FROM edges e JOIN r{i - 1} ON e.src = r{i - 1}.node
+                     JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst),
+    r{i} AS (
+        SELECT nodes.node,
+               CAST({TELE} // n_nodes
+                    + 85 * COALESCE(c{i}.contrib, 0) // 100 AS BIGINT) AS r
+        FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, n)"""
+        )
+    return (
+        ",".join(ctes)
+        + f"\n    SELECT node, r AS rank_ppb FROM r{k}\n    "
+    )
+
+
+# Safety bound on the convergence loop; the L1-delta stop fires long
+# before this on any graph whose structure stabilizes (bipartite: 3).
+PAGERANK_MAX_ROUNDS = 20
+
+# Reliable-checkpoint cadence, mirroring dedup.CLUSTER_CKPT_EVERY: every
+# k-th rank vector goes to the checkpoint dir so an executor loss
+# mid-loop replays at most k iterations, the rest localCheckpoint
+# (lineage truncation only).
+PAGERANK_CKPT_EVERY = 5
+
+
+def _ensure_ckpt_dir(spark: SparkSession) -> None:
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="quty_pagerank_ckpt_")
+        )
+
+
+def pagerank_converged(
+    spark: SparkSession, edges: DataFrame, max_rounds: int = PAGERANK_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Convergence-driven PageRank over ``(src, dst)`` edges in exact
+    integer ppb arithmetic: iterate the damped recurrence until the L1
+    rank delta is exactly zero (integer ranks make bitwise convergence
+    well-defined — no float epsilon), bounded by ``max_rounds``.
+
+    The loop machinery generalizes ``dedup.min_label_components``
+    beyond min-label: per iteration one equality join of edges to the
+    rank vector plus one map-side-combined aggregation by destination;
+    broadcasts gated on node count (BROADCAST_NODES_MAX, shuffle
+    fallback above); a LAZY checkpoint whose materialization shares the
+    single per-iteration action with the L1-delta aggregate (one job,
+    one driver-side scalar per superstep); every PAGERANK_CKPT_EVERY-th
+    iteration checkpoints reliably. Returns ``(ranks, iterations)``."""
+    _ensure_ckpt_dir(spark)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    small = n_nodes <= BROADCAST_NODES_MAX
+    side = F.broadcast if small else (lambda df: df)
+    teleport = TELE // n_nodes
+
+    ranks = nodes.select(
+        "node", F.lit(PPB // n_nodes).cast("bigint").alias("r")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for i in range(1, max_rounds + 1):
+        contrib = (
+            edges.join(side(ranks), edges.src == ranks.node)
+            .join(side(outdeg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("contrib"))
+        )
+        new = nodes.join(side(contrib), nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(teleport) + F.expr("85 * coalesce(contrib, 0) div 100"))
+            .cast("bigint")
+            .alias("r"),
+        )
+        new = (
+            new.checkpoint(eager=False)
+            if i % PAGERANK_CKPT_EVERY == 0
+            else new.localCheckpoint(eager=False)
+        )
+        # Single action: materializes the checkpoint AND returns the L1
+        # delta — no second pass over the rank vector.
+        delta = (
+            new.join(side(ranks.withColumnRenamed("r", "r_prev")), "node")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new
+        rounds = i
+        if delta == 0:
+            break
+    return ranks, rounds
+
+
+@registry.query("graph_pagerank_converged", oracle=_unrolled_pagerank_sql(3))
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-ended PageRank on the customer→supplier purchase graph: runs
+    ``pagerank_converged`` until the integer rank vector repeats
+    exactly. The purchase graph is bipartite (customers have no
+    in-edges), so customers stabilize at the teleport mass after
+    iteration 1 and the supplier update inputs repeat from iteration 3
+    — the loop measures delta 0 at i=3 on ANY scale factor, which is
+    the iteration count the oracle pins (unrolled, same integer
+    recurrence). Unlike graph_pagerank_2iter this returns ALL nodes
+    (no rank floor), so the two registered outputs differ.
+    Non-bipartite convergence (more supersteps) is exercised in
+    tests/test_graph_semantics.py against an independent reference."""
+    ranks, _ = pagerank_converged(spark, _edges(spark, sf_dir))
+    return ranks.select("node", F.col("r").alias("rank_ppb"))
+
+
+@registry.query(
+    "graph_bipartite_butterflies",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    pairs AS (
+        SELECT a.dst AS s1, b.dst AS s2
+        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst),
+    w AS (SELECT s1, s2, COUNT(*) AS w FROM pairs GROUP BY s1, s2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS co_pairs,
+           CAST(SUM(w) AS BIGINT) AS wedges,
+           CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS butterflies
+    FROM w
+    """,
+)
+def graph_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2x2 biclique) census of the bipartite purchase graph —
+    the bipartite analog of triangle counting, the standard cohesion
+    measure for user-item graphs. Wedges: supplier pairs co-purchased
+    by one customer, mined by an EQUALITY self-join on the customer key
+    (market-basket shape — C(degree, 2) per customer, never corpus
+    all-pairs; a production run caps per-customer degree like dedup's
+    df cap). Butterflies: sum over supplier pairs of C(wedge_count, 2),
+    map-side-combined. All counts exact integers.
+
+    Reference parity: the reference has no graph analytics; this row
+    extends the driver-mandated LLM-pipeline surface (co-occurrence
+    structure over interaction logs).
+    """
+    return butterfly_census(_edges(spark, sf_dir))
+
+
+def butterfly_census(edges: DataFrame) -> DataFrame:
+    """Core census over ``(src, dst)`` bipartite edges (distinct)."""
+    a, b = edges.alias("a"), edges.alias("b")
+    pairs = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(F.col("a.dst").alias("s1"), F.col("b.dst").alias("s2"))
+    w = pairs.groupBy("s1", "s2").agg(F.count("*").alias("w"))
+    return w.agg(
+        F.count("*").cast("bigint").alias("co_pairs"),
+        F.sum("w").cast("bigint").alias("wedges"),
+        F.sum(F.expr("w * (w - 1) div 2")).cast("bigint").alias("butterflies"),
+    )

@@ -453,3 +453,67 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(cnt) div count(*)").cast("bigint").alias("familiarity"),
         )
     )
+
+
+@registry.query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT t.word AS w, COUNT(*) AS cnt
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(word)
+        WHERE t.word <> ''
+        GROUP BY t.word),
+    pairs AS (
+        SELECT substr(w, g.i, 1) AS l, substr(w, g.i + 1, 1) AS r, cnt
+        FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        WHERE length(w) >= 2)
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY l, r
+    ORDER BY pair_count DESC, l, r LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE vocabulary training: corpus-weighted
+    adjacent-symbol pair counts (here the character-level first round —
+    the pair a real trainer would merge next is the argmax row). The
+    word-frequency table is the classic BPE compression: pair counting
+    runs over DISTINCT words weighted by occurrence count, not over
+    every token occurrence — at 100 TB the per-round working set is the
+    vocabulary (Zipf: millions), not the corpus (trillions of tokens).
+
+    Plan: tokenize/explode is narrow; one shuffle to word grain
+    (map-side combined — Zipf head words pre-sum per partition); the
+    pair explode is narrow over the vocabulary; one map-side-combined
+    pair aggregation (alphabet² keys at most); TakeOrdered for the
+    deterministic top-50 (ties broken by the pair itself). No UDF, no
+    driver-side vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS l, "
+                    "substring(w, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+    )
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "l", "r")
+        .limit(50)
+    )

@@ -417,3 +417,53 @@ def test_running_z_uses_only_prior_events(spark):
     got = {r.user_id: (r.n_scored, r.n_anomalies)
            for r in _rows(spark, "events_anomaly_running_z")}
     assert got == expect
+
+
+def test_bpe_pair_counts_brute_force_equivalence(spark):
+    # Independent python recount: word-frequency-weighted adjacent char
+    # pairs over the lowercased alpha tokenization.
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        for w in re.split(r"[^a-z]+", r.text.lower()):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, cnt in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += cnt
+    want = sorted(
+        ((c, l, r) for (l, r), c in pairs.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+    got = [
+        (r.pair_count, r.l, r.r) for r in _rows(spark, "text_bpe_pair_counts")
+    ]
+    assert got == want
+
+
+def test_profile_column_stats_shape_and_known_values(spark):
+    rows = {r.column_name: r for r in _rows(spark, "profile_column_stats")}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    ok = rows["o_orderkey"]
+    keys = [r.o_orderkey for r in orders]
+    assert ok.n_nulls == sum(k is None for k in keys)
+    assert ok.n_distinct == len({k for k in keys if k is not None})
+    assert ok.min_value == str(min(keys))
+    assert ok.max_value == str(max(keys))
+    st = rows["o_orderstatus"]
+    statuses = [r.o_orderstatus for r in orders if r.o_orderstatus is not None]
+    assert st.n_distinct == len(set(statuses))
+    assert st.min_value == min(statuses)
+    # totalprice is pinned through DECIMAL(18,2): two fraction digits.
+    assert rows["o_totalprice"].max_value.split(".")[1].__len__() == 2

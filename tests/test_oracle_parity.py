@@ -57,7 +57,7 @@ def test_rotation_front_loads_never_sampled_queries():
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json")))
+    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")))
     if not arts:
         pytest.skip("no prior driver artifacts in this checkout")
     sampled: set[str] = set()

@@ -653,3 +653,25 @@ def test_route_fanout_salts_above_broadcast_gate(spark, monkeypatch):
     plan = plan_of(spark, "route_fanout")
     assert "salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_takeordered_no_cross(spark):
+    plan = plan_of(spark, "text_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan  # top-50 never global-sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_pass_over_orders(spark):
+    plan = plan_of(spark, "profile_column_stats")
+    import re
+
+    # One scan of orders feeding an Expand-based multi-distinct — the
+    # whole 6x4 profile in one aggregation pipeline, not 6 passes.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_butterfly_census_equi_join_only(spark):
+    plan = plan_of(spark, "graph_bipartite_butterflies")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
