@@ -37,11 +37,11 @@ SF0001 = "/root/testdata/sf0.001"
 # go to the 48 queries never sampled in CORRECTNESS_r01-r05 — the
 # families displaced in r05 (similarity, the 12-query text battery,
 # multimodal, UDF surface, auth, sampling/splits, sources/sinks).
-# Deferred to round 7 (the final 8 never-sampled): the tpch_more picks
-# (q7/q8/q13/q15/q19/q22/min_cost_supplier) and agg_unpivot — the
-# family whose relational surface has the longest driver-green history
-# (q1-q18 core sampled green since r01), i.e. the lowest marginal
-# information of the 48. Queries not listed keep their import order
+# Deferred to round 7 (the final 9 never-sampled): the tpch_more picks
+# (q7/q8/q13/q15/q19/q22/min_cost_supplier), agg_unpivot, and
+# events_sessionize_batch — the families whose relational/window
+# surface has the longest driver-green history (q1-q18 core sampled
+# green since r01), i.e. the lowest marginal information of the 48. Queries not listed keep their import order
 # after these; nothing is removed — the full local gate
 # (tools/check_oracle.py) still checks all of them.
 DRIVER_PRIORITY = [
@@ -50,6 +50,7 @@ DRIVER_PRIORITY = [
     "graph_bipartite_butterflies",
     "text_bpe_pair_counts",
     "profile_column_stats",
+    "dedup_simhash_capped",
     # changed this round -- re-prove via driver
     "route_fanout",
     "route_fanout_salted",
@@ -104,7 +105,6 @@ DRIVER_PRIORITY = [
     "agg_skew_profile",
     "audit_referential_integrity",
     "events_densified_hourly",
-    "events_sessionize_batch",
 ]
 
 

@@ -18,7 +18,7 @@ UDFs — so whole-stage codegen applies end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quty_server_spark.functions.hashing import (
@@ -657,6 +657,29 @@ def min_label_components(
     return labels, rounds
 
 
+def simhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode 48-bit signatures into 4 x 12-bit pigeonhole bands,
+    carrying ``sig`` through so the verify stage never re-joins the
+    signature aggregation (see dedup_simhash plan note)."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("sig"), 12 * b)
+                        .bitwiseAND(4095)
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_val")
+
+
 @registry.query(
     "dedup_simhash",
     oracle=f"""
@@ -696,21 +719,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cost: +8 bytes per exploded band row — negligible against two
     # aggregations and a wider distinct at any scale.
     sigs = simhash_sigs(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("sig"), 12 * b).bitwiseAND(4095).alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_val")
+    bands = simhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -893,3 +902,74 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_dist"),
     )
     return pairs.filter(F.col("edit_dist") <= 16)
+
+
+# Saturated band buckets are the SimHash analog of stop-shingles: a
+# bucket holding b docs contributes C(b, 2) candidate rows, and on a
+# realistic Zipf-vocabulary corpus the 4 x 4096-bucket space saturates —
+# tools/diverse_corpus.py measures the uncapped candidate join growing
+# ~3.9x per corpus doubling (quadratic) while MinHash-LSH and df-capped
+# shingle blocks stay ~2x (linear). Dropping buckets larger than the cap
+# bounds the join at CAP * n_buckets rows. The cap is visible in the
+# results (pairs whose only shared intact band is saturated are not
+# proposed), so the oracle applies the IDENTICAL cap (QUALIFY) — this is
+# the documented candidate-generation contract at scale, not a silent
+# approximation. Fixture sf0.01: 494 buckets, median size 1, head ~167;
+# cap 32 keeps the discriminative tail and drops the degenerate head.
+SIMHASH_BUCKET_CAP = 32
+
+
+@registry.query(
+    "dedup_simhash_capped",
+    oracle=f"""
+    WITH {SQL_SIMHASH},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+        QUALIFY COUNT(*) OVER (PARTITION BY b.band_id,
+                               (sig >> (12 * b.band_id)) & 4095)
+                <= {SIMHASH_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash's 100 TB candidate-generation contract: identical
+    banding and Hamming verify, but band buckets larger than
+    SIMHASH_BUCKET_CAP are dropped from the candidate universe before
+    the self-join (both engines apply the cap, so the oracle is exact).
+
+    Plan: bucket sizes come from a window count partitioned by the SAME
+    (band_id, band_val) key the self-join shuffles on, so the cap costs
+    no extra exchange — the window's sort-partitioning is reused by the
+    join."""
+    bands = simhash_bands(simhash_sigs(spark, sf_dir))
+    bands = bands.withColumn(
+        "bsz",
+        F.count("*").over(Window.partitionBy("band_id", "band_val")),
+    ).filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )

@@ -68,3 +68,40 @@ def test_min_label_components_two_components(spark):
     labels, _ = D.min_label_components(spark, pairs)
     got = {r.node: r.lbl for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_simhash_capped_is_subset_of_uncapped(spark):
+    import __spark_entry__ as se
+    from tests.conftest import SF_DIR
+
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in se.queries()["dedup_simhash"](spark, SF_DIR).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in se.queries()["dedup_simhash_capped"](spark, SF_DIR).collect()
+    }
+    assert capped <= full
+    # The fixture's degenerate vocabulary saturates head buckets, so the
+    # cap must actually bite here (it is NOT vacuous like the df cap).
+    assert len(capped) < len(full)
+
+
+def test_banded_candidates_linear_on_diverse_corpus(spark, tmp_path):
+    # The 100 TB selectivity claim: on a realistic-vocabulary corpus the
+    # banded candidate joins grow ~linearly with corpus size. Deterministic
+    # seeded corpora -> exact, reproducible counts.
+    from tools.diverse_corpus import generate, measure
+
+    small = generate(str(tmp_path / "a"), 1500)
+    big = generate(str(tmp_path / "b"), 3000)
+    ms = measure(spark, small)
+    mb = measure(spark, big)
+    # linear candidate growth for the df-capped and minhash generators:
+    # a 2x corpus yields < 3x candidates (quadratic would be ~4x).
+    assert mb["minhash_pairs"] < 3 * ms["minhash_pairs"]
+    assert mb["ngram_block_pairs"] < 3 * ms["ngram_block_pairs"]
+    # and the uncapped simhash join demonstrates the saturation the
+    # bucket cap exists for: super-linear growth on the same corpus.
+    assert mb["simhash_pairs"] > 3 * ms["simhash_pairs"]

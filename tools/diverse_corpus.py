@@ -1,0 +1,196 @@
+"""Synthetic DIVERSE document corpus + banded-join sparsity probe.
+
+The driver fixture's documents table has a ~31-word vocabulary, which
+makes every document near-identical: every MinHash/SimHash band bucket
+is dense, so the fixture can never demonstrate the property the 100 TB
+dedup design rests on — that banded candidate joins stay ~LINEAR in
+corpus size on realistic data because buckets are sparse. This tool
+manufactures that evidence:
+
+1. ``generate(out_dir, n_docs)``: a deterministic corpus with a
+   realistic vocabulary (~30k pseudo-words, Zipf-distributed token
+   frequencies, 60-180 tokens/doc) and a controlled 5% near-duplicate
+   rate (a dup copies an earlier doc and rewrites ~10% of its tokens) —
+   written as ``documents.parquet`` with the fixture schema, so every
+   registered dedup operator runs on it unchanged via its sf_dir
+   argument.
+2. ``main()``: for a doubling ladder of corpus sizes, measure DISTINCT
+   candidate-pair counts for the three banded candidate generators
+   (MinHash-LSH bands, SimHash pigeonhole bands, df-capped shingle
+   blocks) and print pairs-per-doc. Linear scaling shows as a ~2x pair
+   step per 2x docs (pairs/doc roughly flat); a dense-bucket blowup
+   would show ~4x steps (quadratic). Results are recorded in
+   SCALING.md.
+
+Usage: python tools/diverse_corpus.py [--sizes 12500,25000,50000,100000]
+       [--json PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 20260814
+VOCAB_SIZE = 30_000
+ZIPF_EXPONENT = 1.07  # classic English-like rank-frequency slope
+DOC_LEN_LO, DOC_LEN_HI = 60, 180
+DUP_EVERY = 20  # every 20th doc is a near-dup of the previous doc
+DUP_MUTATE = 0.10  # fraction of tokens rewritten in a near-dup
+
+_SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne",
+    "po", "qua", "ri", "so", "tu", "ve", "wi", "xo", "yu", "za",
+    "bra", "cle", "dri", "fla", "gre", "pli", "sto", "tra", "vle", "wro",
+]
+
+
+def _vocab(rng: np.random.Generator) -> np.ndarray:
+    """~30k distinct pseudo-words built from 2-4 syllables."""
+    words: set[str] = set()
+    syl = np.array(_SYLLABLES)
+    while len(words) < VOCAB_SIZE:
+        need = VOCAB_SIZE - len(words)
+        parts = rng.integers(0, len(syl), size=(need * 2, 4))
+        n_syl = rng.integers(2, 5, size=need * 2)
+        for row, k in zip(parts, n_syl):
+            words.add("".join(syl[row[:k]]))
+            if len(words) >= VOCAB_SIZE:
+                break
+    return np.array(sorted(words))
+
+
+def generate(out_dir: str, n_docs: int, seed: int = SEED) -> str:
+    """Write ``documents.parquet`` (fixture schema) under ``out_dir``."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    p = 1.0 / ranks**ZIPF_EXPONENT
+    p /= p.sum()
+
+    lens = rng.integers(DOC_LEN_LO, DOC_LEN_HI + 1, size=n_docs)
+    texts: list[str] = []
+    prev_tokens: np.ndarray | None = None
+    for i in range(n_docs):
+        if i % DUP_EVERY == DUP_EVERY - 1 and prev_tokens is not None:
+            toks = prev_tokens.copy()
+            n_mut = max(1, int(len(toks) * DUP_MUTATE))
+            pos = rng.choice(len(toks), size=n_mut, replace=False)
+            toks[pos] = rng.choice(VOCAB_SIZE, size=n_mut, p=p)
+        else:
+            toks = rng.choice(VOCAB_SIZE, size=lens[i], p=p)
+        prev_tokens = toks
+        texts.append(" ".join(vocab[toks]))
+
+    langs = np.where(rng.random(n_docs) < 0.8, "en", "de")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(
+                [f"web{int(i) % 7}" for i in range(n_docs)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def measure(spark, sf_dir: str) -> dict[str, int]:
+    """Distinct candidate-pair counts of the three banded generators."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.dedup import (
+        _pair_overlap_from,
+        doc_shingles,
+        minhash_candidates,
+        simhash_bands,
+        simhash_sigs,
+    )
+
+    sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    minhash_pairs = minhash_candidates(spark, sf_dir, sh).count()
+    ngram_pairs = _pair_overlap_from(sh).count()
+    bands = simhash_bands(simhash_sigs(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    simhash_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    return {
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ngram_block_pairs": ngram_pairs,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="12500,25000,50000,100000")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from quty_server_spark.session import get_spark
+
+    spark = get_spark("diverse-corpus-probe")
+    rows = []
+    base = tempfile.mkdtemp(prefix="quty_diverse_")
+    for n in sizes:
+        d = os.path.join(base, f"n{n}")
+        t0 = time.time()
+        generate(d, n)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        counts = measure(spark, d)
+        row = {
+            "n_docs": n,
+            **counts,
+            **{
+                k.replace("_pairs", "_per_doc"): round(v / n, 3)
+                for k, v in counts.items()
+            },
+            "gen_s": round(gen_s, 1),
+            "measure_s": round(time.time() - t0, 1),
+        }
+        rows.append(row)
+        print(row, file=sys.stderr)
+    for prev, cur in zip(rows, rows[1:]):
+        cur["minhash_step"] = round(
+            cur["minhash_pairs"] / max(prev["minhash_pairs"], 1), 2
+        )
+        cur["simhash_step"] = round(
+            cur["simhash_pairs"] / max(prev["simhash_pairs"], 1), 2
+        )
+        cur["ngram_step"] = round(
+            cur["ngram_block_pairs"] / max(prev["ngram_block_pairs"], 1), 2
+        )
+    out = json.dumps({"seed": SEED, "sizes": rows})
+    print(out)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
