@@ -53,6 +53,10 @@ HEADLINE = [
     "doc_chunk_overlap",
     "orders_market_basket",
     "graph_pagerank_2iter",
+    # round-6 additions
+    "graph_pagerank_converged",
+    "dedup_simhash_capped",
+    "text_bpe_pair_counts",
 ]
 
 
