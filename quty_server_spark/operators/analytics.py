@@ -1472,3 +1472,88 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"
     )
     return wide.selectExpr(stack)
+
+
+@registry.query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.t_signup
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY e.user_id),
+    d1 AS (SELECT (epoch_us(c.t_click) - epoch_us(s.t_signup))
+                  // 1000000 AS sec
+           FROM c JOIN s ON c.user_id = s.user_id),
+    d2 AS (SELECT (epoch_us(p.t_purchase) - epoch_us(c.t_click))
+                  // 1000000 AS sec
+           FROM p JOIN c ON p.user_id = c.user_id)
+    SELECT 'signup_to_click' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(sec, 0.5), 4) AS median_sec,
+           ROUND(quantile_cont(sec, 0.9), 4) AS p90_sec
+    FROM d1
+    UNION ALL
+    SELECT 'click_to_purchase', CAST(COUNT(*) AS BIGINT),
+           ROUND(quantile_cont(sec, 0.5), 4), ROUND(quantile_cont(sec, 0.9), 4)
+    FROM d2
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_user_funnel's latency companion: how LONG each conversion
+    step takes — integer-second deltas between a user's funnel stage
+    timestamps, summarized as exact interpolated median/p90 per stage
+    (Spark `percentile` == DuckDB `quantile_cont` on the same integers,
+    so the doubles agree bit-for-bit).
+
+    Scale: all three stage aggregations and both delta joins are keyed
+    by user_id — one hash partitioning reused end-to-end, then each
+    stage reduces to a single row; the final frame is a 2-row union."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d1 = c.join(s, "user_id").select(
+        F.expr(
+            "(unix_micros(t_click) - unix_micros(t_signup)) div 1000000"
+        ).alias("sec")
+    )
+    d2 = p.join(c, "user_id").select(
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000"
+        ).alias("sec")
+    )
+
+    def _stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.expr("percentile(sec, 0.5)"), 4).alias("median_sec"),
+            F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_sec"),
+        )
+
+    return _stage(d1, "signup_to_click").unionByName(
+        _stage(d2, "click_to_purchase")
+    )

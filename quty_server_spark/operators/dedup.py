@@ -973,3 +973,66 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+# Case/whitespace-mangled copies for the normalized-dedup exercise:
+# every doc_id % 7 == 0 document reappears uppercased with doubled
+# spaces under doc_id + 2000000. Exact md5 dedup cannot see these;
+# normalization collapses them. Deterministic and SQL-replicable.
+SQL_MANGLED = """
+mangled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           replace(upper(text), ' ', '  ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+@registry.query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH {SQL_MANGLED}
+    SELECT md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM mangled
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup — the standard first pass of a web
+    corpus pipeline (case folding, punctuation strip, whitespace
+    collapse) that catches trivially-mangled exact copies plain md5
+    misses. Returns only groups that actually collapsed (HAVING > 1).
+
+    Scale: identical to dedup_exact — the shuffle key is the 32-char
+    digest of the NORMALIZED text (computed scan-side by JVM regexp
+    builtins), partial aggregation collapses copies map-side. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all
+    default — a normalization-contract detail both engines must agree
+    on byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.replace(F.upper("text"), F.lit(" "), F.lit("  ")).alias("text"),
+    )
+    corpus = d.unionByName(copies)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        corpus.groupBy(F.md5(norm).alias("norm_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

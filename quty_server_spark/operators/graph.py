@@ -263,7 +263,7 @@ def pagerank_converged(
         delta = (
             new.join(side(ranks.withColumnRenamed("r", "r_prev")), "node")
             .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
-            .collect()[0]["d"]
+            .first()["d"]
         )
         ranks = new
         rounds = i

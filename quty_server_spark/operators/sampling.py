@@ -95,3 +95,27 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@registry.query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {sql_hash28("'salt4|' || CAST(doc_id AS VARCHAR)")} % 1000
+          < CASE WHEN lang = 'en' THEN 50 ELSE 200 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing Bernoulli sample — the training-mix op: the
+    head language ('en') keeps 5 percent, every tail language 20
+    percent, so the sampled mix flattens toward uniform. The rate is a
+    literal CASE over the stratum column (no join, no shuffle — a pure
+    narrow filter the parquet scan can evaluate), and membership is the
+    same salted-hash band device as sample_bernoulli_hash:
+    layout-independent, replayable, append-stable, independent of other
+    salts. At 100 TB this is a full-scan filter with zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("salt4|"), F.col("doc_id").cast("string"))
+    rate = F.when(F.col("lang") == "en", 50).otherwise(200)
+    return d.filter(hash28(key) % 1000 < rate).select("doc_id", "lang")

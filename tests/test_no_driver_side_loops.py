@@ -45,6 +45,10 @@ EXEMPT: set[tuple[str, str, str]] = {
     # only the single count crosses to the driver (the standard
     # driver-coordinated BSP idiom).
     ("quty_server_spark/operators/dedup.py", "min_label_components", "first"),
+    # Same BSP idiom: the per-iteration L1 rank delta is a 1-row SUM
+    # aggregate whose action also materializes the iteration's lazy
+    # checkpoint; only that scalar crosses to the driver.
+    ("quty_server_spark/operators/graph.py", "pagerank_converged", "first"),
 }
 
 
