@@ -1557,3 +1557,52 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     return _stage(d1, "signup_to_click").unionByName(
         _stage(d2, "click_to_purchase")
     )
+
+
+@registry.query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, the flat-window form: each user's
+    event stream yields its length-3 sliding paths (trigrams over the
+    (ts, event_id)-ordered sequence — the deterministic tiebreak both
+    engines state), counted globally and top-20 by support with a
+    total-order tiebreak so LIMIT is engine-independent.
+
+    Scale: one shuffle to user grain for the sequence window, one
+    map-side-combined aggregation over the |types|^3-bounded path space
+    (125 keys here), TakeOrdered for the top-k — the corpus is never
+    joined against itself, unlike a naive subsequence self-join."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

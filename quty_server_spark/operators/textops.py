@@ -517,3 +517,53 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "l", "r")
         .limit(50)
     )
+
+
+@registry.query(
+    "text_lexicon_sentiment",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ('fast', 'big'))) AS pos_hits,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ('slow', 'small', 'dup'))) AS neg_hits,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+    SELECT doc_id, CAST(pos_hits AS BIGINT) AS pos_hits,
+           CAST(neg_hits AS BIGINT) AS neg_hits,
+           CAST(pos_hits * 1000000 // n_tok
+                - neg_hits * 1000000 // n_tok AS BIGINT) AS polarity_ppm
+    FROM scored
+    """,
+)
+def text_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment/polarity scoring — the classic
+    dictionary-counting text op (quality gates often use the same shape
+    for toxicity/keyword lexicons). Positive and negative hit counts
+    come from higher-order `filter` lambdas over the token array —
+    entirely narrow, ZERO shuffles, evaluated inside the parquet scan's
+    codegen stage; at 100 TB this is a pure map over the corpus.
+    Polarity is integer ppm of tokens; each division is non-negative
+    before the subtraction so Spark's truncating `div` and DuckDB's
+    flooring `//` agree (negative-numerator floor-vs-trunc is a real
+    cross-engine divergence this phrasing sidesteps)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos = F.size(F.expr("filter(split(text, ' '), x -> x IN ('fast', 'big'))"))
+    neg = F.size(
+        F.expr("filter(split(text, ' '), x -> x IN ('slow', 'small', 'dup'))")
+    )
+    ppm = (
+        "cast(size(filter(split(text, ' '), x -> x IN ('fast', 'big'))) "
+        "     AS BIGINT) * 1000000 div size(split(text, ' ')) "
+        "- cast(size(filter(split(text, ' '), "
+        "             x -> x IN ('slow', 'small', 'dup'))) AS BIGINT) "
+        "  * 1000000 div size(split(text, ' '))"
+    )
+    return d.select(
+        "doc_id",
+        pos.cast("bigint").alias("pos_hits"),
+        neg.cast("bigint").alias("neg_hits"),
+        F.expr(ppm).cast("bigint").alias("polarity_ppm"),
+    )
