@@ -675,3 +675,33 @@ def test_butterfly_census_equi_join_only(spark):
     plan = plan_of(spark, "graph_bipartite_butterflies")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lexicon_sentiment_zero_exchange_narrow_plan(spark):
+    import re
+
+    plan = plan_of(spark, "text_lexicon_sentiment")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+
+
+def test_stratified_hash_sampler_zero_exchange(spark):
+    import re
+
+    plan = plan_of(spark, "sample_stratified_hash")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_top_paths_takeordered_bounded_agg(spark):
+    plan = plan_of(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_normalized_dedup_single_digest_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "dedup_exact_normalized")
+    # union -> md5(normalized) grouping: exactly one exchange, keyed on
+    # the digest (documents never shuffle whole).
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
