@@ -27,22 +27,33 @@ SF0001 = "/root/testdata/sf0.001"
 # The driver's correctness artifact samples the first ~50 registered
 # queries, so registration order IS driver coverage. Round-6 rotation
 # (the verification-closing round — VERDICT r05 "What's missing" #1):
-# (1) the 4 operators NEW this round (never existed before r06);
-# (2) the 5 queries whose code changed this round — the broadcast gates
-# on route_fanout / graph_pagerank_2iter, the salted-twin refactor, and
-# the two ADVICE NULL-semantics fixes (events_ab_test_lift,
-# dedup_fuzzy_levenshtein) — all r05-green but modified, so re-proven;
+# (1) the 5 structurally-riskiest of the 10 operators NEW this round
+# (iterative convergence loop, windowed bucket cap, Expand-based
+# multi-distinct, wedge self-join, vocabulary pair explode); the other
+# 5 round-6 additions (dedup_exact_normalized, sample_stratified_hash,
+# events_funnel_time_to_convert, events_top_paths,
+# text_lexicon_sentiment) are simple narrow/single-shuffle shapes,
+# locally oracle-verified at sf0.01 (CORRECTNESS_LOCAL_r06.json), and
+# lead the round-7 head;
+# (2) the 4 queries whose code changed this round — the broadcast gates
+# on route_fanout / graph_pagerank_2iter and the two ADVICE
+# NULL-semantics fixes (events_ab_test_lift, dedup_fuzzy_levenshtein)
+# — all r05-green but modified, so re-proven (route_fanout_salted's
+# shared-helper refactor is covered transitively: route_fanout's
+# fallback IS that helper, plan-pinned both ways);
 # (3) one long-green canary (flagship) so a comparator regression on
-# the old surface stays externally detectable; (4) all remaining slots
-# go to the 48 queries never sampled in CORRECTNESS_r01-r05 — the
-# families displaced in r05 (similarity, the 12-query text battery,
-# multimodal, UDF surface, auth, sampling/splits, sources/sinks).
-# Deferred to round 7 (the final 9 never-sampled): the tpch_more picks
-# (q7/q8/q13/q15/q19/q22/min_cost_supplier), agg_unpivot, and
-# events_sessionize_batch — the families whose relational/window
-# surface has the longest driver-green history (q1-q18 core sampled
-# green since r01), i.e. the lowest marginal information of the 48. Queries not listed keep their import order
-# after these; nothing is removed — the full local gate
+# the old surface stays externally detectable; (4) the remaining 40
+# slots go to the 48 queries never sampled in CORRECTNESS_r01-r05 —
+# the families displaced in r05 (similarity, the 12-query text
+# battery, multimodal, UDF surface, auth, sampling/splits,
+# sources/sinks) — bringing the old 194-query surface to 186/194
+# cumulative driver-verified.
+# Deferred to round 7 (the final 8 never-sampled of the old surface):
+# the tpch_more picks (q7/q8/q13/q15/q19/q22/min_cost_supplier) and
+# agg_unpivot — the family whose relational surface has the longest
+# driver-green history (q1-q18 core sampled green since r01), i.e. the
+# lowest marginal information of the 48. Queries not listed keep their
+# import order after these; nothing is removed — the full local gate
 # (tools/check_oracle.py) still checks all of them.
 DRIVER_PRIORITY = [
     # new this round (never existed before r06)
@@ -53,7 +64,6 @@ DRIVER_PRIORITY = [
     "dedup_simhash_capped",
     # changed this round -- re-prove via driver
     "route_fanout",
-    "route_fanout_salted",
     "graph_pagerank_2iter",
     "events_ab_test_lift",
     "dedup_fuzzy_levenshtein",
@@ -105,6 +115,7 @@ DRIVER_PRIORITY = [
     "agg_skew_profile",
     "audit_referential_integrity",
     "events_densified_hourly",
+    "events_sessionize_batch",
 ]
 
 

@@ -1571,7 +1571,8 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
                      ORDER BY CAST(ts AS TIMESTAMP), event_id)),
     paths AS (
         SELECT event_type || '>' || e2 || '>' || e3 AS path
-        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        FROM seq WHERE event_type IS NOT NULL
+                   AND e2 IS NOT NULL AND e3 IS NOT NULL)
     SELECT path, CAST(COUNT(*) AS BIGINT) AS n
     FROM paths GROUP BY path
     ORDER BY n DESC, path LIMIT 20
@@ -1596,10 +1597,20 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    ).filter(
+        # All three legs non-null in BOTH engines, and NULL-propagating
+        # concat (not concat_ws, which would silently skip a NULL leg
+        # while the oracle's || nulls the whole path) — the same
+        # cross-engine NULL contract as dedup_fuzzy_levenshtein's key.
+        F.col("event_type").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+    )
     return (
         seq.select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            F.concat(
+                "event_type", F.lit(">"), "e2", F.lit(">"), "e3"
+            ).alias("path")
         )
         .groupBy("path")
         .agg(F.count("*").cast("bigint").alias("n"))

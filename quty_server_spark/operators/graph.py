@@ -11,9 +11,13 @@ slack. Damping is the standard 0.85 as the integer ratio 85/100.
 
 Scale design: each iteration is one equality join (ranks ⋈ edges on the
 source key) plus one aggregation by destination — the exact shape GraphX /
-Pregel lowers to. Iterations are unrolled (fixed k=2) so the oracle is
-plain SQL; the open-ended variant would reuse ``dedup_cluster``'s hardened
-BSP loop (checkpoint every k supersteps, convergence via accumulator).
+Pregel lowers to; ``_superstep`` is the single shared lowering. Two
+registered variants: ``graph_pagerank_2iter`` (iterations unrolled so
+the oracle is plain SQL) and ``graph_pagerank_converged`` (open-ended —
+``dedup_cluster``'s hardened BSP loop generalized: lazy local checkpoint
++ single-action L1 delta per superstep, reliable checkpoint cadence,
+broadcast gate with shuffle fallback). ``graph_bipartite_butterflies``
+adds the bipartite motif census.
 """
 
 from __future__ import annotations
@@ -42,6 +46,33 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
+    )
+
+
+def _superstep(
+    edges: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    ranks: DataFrame,
+    side,
+    teleport: int,
+) -> DataFrame:
+    """One damped PageRank update in integer ppb arithmetic — the single
+    place the join/agg lowering lives, shared by the unrolled and the
+    convergence-driven variants so the recurrence cannot drift between
+    them. ``side`` is the broadcast gate (F.broadcast below
+    BROADCAST_NODES_MAX, identity above)."""
+    contrib = (
+        edges.join(side(ranks), edges.src == ranks.node)
+        .join(side(outdeg), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("r div deg")).alias("contrib"))
+    )
+    return nodes.join(side(contrib), nodes.node == contrib.dst, "left").select(
+        "node",
+        (F.lit(teleport) + F.expr("85 * coalesce(contrib, 0) div 100"))
+        .cast("bigint")
+        .alias("r"),
     )
 
 
@@ -108,7 +139,14 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # outdeg feeds every superstep (and, in the converged variant, the
+    # checkpoint-materializing delta job): materialize it once instead of
+    # re-running the edge aggregation per iteration.
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     teleport = (PPB - PPB * 85 // 100) // n_nodes
 
     # The rank/contrib/outdeg tables are all |nodes|-row. Below the
@@ -122,24 +160,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = nodes.select("node", F.lit(PPB // n_nodes).cast("bigint").alias("r"))
     for _ in range(2):
-        contrib = (
-            edges.join(side(ranks), edges.src == ranks.node)
-            .join(side(outdeg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div deg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(side(contrib), nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr("85 * coalesce(contrib, 0) div 100")
-                )
-                .cast("bigint")
-                .alias("r"),
-            )
-        )
+        ranks = _superstep(edges, nodes, outdeg, ranks, side, teleport)
     return ranks.filter(F.col("r") > PPB // 1000).select(
         "node", F.col("r").alias("rank_ppb")
     )
@@ -231,7 +252,11 @@ def pagerank_converged(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     small = n_nodes <= BROADCAST_NODES_MAX
     side = F.broadcast if small else (lambda df: df)
     teleport = TELE // n_nodes
@@ -241,31 +266,23 @@ def pagerank_converged(
     ).localCheckpoint(eager=True)
     rounds = 0
     for i in range(1, max_rounds + 1):
-        contrib = (
-            edges.join(side(ranks), edges.src == ranks.node)
-            .join(side(outdeg), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div deg")).alias("contrib"))
-        )
-        new = nodes.join(side(contrib), nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(teleport) + F.expr("85 * coalesce(contrib, 0) div 100"))
-            .cast("bigint")
-            .alias("r"),
-        )
-        new = (
-            new.checkpoint(eager=False)
-            if i % PAGERANK_CKPT_EVERY == 0
-            else new.localCheckpoint(eager=False)
-        )
-        # Single action: materializes the checkpoint AND returns the L1
-        # delta — no second pass over the rank vector.
+        new = _superstep(edges, nodes, outdeg, ranks, side, teleport)
+        new = new.localCheckpoint(eager=False)
+        # Single action: materializes the (lazy) local checkpoint AND
+        # returns the L1 delta — no second pass over the rank vector.
         delta = (
             new.join(side(ranks.withColumnRenamed("r", "r_prev")), "node")
             .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
             .first()["d"]
         )
         ranks = new
+        if i % PAGERANK_CKPT_EVERY == 0:
+            # Reliable checkpoint AFTER the local materialization: the
+            # write job re-reads executor-cached blocks instead of
+            # recomputing the superstep (dedup.min_label_components'
+            # measured device — a lazy reliable checkpoint + action runs
+            # the lineage twice).
+            ranks = ranks.checkpoint(eager=True)
         rounds = i
         if delta == 0:
             break

@@ -549,7 +549,6 @@ def text_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     flooring `//` agree (negative-numerator floor-vs-trunc is a real
     cross-engine divergence this phrasing sidesteps)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     pos = F.size(F.expr("filter(split(text, ' '), x -> x IN ('fast', 'big'))"))
     neg = F.size(
         F.expr("filter(split(text, ' '), x -> x IN ('slow', 'small', 'dup'))")
