@@ -1875,3 +1875,76 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(PARTITION BY user_id ORDER BY ts, event_id)"
         ).alias("next_purchase_value"),
     )
+
+
+# Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter rule):
+# the selective dimension side builds a bloom filter during planning and
+# the fact scan is pre-filtered with might_contain(xxhash64(key)) BEFORE
+# the shuffle — at 100 TB this skips shuffling the ~96% of lineitem rows
+# whose order is not urgent, the shuffle-join analog of DPP. The rule
+# only fires under size heuristics tuned for real clusters, so the
+# builder scopes the enabling confs to THIS query's planning: Spark
+# memoizes the physical plan on the returned Dataset (QueryExecution is
+# computed once), so forcing executedPlan() while the confs are set
+# bakes the bloom filter + shuffle-join shape into the plan, and the
+# confs are restored before returning — no other query's plan changes.
+_BLOOM_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+@registry.query(
+    "join_bloom_runtime_filtered",
+    oracle=f"""
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {osum('l.l_extendedprice * (1 - l.l_discount)')} AS urgent_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag through a runtime
+    bloom-filter-pruned shuffle join. The bloom filter is transparent
+    (false positives only pre-pass rows the exact join then drops), so
+    the result is byte-identical to the plain join the oracle states —
+    what changes is the PLAN: the lineitem scan carries a
+    might_contain(xxhash64(l_orderkey)) subquery filter, pinned in
+    tests/test_scale_plans.py."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "urgent_revenue"
+            ),
+        )
+    )
+    # get(k, None) distinguishes "explicitly set" from "defaulted": a
+    # defaulted conf is restored by unset(), not by pinning the default
+    # value, so the session is byte-identical afterwards.
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # Force physical planning NOW (memoized on this Dataset) so the
+        # bloom rule sees the enabling confs.
+        j._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return j

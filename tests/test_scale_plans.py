@@ -705,3 +705,18 @@ def test_normalized_dedup_single_digest_shuffle(spark):
     # union -> md5(normalized) grouping: exactly one exchange, keyed on
     # the digest (documents never shuffle whole).
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_bloom_runtime_filter_prunes_fact_scan(spark):
+    # The fact (lineitem) side must carry a might_contain bloom filter
+    # fed by the urgent-orders subquery BEFORE the shuffle join, and the
+    # builder must leave the session confs untouched afterwards.
+    before = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]}
+    plan = plan_of(spark, "join_bloom_runtime_filtered")
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert "might_contain" in plan
+    assert "CartesianProduct" not in plan
+    assert before == after, "builder leaked planning confs into the session"
