@@ -1036,3 +1036,56 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@registry.query(
+    "dedup_decontaminate_ngram",
+    oracle=f"""
+    WITH {SQL_SHINGLES},
+    bench AS (
+        SELECT DISTINCT shingle FROM doc_shingle WHERE doc_id % 5 = 0),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM doc_shingle t JOIN bench USING (shingle)
+        WHERE t.doc_id % 5 <> 0
+        GROUP BY t.doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_sh AS BIGINT) AS n_sh,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) * 2 >= s.n_sh AS contaminated
+    FROM doc_size s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id % 5 <> 0
+    """,
+)
+def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-overlap filter every
+    training pipeline runs before training: docs whose 3-gram shingles
+    overlap the benchmark set (here: doc_id % 5 == 0 plays the
+    benchmark) beyond a relative threshold (>= half the doc's shingles)
+    are flagged. Unlike the pair-mining dedups this is a SET-membership
+    shape: training shingles join the DISTINCT benchmark shingle union
+    — one row per (training doc, shared shingle), never per doc pair.
+
+    Scale: the benchmark side (eval suites) is small by construction —
+    its distinct shingle set broadcasts, so the corpus is never
+    shuffled; the per-doc count map-side combines. If the benchmark
+    ever outgrew broadcast, the same equality join works shuffled."""
+    sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    bench = (
+        sh.filter(F.col("doc_id") % 5 == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 5 != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) * 2 >= F.col("n_sh")).alias(
+            "contaminated"
+        ),
+    )

@@ -720,3 +720,11 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark):
     assert "might_contain" in plan
     assert "CartesianProduct" not in plan
     assert before == after, "builder leaked planning confs into the session"
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    # Set-membership shape: the benchmark shingle union broadcasts; the
+    # training corpus is never shuffled against it pair-wise.
+    plan = plan_of(spark, "dedup_decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
