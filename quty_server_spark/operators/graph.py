@@ -352,3 +352,54 @@ def butterfly_census(edges: DataFrame) -> DataFrame:
         F.sum("w").cast("bigint").alias("wedges"),
         F.sum(F.expr("w * (w - 1) div 2")).cast("bigint").alias("butterflies"),
     )
+
+
+@registry.query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    degs AS (
+        SELECT 'customer_out' AS side, src AS node, COUNT(*) AS deg
+        FROM e GROUP BY src
+        UNION ALL
+        SELECT 'supplier_in', dst, COUNT(*) FROM e GROUP BY dst)
+    SELECT side, CAST(FLOOR(LOG2(deg)) AS INT) AS bucket_pow2,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM degs GROUP BY side, CAST(FLOOR(LOG2(deg)) AS INT)
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the purchase graph in
+    power-of-two buckets, per side (customer out-degree, supplier
+    in-degree) — the heavy-tail check run before sizing any graph
+    workload (a hub bucket far above the median warns of the skewed
+    aggregations the PageRank/butterfly docstrings gate on).
+    floor(log2(deg)) is IEEE-exact on integers (log2 of a power of two
+    is exact; every other value sits strictly between integers), so the
+    bucketing is bit-identical across engines with no decimal device.
+
+    Scale: two map-side-combined degree aggregations over the edge list
+    and a |buckets|-row (~64 max) histogram aggregate — nothing else."""
+    e = _edges(spark, sf_dir)
+    degs = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .withColumn("side", F.lit("customer_out"))
+        .unionByName(
+            e.groupBy(F.col("dst").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .withColumn("side", F.lit("supplier_in"))
+        )
+    )
+    return degs.groupBy(
+        "side", F.floor(F.log2("deg")).cast("int").alias("bucket_pow2")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+    )

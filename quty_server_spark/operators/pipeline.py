@@ -388,3 +388,51 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
         )
     )
+
+
+@registry.query(
+    "doc_quality_gate",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN n_tok < 40 THEN 'too_short'
+                WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+                WHEN n_uniq * 3 < n_tok THEN 'too_repetitive'
+                ELSE 'keep' END AS verdict,
+           CASE WHEN n_tok >= 40 AND lang IN ('en', 'de', 'fr')
+                 AND n_uniq * 3 >= n_tok
+                THEN TRUE ELSE FALSE END AS keep
+    FROM scored
+    """,
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop gate of a training pipeline: every
+    document gets a verdict with the FIRST failing reason (priority:
+    length floor → language allowlist → repetition ceiling — the order
+    operators are cheapest to evaluate), so rejected volume is
+    attributable per rule, which is how real pipelines tune their
+    filters. All-integer/string logic — no floats to diverge.
+
+    Scale: a zero-shuffle narrow map over the corpus; every signal is
+    computed from the token array already in the row, inside the scan's
+    codegen stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    allowed = F.col("lang").isin("en", "de", "fr")
+    verdict = (
+        F.when(n_tok < 40, "too_short")
+        .when(~allowed, "lang_filtered")
+        .when(n_uniq * 3 < n_tok, "too_repetitive")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        ((n_tok >= 40) & allowed & (n_uniq * 3 >= n_tok)).alias("keep"),
+    )

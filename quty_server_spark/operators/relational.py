@@ -1948,3 +1948,37 @@ def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return j
+
+
+@registry.query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median of the value stream per user — the robust
+    smoother dashboards use where a moving AVERAGE would chase
+    outliers. An exact interpolated percentile evaluated as a windowed
+    aggregate over a ROWS frame (Spark `percentile` == DuckDB
+    `quantile_cont`, same device as agg_percentile), with the
+    (ts, event_id) total order both engines state.
+
+    Scale: one shuffle to user grain; the frame is O(1) rows per step,
+    so the window pass is linear — no self-join, no per-row re-sort."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    )

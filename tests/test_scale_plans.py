@@ -728,3 +728,19 @@ def test_decontamination_broadcasts_benchmark_set(spark):
     plan = plan_of(spark, "dedup_decontaminate_ngram")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_median_single_user_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "window_rolling_median")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_quality_gate_zero_exchange(spark):
+    import re
+
+    plan = plan_of(spark, "doc_quality_gate")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
