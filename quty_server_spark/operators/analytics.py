@@ -1617,3 +1617,64 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@registry.query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+        SELECT CAST(t.td AS DATE) AS day, du.user_id
+        FROM du, UNNEST(generate_series(CAST(du.day AS TIMESTAMP),
+                                        CAST(du.day AS TIMESTAMP)
+                                            + INTERVAL 6 DAY,
+                                        INTERVAL 1 DAY)) AS t(td)),
+    wau AS (
+        SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN days d ON c.day = d.day
+        GROUP BY c.day),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7-day active users — the standard engagement
+    pair. The WAU "distinct users over a sliding window" is restated as
+    a narrow EXPLODE: each (day, user) activity row contributes itself
+    to the 7 target days it keeps the user active for, then one
+    count-distinct per target day — an equality-keyed aggregation
+    instead of the day-range theta join (which would plan as a
+    broadcast nested-loop at best). Target days with no activity of
+    their own are dropped by the equality join against the observed-day
+    list, which both engines state identically.
+
+    Scale: activity compacts to user-day grain first (map-side
+    combined); the 7x explode is narrow; both aggregates and the final
+    join share the day key."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+    )

@@ -744,3 +744,9 @@ def test_quality_gate_zero_exchange(spark):
     plan = plan_of(spark, "doc_quality_gate")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
     assert "Join" not in plan
+
+
+def test_dau_wau_no_nested_loop_window_restatement(spark):
+    plan = plan_of(spark, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
