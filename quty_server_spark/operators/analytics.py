@@ -1678,3 +1678,69 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau").cast("bigint").alias("dau"),
         F.col("wau").cast("bigint").alias("wau"),
     )
+
+
+@registry.query(
+    "events_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        FROM events),
+    stats AS (
+        SELECT user_id,
+               COUNT(gap) AS n_gaps,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0))
+                        * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap) >= 20)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           ROUND(sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+                 / (s1 / n_gaps), 6) AS gap_cv,
+           sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+               / (s1 / n_gaps) < 0.1 AS is_regular
+    FROM stats
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation detection by inter-event regularity: per user,
+    the coefficient of variation of the microsecond gaps between
+    consecutive events — humans are bursty (cv near or above 1),
+    schedulers are metronomic (cv near 0). Gap sums and sums of squares
+    are EXACT decimal integers (gap² can reach ~1e24, far past int64 —
+    DECIMAL(38,0) carries it exactly in both engines), so the doubles
+    derived from them — and the cv comparison — are bit-identical.
+
+    Scale: one shuffle to user grain shared by the lag window and the
+    aggregate; the moment math is constant per user."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    g = F.col("gap").cast("decimal(38,0)")
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum(g).cast("double").alias("s1"),
+            F.sum(g * g).cast("double").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    cv = F.sqrt(F.col("s2") / F.col("n_gaps") - mean * mean) / mean
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(cv, 6).alias("gap_cv"),
+        (cv < 0.1).alias("is_regular"),
+    )

@@ -670,3 +670,43 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@registry.query(
+    "embed_norm_outliers",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id,
+               list_dot_product(embedding, embedding) AS norm2
+        FROM embeddings),
+    med AS (SELECT quantile_cont(norm2, 0.5) AS m FROM norms)
+    SELECT n.vec_id, ROUND(n.norm2, 6) AS norm2,
+           n.norm2 < 0.5 * med.m OR n.norm2 > 1.5 * med.m AS outlier
+    FROM norms n, med
+    """,
+)
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA norm check: vectors whose squared L2 norm sits
+    outside ±50% of the corpus median are flagged (truncated inputs,
+    un-normalized batches, and zero vectors all show up here before
+    they poison a similarity index). The fold-based dot product is
+    bit-identical to DuckDB's list_dot_product loop (functions/vectors
+    docstring), the median interpolates identical doubles, so the flag
+    comparison agrees exactly.
+
+    Scale: one narrow pass for norms, a 1-row median aggregate joined
+    back (broadcast nested loop over a single row — the scalar-subquery
+    shape, allowlisted in the plan audit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", dot(as_double(F.col("embedding")), as_double(F.col("embedding"))).alias("norm2")
+    )
+    med = norms.agg(F.expr("percentile(norm2, 0.5)").alias("m"))
+    return norms.crossJoin(broadcast(med)).select(
+        "vec_id",
+        F.round("norm2", 6).alias("norm2"),
+        (
+            (F.col("norm2") < 0.5 * F.col("m"))
+            | (F.col("norm2") > 1.5 * F.col("m"))
+        ).alias("outlier"),
+    )

@@ -51,6 +51,8 @@ BNLJ_JUSTIFIED = {
     "query set (ANN variants are the scale path)",
     "sim_ann_ivf_nprobe2": "probe set x 256-centroid broadcast table "
     "(bounded tiny side by construction)",
+    "embed_norm_outliers": "1-row corpus-median build side (scalar-"
+    "subquery shape)",
 }
 
 

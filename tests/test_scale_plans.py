@@ -750,3 +750,12 @@ def test_dau_wau_no_nested_loop_window_restatement(spark):
     plan = plan_of(spark, "events_dau_wau")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bot_regularity_single_user_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "events_bot_regularity")
+    # lag window + moment aggregate share one user_id partitioning.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
