@@ -27,14 +27,18 @@ SF0001 = "/root/testdata/sf0.001"
 # The driver's correctness artifact samples the first ~50 registered
 # queries, so registration order IS driver coverage. Round-6 rotation
 # (the verification-closing round — VERDICT r05 "What's missing" #1):
-# (1) the 5 structurally-riskiest of the 10 operators NEW this round
+# (1) the 5 structurally-riskiest of the 17 operators NEW this round
 # (iterative convergence loop, windowed bucket cap, Expand-based
 # multi-distinct, wedge self-join, vocabulary pair explode); the other
-# 5 round-6 additions (dedup_exact_normalized, sample_stratified_hash,
+# 12 round-6 additions (dedup_exact_normalized, sample_stratified_hash,
 # events_funnel_time_to_convert, events_top_paths,
-# text_lexicon_sentiment) are simple narrow/single-shuffle shapes,
-# locally oracle-verified at sf0.01 (CORRECTNESS_LOCAL_r06.json), and
-# lead the round-7 head;
+# text_lexicon_sentiment, join_bloom_runtime_filtered,
+# dedup_decontaminate_ngram, window_rolling_median,
+# graph_degree_distribution, doc_quality_gate, events_dau_wau,
+# events_bot_regularity, embed_norm_outliers — narrow/single-shuffle or
+# scalar-subquery shapes) are locally oracle-verified at sf0.01
+# (CORRECTNESS_LOCAL_r06.json) and lead the round-7 head together with
+# the 8 deferred old never-sampled names below;
 # (2) the 4 queries whose code changed this round — the broadcast gates
 # on route_fanout / graph_pagerank_2iter and the two ADVICE
 # NULL-semantics fixes (events_ab_test_lift, dedup_fuzzy_levenshtein)

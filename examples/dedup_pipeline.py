@@ -61,19 +61,20 @@ def main() -> None:
     labels, rounds = min_label_components(
         spark, verified.select("doc_a", "doc_b")
     )
-    clusters = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
-    keepers = labels.groupBy("lbl").agg(F.min("node").alias("keeper"))
+    summary = labels.groupBy("lbl").agg(F.count("*").alias("sz")).agg(
+        F.count("*").alias("n_clusters"), F.max("sz").alias("largest")
+    ).first()
     n_docs_total = spark.read.parquet(
         os.path.join(corpus_dir, "documents.parquet")
     ).count()
     n_clustered = labels.count()
-    n_keep = n_docs_total - n_clustered + keepers.count()
+    n_keep = n_docs_total - n_clustered + summary.n_clusters
 
     print(f"corpus:            {n_docs_total} docs ({corpus_dir})")
     print(f"verified dup pairs: {n_pairs} (jaccard >= 0.5)")
     print(
-        f"clusters:          {keepers.count()} "
-        f"(largest {clusters.agg(F.max('sz')).first()[0]}, "
+        f"clusters:          {summary.n_clusters} "
+        f"(largest {summary.largest}, "
         f"BSP converged in {rounds} supersteps)"
     )
     print(f"surviving corpus:  {n_keep} docs "

@@ -1700,9 +1700,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         HAVING COUNT(gap) >= 20)
     SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-           ROUND(sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+           ROUND(sqrt(GREATEST(0, s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)))
                  / (s1 / n_gaps), 6) AS gap_cv,
-           sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+           sqrt(GREATEST(0, s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)))
                / (s1 / n_gaps) < 0.1 AS is_regular
     FROM stats
     """,
@@ -1737,7 +1737,14 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 20)
     )
     mean = F.col("s1") / F.col("n_gaps")
-    cv = F.sqrt(F.col("s2") / F.col("n_gaps") - mean * mean) / mean
+    # Clamp at 0: for perfectly metronomic gaps the double-arithmetic
+    # variance can land a hair NEGATIVE (catastrophic cancellation),
+    # where sqrt NaNs in Spark and ERRORS in DuckDB — exactly the bot
+    # the operator exists to flag. GREATEST(0, ...) in both engines.
+    var = F.greatest(
+        F.lit(0.0), F.col("s2") / F.col("n_gaps") - mean * mean
+    )
+    cv = F.sqrt(var) / mean
     return stats.select(
         "user_id",
         F.col("n_gaps").cast("bigint").alias("n_gaps"),

@@ -431,8 +431,13 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n_uniq * 3 < n_tok, "too_repetitive")
         .otherwise("keep")
     )
+    # when/otherwise(False), not the bare boolean conjunction: a NULL
+    # text/lang row must be keep=FALSE like the oracle's CASE ... ELSE
+    # FALSE, not keep=NULL (the three-valued-logic divergence class).
     return d.select(
         "doc_id",
         verdict.alias("verdict"),
-        ((n_tok >= 40) & allowed & (n_uniq * 3 >= n_tok)).alias("keep"),
+        F.when((n_tok >= 40) & allowed & (n_uniq * 3 >= n_tok), True)
+        .otherwise(False)
+        .alias("keep"),
     )

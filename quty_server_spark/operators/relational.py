@@ -1935,9 +1935,11 @@ def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defaulted conf is restored by unset(), not by pinning the default
     # value, so the session is byte-identical afterwards.
     saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
     try:
+        # Sets live INSIDE the try: a failure (or interrupt) after the
+        # first set must still restore the session.
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
         # Force physical planning NOW (memoized on this Dataset) so the
         # bloom rule sees the enabling confs.
         j._jdf.queryExecution().executedPlan()

@@ -467,3 +467,44 @@ def test_profile_column_stats_shape_and_known_values(spark):
     assert st.min_value == min(statuses)
     # totalprice is pinned through DECIMAL(18,2): two fraction digits.
     assert rows["o_totalprice"].max_value.split(".")[1].__len__() == 2
+
+
+def test_bot_regularity_metronomic_user_is_flagged(spark, ducks):
+    # A perfect scheduler (identical gaps) drives the double-arithmetic
+    # variance a hair NEGATIVE via cancellation; the clamp must yield
+    # cv = 0.0 / is_regular = true in BOTH engines instead of Spark NaN
+    # + a DuckDB sqrt error. Reproduces the review's confirmed failure
+    # (81 gaps of 86,400,000,000 us -> variance -1048576.0 unclamped).
+    import datetime
+
+    import duckdb
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 7, "click", 1.0, "{}")
+        for i in range(82)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="quty_bot_fixture_")
+    sdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    import __spark_entry__ as se
+
+    got = {
+        r.user_id: r
+        for r in se.queries()["events_bot_regularity"](spark, d).collect()
+    }
+    assert got[7].gap_cv == 0.0 and got[7].is_regular
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    orows = con.execute(se.oracle_sql()["events_bot_regularity"]).fetchall()
+    assert orows == [(7, 81, 0.0, True)]

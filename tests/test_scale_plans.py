@@ -714,6 +714,7 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark):
     before = {k: spark.conf.get(k, None) for k in [
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
     ]}
     plan = plan_of(spark, "join_bloom_runtime_filtered")
     after = {k: spark.conf.get(k, None) for k in before}
