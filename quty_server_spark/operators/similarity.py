@@ -474,7 +474,9 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c)
     SELECT vec_id,
            CAST(FLOOR(scale * 1000000) AS BIGINT) AS scale_micro,
-           list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) AS q8
+           array_to_string(
+               list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)),
+               ',') AS q8
     FROM s
     """,
 )
@@ -484,7 +486,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up on both engines — ROUND differs between them at halves).
     This is the storage/throughput lever for ANN at 100 TB: 4x smaller
     vectors, SIMD-friendly int8 dot products, scale kept for dequantize.
-    Scale is emitted as floor-micros so no float rounding is compared."""
+    Scale is emitted as floor-micros so no float rounding is compared.
+    The quantized vector is emitted comma-joined (scalar string): the
+    driver's pandas canonicalizer cannot hash array-typed output
+    columns (r06 finding); elements are never NULL so concat_ws ==
+    array_to_string exactly."""
     c = _corpus(spark, sf_dir)
     amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
@@ -496,7 +502,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_micro"),
-            q8.alias("q8"),
+            F.concat_ws(",", q8.cast("array<string>")).alias("q8"),
         )
     )
 

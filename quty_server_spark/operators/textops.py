@@ -196,7 +196,7 @@ _SQL_KGRAM_HASH = (
                      range(1, len(kh) - {WINNOW_W} + 2),
                      i -> list_aggregate(kh[i:i+{WINNOW_W - 1}], 'min')))) AS fp
           FROM k)
-    SELECT doc_id, fp, len(fp) AS fp_size FROM w
+    SELECT doc_id, array_to_string(fp, ',') AS fp, len(fp) AS fp_size FROM w
     """,
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +206,11 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     between two documents shares a fingerprint, with ~2/(w+1) selection
     density. Pure array-expression pipeline (transform/slice/array_min),
     one scan, no shuffle; the fingerprint set is the shuffle-friendly
-    join key for plagiarism-style containment detection at scale."""
+    join key for plagiarism-style containment detection at scale.
+    The fingerprint list is emitted comma-joined (scalar string): the
+    driver's pandas canonicalizer cannot hash array-typed output
+    columns (r06 finding), and no element is NULL so concat_ws ==
+    array_to_string exactly."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     kh = F.expr(
@@ -223,8 +227,12 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= WINNOW_W + 2)
         .withColumn("kh", kh)
-        .select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp"))
-        .withColumn("fp_size", F.size("fp"))
+        .select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp_arr"))
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.col("fp_arr").cast("array<string>")).alias("fp"),
+            F.size("fp_arr").alias("fp_size"),
+        )
     )
 
 

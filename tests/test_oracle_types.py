@@ -53,6 +53,19 @@ def test_lint_is_green_on_cast(con):
     ) == []
 
 
+def test_lint_is_red_on_complex_output(con):
+    """Round-6 failure shape: array-typed output columns break the
+    driver's pandas canonicalizer (unhashable numpy.ndarray)."""
+    bad = lint_oracle_types(con, "SELECT [1, 2, 3] AS fp")
+    assert bad and "complex output" in bad[0]
+    bad = lint_oracle_types(con, "SELECT {'a': 1} AS st")
+    assert bad and "complex output" in bad[0]
+    # stringified form is the sanctioned encoding
+    assert lint_oracle_types(
+        con, "SELECT array_to_string([1, 2, 3], ',') AS fp"
+    ) == []
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_emits_spark_types(con, name):
     assert lint_oracle_types(con, ORACLES[name]) == []

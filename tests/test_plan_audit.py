@@ -80,10 +80,16 @@ SIDE_EFFECT_BUILDERS = {
 @pytest.fixture(scope="module")
 def audit(spark):
     flags: dict[str, list[str]] = {}
+    complex_out: dict[str, list[str]] = {}
+    from tools.check_oracle import lint_spark_complex
+
     for name, fn in se.queries().items():
         if name.startswith("stream_") or name in SIDE_EFFECT_BUILDERS:
             continue
         df = fn(spark, SF_DIR)
+        bad = lint_spark_complex(df.schema)
+        if bad:
+            complex_out[name] = bad
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
@@ -98,22 +104,34 @@ def audit(spark):
             hits.append("bnlj")
         if hits:
             flags[name] = hits
-    return flags
+    return {"flags": flags, "complex": complex_out}
 
 
 def test_no_cartesian_products_anywhere(audit):
-    bad = [n for n, h in audit.items() if "cartesian" in h]
+    bad = [n for n, h in audit["flags"].items() if "cartesian" in h]
     assert not bad, f"CartesianProduct in: {bad}"
 
 
 def test_no_row_at_a_time_python_udfs(audit):
-    bad = [n for n, h in audit.items() if "row_python_udf" in h]
+    bad = [n for n, h in audit["flags"].items() if "row_python_udf" in h]
     assert not bad, f"row-wise BatchEvalPython in: {bad}"
+
+
+def test_no_complex_output_columns(audit):
+    # Driver comparator cannot canonicalize array/map/struct outputs
+    # (round-6: embed_quantize_int8, text_winnow_fingerprint). Complex
+    # values stay INSIDE queries; outputs must stringify or explode.
+    assert not audit["complex"], (
+        f"complex-typed output columns in: {audit['complex']} — "
+        f"concat_ws/array_to_string the column or explode to scalar grain"
+    )
 
 
 def test_bnlj_only_where_justified(audit):
     bad = [
-        n for n, h in audit.items() if "bnlj" in h and n not in BNLJ_JUSTIFIED
+        n
+        for n, h in audit["flags"].items()
+        if "bnlj" in h and n not in BNLJ_JUSTIFIED
     ]
     assert not bad, (
         f"unjustified BroadcastNestedLoopJoin in: {bad} — either fix the "
@@ -128,6 +146,6 @@ def test_allowlist_carries_no_dead_entries(audit):
     stale = [
         n
         for n in BNLJ_JUSTIFIED
-        if n not in audit or "bnlj" not in audit.get(n, [])
+        if "bnlj" not in audit["flags"].get(n, [])
     ]
     assert not stale, f"stale BNLJ_JUSTIFIED entries: {stale}"

@@ -85,17 +85,42 @@ def lint_ns_range(cols, rows) -> list[str]:
     return [f"{c}: {v}" for c, v in bad.items()]
 
 
+# Complex (nested) output types. The driver's comparator canonicalizes
+# via pandas sort_values/factorize, which raises "unhashable type:
+# numpy.ndarray" on any array/map/struct cell (round-6 failure:
+# embed_quantize_int8, text_winnow_fingerprint). Complex values are fine
+# INSIDE a query; the OUTPUT must stringify them (concat_ws /
+# array_to_string) or explode to scalar grain.
+COMPLEX_TYPE_MARKERS = ("[]", "STRUCT(", "MAP(", "UNION(", "LIST(")
+
+
 def lint_oracle_types(con, sql: str) -> list[str]:
     """Return ``["col: TYPE", ...]`` for oracle output columns whose DuckDB
-    type Spark cannot emit. Binds the query lazily (schema only — no rows
-    are materialized)."""
+    type Spark cannot emit OR the driver comparator cannot canonicalize
+    (nested list/struct/map). Binds the query lazily (schema only — no
+    rows are materialized)."""
     rel = con.sql(sql)
     bad = []
     for col, typ in zip(rel.columns, rel.types):
         t = str(typ).upper()
         if any(marker in t for marker in NON_SPARK_TYPES):
             bad.append(f"{col}: {t}")
+        elif any(marker in t for marker in COMPLEX_TYPE_MARKERS):
+            bad.append(f"{col}: {t} (complex output — driver comparator "
+                       f"cannot canonicalize; stringify or explode)")
     return bad
+
+
+def lint_spark_complex(schema) -> list[str]:
+    """Return ``["col: type", ...]`` for Spark output columns with nested
+    types (array/map/struct) — the driver comparator errs on these."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def norm_cell(v):
@@ -162,6 +187,17 @@ def main():
                 "rows_match": False, "schema_match": False,
                 "hash_match": False, "spark_rows": None, "oracle_rows": None,
                 "err": f"spark: {type(e).__name__}: {e}"[:200],
+            }
+            continue
+        bad_complex = lint_spark_complex(sdf.schema)
+        if bad_complex:
+            print(f"FAIL  {name}: spark complex-type lint: {', '.join(bad_complex)}")
+            n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"spark complex-type lint: {', '.join(bad_complex)}"[:200],
             }
             continue
         if name not in oracles:
