@@ -848,18 +848,36 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A hot block is the entity-resolution analog of a stop-shingle: a block
+# of b docs pays C(b, 2) levenshtein verifies, and the (lang, first
+# token, length bucket) key concentrates stop-word-initial documents
+# ("the ..."-initial English docs land in few buckets) — at 100 TB one
+# hot block is quadratic. Blocks above the cap are dropped from the
+# candidate universe on BOTH engines (QUALIFY-mirrored), bounding every
+# block at C(16, 2) = 120 verifies — the same contract-and-device as
+# JACCARD_DF_CAP / SIMHASH_BUCKET_CAP. Fixture block sizes: sf0.01
+# median 1 / max 5 (cap dormant), sf0.1 median 3 / p99 14 / max 19 (cap
+# bites on the hot head only); the synthetic hot-block unit test in
+# tests/test_dedup_semantics.py proves the drop semantics directly.
+LEV_BLOCK_CAP = 16
+
+
 @registry.query(
     "dedup_fuzzy_levenshtein",
-    oracle="""
+    oracle=f"""
     WITH keyed AS (
         SELECT doc_id,
                lang || '|' || string_split(text, ' ')[1]
                     || '|' || CAST(n_chars // 64 AS VARCHAR) AS block_key,
                substr(text, 1, 48) AS head
-        FROM documents)
+        FROM documents),
+    capped AS (
+        SELECT doc_id, block_key, head FROM keyed
+        WHERE block_key IS NOT NULL
+        QUALIFY COUNT(*) OVER (PARTITION BY block_key) <= {LEV_BLOCK_CAP})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.head, b.head) AS edit_dist
-    FROM keyed a JOIN keyed b
+    FROM capped a JOIN capped b
       ON a.block_key = b.block_key AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 16
     """,
@@ -869,10 +887,16 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from an EQUALITY self-join on a blocking key (language, first
     token, 64-char length bucket) and only those pairs pay the O(L²)
     levenshtein verify on a 48-char head. The classic entity-resolution
-    shape: never all-pairs — at 100 TB the cost is the blocking
-    shuffle plus per-block pair expansion, bounded by block cardinality
-    (word-frequency-bounded here; a production run would add a
-    block-size cap exactly like dedup_ngram_jaccard's df cap).
+    shape: never all-pairs — blocks above LEV_BLOCK_CAP are dropped
+    before the join on BOTH engines (see cap rationale above), so
+    per-block pair expansion is bounded at C(cap, 2) regardless of how
+    hot a (lang, first-token, length) key gets.
+
+    Plan: the block size comes from a window count partitioned by the
+    SAME block_key the self-join shuffles on — no extra exchange. NULL
+    block keys (NULL lang/text) are filtered explicitly: a NULL key
+    never joins anyway, but the window partition would otherwise count
+    the NULL group and both engines must agree it is not a block.
     """
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
@@ -889,6 +913,13 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / 64).cast("bigint").cast("string"),
         ).alias("block_key"),
         F.substring("text", 1, 48).alias("head"),
+    )
+    keyed = (
+        keyed.filter(F.col("block_key").isNotNull())
+        .withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("block_key"))
+        )
+        .filter(F.col("bsz") <= LEV_BLOCK_CAP)
     )
     a = keyed.alias("a")
     b = keyed.alias("b")

@@ -22,7 +22,7 @@ adds the bipartite motif census.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quty_server_spark.operators._helpers import load_table
@@ -306,16 +306,35 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("rank_ppb"))
 
 
+# Hub customers are the butterfly analog of SimHash's saturated buckets:
+# one customer of degree d contributes C(d, 2) wedge rows, so a single
+# 10^6-degree hub on a 100 TB interaction log is 5x10^11 pairs from ONE
+# key — the whole census is hostage to the hottest vertex. Dropping
+# vertices above the cap bounds per-key expansion at C(CAP, 2) = 2016
+# rows, making the wedge join linear in |V| regardless of skew. The cap
+# is visible in the counts (capped hubs contribute no wedges), so the
+# oracle applies the IDENTICAL cap (QUALIFY on the same degree window) —
+# a documented candidate-generation contract, not a silent
+# approximation, exactly like SIMHASH_BUCKET_CAP / JACCARD_DF_CAP.
+# Fixture degrees: sf0.01 median 33 / max 67, sf0.1 median 38 / max 102;
+# cap 64 keeps >p99 of customers at both SFs while the hottest hubs are
+# provably dropped (so the contract is exercised, not dormant).
+WEDGE_DEGREE_CAP = 64
+
+
 @registry.query(
     "graph_bipartite_butterflies",
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
                         's:' || CAST(l_suppkey AS VARCHAR) AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    capped AS (
+        SELECT src, dst FROM e
+        QUALIFY COUNT(*) OVER (PARTITION BY src) <= {WEDGE_DEGREE_CAP}),
     pairs AS (
         SELECT a.dst AS s1, b.dst AS s2
-        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst),
+        FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst),
     w AS (SELECT s1, s2, COUNT(*) AS w FROM pairs GROUP BY s1, s2)
     SELECT CAST(COUNT(*) AS BIGINT) AS co_pairs,
            CAST(SUM(w) AS BIGINT) AS wedges,
@@ -329,9 +348,10 @@ def graph_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure for user-item graphs. Wedges: supplier pairs co-purchased
     by one customer, mined by an EQUALITY self-join on the customer key
     (market-basket shape — C(degree, 2) per customer, never corpus
-    all-pairs; a production run caps per-customer degree like dedup's
-    df cap). Butterflies: sum over supplier pairs of C(wedge_count, 2),
-    map-side-combined. All counts exact integers.
+    all-pairs), with customers above WEDGE_DEGREE_CAP dropped before
+    the join on BOTH engines (see cap rationale above). Butterflies:
+    sum over supplier pairs of C(wedge_count, 2), map-side-combined.
+    All counts exact integers.
 
     Reference parity: the reference has no graph analytics; this row
     extends the driver-mandated LLM-pipeline surface (co-occurrence
@@ -340,9 +360,19 @@ def graph_bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return butterfly_census(_edges(spark, sf_dir))
 
 
-def butterfly_census(edges: DataFrame) -> DataFrame:
-    """Core census over ``(src, dst)`` bipartite edges (distinct)."""
-    a, b = edges.alias("a"), edges.alias("b")
+def butterfly_census(
+    edges: DataFrame, degree_cap: int = WEDGE_DEGREE_CAP
+) -> DataFrame:
+    """Core census over ``(src, dst)`` bipartite edges (distinct).
+
+    Plan: the degree comes from a window count partitioned by the SAME
+    ``src`` key the wedge self-join shuffles on, so the cap costs no
+    extra exchange — the window's sort-partitioning is reused by the
+    join (the SIMHASH_BUCKET_CAP device, dedup.py)."""
+    capped = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    ).filter(F.col("deg") <= degree_cap)
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = a.join(
         b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
     ).select(F.col("a.dst").alias("s1"), F.col("b.dst").alias("s2"))

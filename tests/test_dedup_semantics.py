@@ -105,3 +105,53 @@ def test_banded_candidates_linear_on_diverse_corpus(spark, tmp_path):
     # and the uncapped simhash join demonstrates the saturation the
     # bucket cap exists for: super-linear growth on the same corpus.
     assert mb["simhash_pairs"] > 3 * ms["simhash_pairs"]
+
+
+def test_levenshtein_block_cap_drops_hot_blocks(spark):
+    # cap+1 near-identical docs share one blocking key (hot block: the
+    # "the ..."-initial pile-up) — every pair would pass the edit-distance
+    # verify, so without the cap this is C(cap+1, 2) result rows. The cap
+    # must drop the whole block while a small block elsewhere survives.
+    from quty_server_spark.operators.dedup import LEV_BLOCK_CAP
+
+    rows = []
+    for i in range(LEV_BLOCK_CAP + 1):
+        rows.append((i, "the common header text", "en", 100))
+    rows.append((1000, "rare opener body", "en", 100))
+    rows.append((1001, "rare opener body x", "en", 100))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    d.createOrReplaceTempView("_lev_cap_docs")
+    import quty_server_spark.operators.dedup as D
+    from unittest import mock
+
+    with mock.patch.object(
+        D, "load_table", lambda spark_, sf, name: d
+    ):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_fuzzy_levenshtein(spark, "ignored").collect()
+        }
+    assert got == {(1000, 1001)}
+
+
+def test_levenshtein_block_cap_null_key_rows_never_join(spark):
+    # NULL lang -> NULL block key: excluded from blocks on both engines
+    # (the oracle filters block_key IS NOT NULL; Spark's window would
+    # otherwise group the NULL partition).
+    from unittest import mock
+
+    import quty_server_spark.operators.dedup as D
+
+    rows = [
+        (1, "same head here", None, 50),
+        (2, "same head here", None, 50),
+        (3, "same head here", "en", 50),
+        (4, "same head here!", "en", 50),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    with mock.patch.object(D, "load_table", lambda spark_, sf, name: d):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_fuzzy_levenshtein(spark, "ignored").collect()
+        }
+    assert got == {(3, 4)}

@@ -93,3 +93,30 @@ def test_butterfly_census_no_duplicate_edges_inflation(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     row = butterfly_census(df).collect()[0]
     assert row.co_pairs == 1 and row.wedges == 1 and row.butterflies == 0
+
+
+def test_butterfly_degree_cap_drops_hub_vertices(spark):
+    # A hub customer of degree cap+1 would contribute C(cap+1, 2) wedge
+    # rows; the cap must remove it from the candidate universe entirely
+    # while low-degree customers keep contributing.
+    from quty_server_spark.operators.graph import WEDGE_DEGREE_CAP
+
+    hub = [("hub", f"s{i}") for i in range(WEDGE_DEGREE_CAP + 1)]
+    ok = [("c1", "s0"), ("c1", "s1"), ("c2", "s0"), ("c2", "s1")]
+    df = spark.createDataFrame(hub + ok, ["src", "dst"])
+    row = butterfly_census(df).collect()[0]
+    # only c1/c2 survive: one co-pair, two wedges, one butterfly
+    assert row.co_pairs == 1 and row.wedges == 2 and row.butterflies == 1
+
+
+def test_butterfly_degree_cap_vacuous_at_cap(spark):
+    # Degree exactly == cap is kept: the cap drops strictly-above only,
+    # so at fixture scale the census is the exact census of sub-hub nodes.
+    from quty_server_spark.operators.graph import WEDGE_DEGREE_CAP
+
+    edges = [("c1", f"s{i}") for i in range(WEDGE_DEGREE_CAP)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = butterfly_census(df).collect()[0]
+    n = WEDGE_DEGREE_CAP
+    assert row.co_pairs == n * (n - 1) // 2
+    assert row.wedges == n * (n - 1) // 2

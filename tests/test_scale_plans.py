@@ -760,3 +760,31 @@ def test_bot_regularity_single_user_shuffle(spark):
     # lag window + moment aggregate share one user_id partitioning.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan
+
+
+def test_butterfly_degree_cap_reuses_join_exchange(spark):
+    # The WEDGE_DEGREE_CAP window partitions by the SAME src key the
+    # wedge self-join shuffles on, so the cap must add no exchange: per
+    # join side exactly two shuffles (edge distinct + window/join
+    # repartition) plus the pair groupBy and final agg = 6 total. A 7th+
+    # exchange means the window partitioning stopped being reused.
+    import re
+
+    plan = plan_of(spark, "graph_bipartite_butterflies")
+    assert "Window" in plan  # the cap device is on the plan
+    assert "CartesianProduct" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 6, f"extra shuffle appeared: {n_exchanges} exchanges"
+
+
+def test_levenshtein_block_cap_adds_no_exchange(spark):
+    # Same device: block-size window partitioned on block_key, the join
+    # key. One non-broadcast exchange per side (the window repartition),
+    # nothing else — the blocked join stays equi-shaped (pinned above in
+    # test_fuzzy_join_is_equi_blocked).
+    import re
+
+    plan = plan_of(spark, "dedup_fuzzy_levenshtein")
+    assert "Window" in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 2, f"extra shuffle appeared: {n_exchanges} exchanges"
