@@ -25,101 +25,65 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-6 rotation
-# (the verification-closing round — VERDICT r05 "What's missing" #1):
-# (1) the 5 structurally-riskiest of the 17 operators NEW this round
-# (iterative convergence loop, windowed bucket cap, Expand-based
-# multi-distinct, wedge self-join, vocabulary pair explode); the other
-# 12 round-6 additions (dedup_exact_normalized, sample_stratified_hash,
-# events_funnel_time_to_convert, events_top_paths,
-# text_lexicon_sentiment, join_bloom_runtime_filtered,
-# dedup_decontaminate_ngram, window_rolling_median,
-# graph_degree_distribution, doc_quality_gate, events_dau_wau,
-# events_bot_regularity, embed_norm_outliers — narrow/single-shuffle or
-# scalar-subquery shapes) are locally oracle-verified at sf0.01
-# (CORRECTNESS_LOCAL_r06.json) and lead the round-7 head together with
-# the 8 deferred old never-sampled names below;
-# (2) the 4 queries whose code changed this round — the broadcast gates
-# on route_fanout / graph_pagerank_2iter and the two ADVICE
-# NULL-semantics fixes (events_ab_test_lift, dedup_fuzzy_levenshtein)
-# — all r05-green but modified, so re-proven (route_fanout_salted's
-# shared-helper refactor is covered transitively: route_fanout's
-# fallback IS that helper, plan-pinned both ways);
-# (3) one long-green canary (flagship) so a comparator regression on
-# the old surface stays externally detectable; (4) the remaining 40
-# slots go to the 48 queries never sampled in CORRECTNESS_r01-r05 —
-# the families displaced in r05 (similarity, the 12-query text
-# battery, multimodal, UDF surface, auth, sampling/splits,
-# sources/sinks) — bringing the old 194-query surface to 186/194
-# cumulative driver-verified.
-# Deferred to round 7 (the final 8 never-sampled of the old surface):
-# the tpch_more picks (q7/q8/q13/q15/q19/q22/min_cost_supplier) and
-# agg_unpivot — the family whose relational surface has the longest
-# driver-green history (q1-q18 core sampled green since r01), i.e. the
-# lowest marginal information of the 48. Queries not listed keep their
-# import order after these; nothing is removed — the full local gate
-# (tools/check_oracle.py) still checks all of them.
+# queries, so registration order IS driver coverage. Round-7 rotation
+# (the verification-CLOSING round — VERDICT r06 "Next round" #1): after
+# r06 the cumulative driver record covers 191/212 queries; this head is
+# exactly the complement, so a full r07 sample closes the record at
+# every-query-proven:
+# (1) the 21 queries with zero driver rows in CORRECTNESS_r01-r06 —
+# the 7 deferred TPC-H picks + agg_unpivot, and the 13 round-6 ops
+# registered behind the r06 head;
+# (2) agg_approx_distinct — its only driver row (r03) predates the
+# bounded-error oracle that landed in r04; re-sampled to replace the
+# stale no_oracle row;
+# (3) the 4 queries whose code changed THIS round: the two array-output
+# stringifications (embed_quantize_int8, text_winnow_fingerprint —
+# never driver-green before, the r06 comparator erred on their array
+# columns) and the two hot-key caps (graph_bipartite_butterflies,
+# dedup_fuzzy_levenshtein — r06-green but the cap changes their
+# results, QUALIFY-mirrored in the oracle);
+# (4) two long-green canaries (flagship since r01, one stream_*) so a
+# comparator regression on the old surface stays externally detectable.
+# New round-7 queries are appended after these so they get driver rows
+# in the same sample. tests/test_rotation_debt.py asserts this head ⊇
+# (registered ∖ cumulative-green) so rotation debt cannot silently
+# rebuild. Queries not listed keep their import order after these;
+# nothing is removed — the full local gate (tools/check_oracle.py)
+# still checks all 212+.
 DRIVER_PRIORITY = [
-    # new this round (never existed before r06)
-    "graph_pagerank_converged",
-    "graph_bipartite_butterflies",
-    "text_bpe_pair_counts",
-    "profile_column_stats",
-    "dedup_simhash_capped",
-    # changed this round -- re-prove via driver
-    "route_fanout",
-    "graph_pagerank_2iter",
-    "events_ab_test_lift",
-    "dedup_fuzzy_levenshtein",
-    # canary: driver-green every round since r01
-    "flagship_delivery_report",
-    # never driver-sampled (absent from CORRECTNESS_r01-r05) from here
-    # similarity / embedding family
-    "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe",
+    # (1) never driver-sampled: deferred TPC-H family + agg_unpivot
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "min_cost_supplier",
+    "agg_unpivot",
+    # (1) never driver-sampled: round-6 ops registered behind the head
+    "join_bloom_runtime_filtered",
+    "window_rolling_median",
+    "events_dau_wau",
+    "events_bot_regularity",
+    "events_funnel_time_to_convert",
+    "events_top_paths",
+    "dedup_exact_normalized",
+    "dedup_decontaminate_ngram",
+    "doc_quality_gate",
+    "embed_norm_outliers",
+    "graph_degree_distribution",
+    "sample_stratified_hash",
+    "text_lexicon_sentiment",
+    # (2) stale driver row (r03 no_oracle; bounded-error oracle in r04)
+    "agg_approx_distinct",
+    # (3) changed this round — re-prove via driver
     "embed_quantize_int8",
-    "sim_label_cohesion",
-    # text battery (12)
-    "text_stats",
-    "text_tokenize",
-    "text_lang_id",
-    "text_fingerprint",
     "text_winnow_fingerprint",
-    "text_pmi_collocations",
-    "text_tfidf_keywords",
-    "text_quality_score",
-    "text_pii_scrub",
-    "text_repetition_ngrams",
-    "text_boilerplate_shingles",
-    "text_domain_mix",
-    # multimodal plumbing (Arrow mapInPandas paths)
-    "mm_decode_features",
-    "mm_resize_dims",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    # UDF surface + auth + sampling/splits
-    "udf_grouped_zscore",
-    "udf_iter_model_score",
-    "udf_cogrouped_asof",
-    "auth_admission",
-    "sample_bernoulli_hash",
-    "split_train_val_test",
-    # sources/sinks (file-format paths)
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "source_json_corrupt_records",
-    "sink_partitioned_parquet",
-    "sink_merge_upsert",
-    "sink_compacted_parquet",
-    "join_bucketed_colocated",
-    # remaining never-sampled analytics
-    "agg_histogram_mode",
-    "agg_skew_profile",
-    "audit_referential_integrity",
-    "events_densified_hourly",
-    "events_sessionize_batch",
+    "graph_bipartite_butterflies",
+    "dedup_fuzzy_levenshtein",
+    # (4) canaries: long-green batch + streaming
+    "flagship_delivery_report",
+    "stream_session_window",
 ]
 
 
