@@ -211,20 +211,31 @@ def _unrolled_pagerank_sql(k: int) -> str:
 # before this on any graph whose structure stabilizes (bipartite: 3).
 PAGERANK_MAX_ROUNDS = 20
 
-# Reliable-checkpoint cadence, mirroring dedup.CLUSTER_CKPT_EVERY: every
-# k-th rank vector goes to the checkpoint dir so an executor loss
-# mid-loop replays at most k iterations, the rest localCheckpoint
-# (lineage truncation only).
+# Reliable-checkpoint cadence, mirroring dedup.CLUSTER_CKPT_EVERY.
+# Scope of the guarantee: intermediate iterations are only
+# localCheckpoint'ed (lineage truncated, blocks executor-LOCAL), so
+# losing an executor between reliable checkpoints still aborts the
+# running job — the every-k-th reliable checkpoint bounds the rework a
+# MANUAL RE-RUN pays (resume from the last durable rank vector), it
+# does not give in-job replay. A deployment that needs in-job fault
+# tolerance uses reliable .checkpoint() exclusively, trading one
+# distributed-FS write per superstep for it.
 PAGERANK_CKPT_EVERY = 5
 
 
 def _ensure_ckpt_dir(spark: SparkSession) -> None:
+    # checkpointDir is only readable via the JVM SparkContext (no public
+    # PySpark getter); fall back to a session-scoped temp dir that is
+    # removed at interpreter exit so long-lived sessions don't accrete
+    # superseded rank vectors on disk.
     if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        import atexit
+        import shutil
         import tempfile
 
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="quty_pagerank_ckpt_")
-        )
+        d = tempfile.mkdtemp(prefix="quty_pagerank_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        spark.sparkContext.setCheckpointDir(d)
 
 
 def pagerank_converged(

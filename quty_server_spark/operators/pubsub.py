@@ -394,6 +394,15 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     subscribers) are the skew risk — the salt (and AQE skew-join on the
     broadcast path) splits them. The state side is checkpointed once so
     the gate's count and the join share one materialization of the fold.
+
+    Build-time cost: the broadcast-vs-salt gate runs two eager Spark
+    jobs (localCheckpoint + count of the compacted state) at
+    DataFrame-CONSTRUCTION time, so plan-only consumers (explain,
+    registry sweeps) pay the state materialization and the decision is
+    frozen per build, not per execution. Acceptable here because the
+    compacted state is the small side by construction; a
+    metadata-estimate gate would avoid the eager jobs at the cost of a
+    mis-sized broadcast when stats are stale.
     """
     msgs = messages(spark, sf_dir)
     subs = current_subs(spark, sf_dir).localCheckpoint(eager=True)

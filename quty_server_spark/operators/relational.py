@@ -1912,7 +1912,16 @@ def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is byte-identical to the plain join the oracle states —
     what changes is the PLAN: the lineitem scan carries a
     might_contain(xxhash64(l_orderkey)) subquery filter, pinned in
-    tests/test_scale_plans.py."""
+    tests/test_scale_plans.py.
+
+    Memoization caveat: the pinned shape lives only in THIS Dataset's
+    memoized QueryExecution (planned inside the conf scope below). Any
+    consumer that re-plans the logical plan — DataFrameWriter (the
+    noop-write benches), .cache(), reusing df.logicalPlan in a new
+    Dataset — plans under the restored session confs and gets the
+    plain (still correct, unpruned) join. Callers that need the bloom
+    shape on a derived plan must re-apply _BLOOM_CONFS around their own
+    planning, or set them session-wide."""
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
