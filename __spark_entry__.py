@@ -84,6 +84,18 @@ DRIVER_PRIORITY = [
     # (4) canaries: long-green batch + streaming
     "flagship_delivery_report",
     "stream_session_window",
+    # (5) NEW this round (never existed before r07) — registered inside
+    # the head so they acquire driver rows in the same sample
+    "sim_ann_recall_eval",
+    "sim_ivf_cell_balance",
+    "dedup_minhash_error_eval",
+    "dedup_cluster_stats",
+    "doc_mix_rebalance",
+    "doc_seqlen_histogram",
+    "doc_pack_efficiency",
+    "orders_supplier_herfindahl",
+    "events_watermark_lag_audit",
+    "mm_modality_mix",
 ]
 
 

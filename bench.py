@@ -57,6 +57,10 @@ HEADLINE = [
     "graph_pagerank_converged",
     "dedup_simhash_capped",
     "text_bpe_pair_counts",
+    # round-7 additions (pipeline QA battery — first B rows this round)
+    "sim_ann_recall_eval",
+    "dedup_cluster_stats",
+    "orders_supplier_herfindahl",
 ]
 
 

@@ -1751,3 +1751,129 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         (cv < 0.1).alias("is_regular"),
     )
+
+
+@registry.query(
+    "orders_supplier_herfindahl",
+    oracle="""
+    WITH srev AS (
+        SELECT n.n_name, l.l_suppkey,
+               CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))) * 100) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, l.l_suppkey),
+    ntot AS (
+        SELECT n_name, CAST(SUM(rev_cents) AS BIGINT) AS tot_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM srev GROUP BY n_name)
+    SELECT t.n_name AS nation,
+           t.n_suppliers,
+           CAST(SUM((s.rev_cents * 1000000 // t.tot_cents)
+                    * (s.rev_cents * 1000000 // t.tot_cents)) // 1000000
+               AS BIGINT) AS hhi_ppm
+    FROM srev s JOIN ntot t ON s.n_name = t.n_name
+    GROUP BY t.n_name, t.n_suppliers
+    """,
+)
+def orders_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the Herfindahl index
+    (sum of squared market shares, emitted in ppm — 1,000,000 = one
+    supplier owns the nation, 1,000,000/n = perfectly even). The
+    standard skew diagnostic over a revenue dimension; operationally it
+    is the same hot-key question as partition skew — a nation with HHI
+    near 1e6 is a nation whose supplier key would hot-spot a shuffle.
+    Shares are floor-divided ppm integers of exact decimal-cents sums,
+    so both engines agree bit-for-bit (no double accumulation).
+
+    Scale: lineitem shuffles once for the (nation, supplier) revenue
+    group-by (dimensions broadcast into the scan); everything after
+    operates on the supplier-grain table, orders of magnitude smaller.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    ntot = srev.groupBy("n_name").agg(
+        F.sum("rev_cents").cast("bigint").alias("tot_cents"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    share = F.expr("rev_cents * 1000000 div tot_cents")
+    return (
+        srev.join(broadcast(ntot), "n_name")
+        .select(F.col("n_name"), F.col("n_suppliers"), (share * share).alias("sq"))
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.expr("CAST(sum(sq) div 1000000 AS BIGINT)").alias("hhi_ppm"))
+        .select(F.col("n_name").alias("nation"), "n_suppliers", "hhi_ppm")
+    )
+
+
+@registry.query(
+    "events_watermark_lag_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm_us
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hwm_us > t_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(CASE WHEN hwm_us > t_us THEN hwm_us - t_us ELSE 0 END)
+               AS BIGINT) AS max_disorder_us
+    FROM ordered GROUP BY user_id
+    """,
+)
+def events_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: per user, how many events arrive (in
+    event_id ingestion order) BEHIND the user's running event-time
+    high-water mark, and the worst lag. This is the batch measurement
+    that chooses a streaming watermark delay — `withWatermark` set
+    below the observed max_disorder_us drops real events
+    (stream_watermark_late_drop exercises that drop), set far above it
+    holds state longer than needed. Epoch microseconds (unix_micros ↔
+    epoch_us) keep the arithmetic integer-exact.
+
+    Scale: one shuffle to (user_id) for the running-max window, reused
+    by the aggregation — same single-exchange shape as sessionize."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.withColumn("hwm_us", F.max("t_us").over(w))
+    late = F.when(F.col("hwm_us") > F.col("t_us"), 1).otherwise(0)
+    lag = F.when(
+        F.col("hwm_us") > F.col("t_us"), F.col("hwm_us") - F.col("t_us")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return ordered.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.max(lag).cast("bigint").alias("max_disorder_us"),
+    )

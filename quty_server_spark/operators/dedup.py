@@ -1120,3 +1120,176 @@ def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+_SQL_SIG_MATCH = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+)
+
+
+@registry.query(
+    "dedup_minhash_error_eval",
+    oracle=f"""
+    WITH {SQL_SHINGLES}, {SQL_MINHASH}, {SQL_PAIR_JACCARD}
+    SELECT c.doc_a, c.doc_b,
+           CAST({_SQL_SIG_MATCH} AS BIGINT) AS n_match,
+           CAST(({_SQL_SIG_MATCH}) * 1000000 // {N_PERM} AS BIGINT)
+               AS est_ppm,
+           j.jaccard
+    FROM candidates c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id
+    JOIN pair_jaccard j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    """,
+)
+def dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement estimate (matching permutations / 16, the
+    quantity LSH banding thresholds on) next to the exact shingle
+    Jaccard it estimates. This is the report that justifies N_PERM /
+    N_BANDS before a 100 TB dedup run: if est_ppm systematically
+    overshoots jaccard at the 0.5 decision boundary, the band/row split
+    is wrong for the corpus. Agreement counts are exact integers;
+    est_ppm is a floor division of non-negative ints.
+
+    Scale: candidates come from the banded join (never all pairs);
+    signatures are 16 ints/doc joined by doc_id; the exact-Jaccard arm
+    is candidate-restricted exactly like dedup_minhash_lsh's verify.
+    Candidate pairs sharing no shingle (possible only via h28
+    collisions) drop from BOTH engines' inner join against the
+    shingle-intersection table."""
+    sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    shh = sh.withColumn("h", hash28(F.col("shingle")))
+    sigs = shh.groupBy("doc_id").agg(
+        *[F.min(F.expr(minhash_expr(i))).alias(f"s{i}") for i in range(N_PERM)]
+    )
+    cands = minhash_candidates(spark, sf_dir, sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sa_sh, "doc_a")
+        .join(
+            sb_sh,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_PERM)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_PERM)],
+    )
+    n_match = None
+    for i in range(N_PERM):
+        term = F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("bigint").alias("n_match"),
+            (n_match.cast("bigint") * 1000000 / F.lit(N_PERM))
+            .cast("bigint")
+            .alias("est_ppm"),
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@registry.query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    ),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS csz FROM assigned GROUP BY cluster_id
+    )
+    SELECT CAST(csz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((csz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM csize GROUP BY csz
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the near-dup cluster-size histogram — how
+    many clusters of each size exist, how many documents they hold, and
+    how many would be removed by keep-one-per-cluster. THE number a
+    100 TB dedup run is judged by (corpus shrinkage) and the first
+    diagnostic when a threshold is wrong (a giant cluster = threshold
+    too loose; all singletons = too strict). Exact integer counts.
+
+    Scale: reuses the banded near-pair graph + BSP components of
+    dedup_keep_canonical (documented there); the histogram itself is
+    two tiny aggregations over the label table, which is orders of
+    magnitude smaller than the corpus."""
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = min_label_components(spark, pairs)
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    small = lab.count() <= BROADCAST_NODES_MAX
+    assigned = d.join(F.broadcast(lab) if small else lab, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    csize = assigned.groupBy("cluster_id").agg(F.count("*").alias("csz"))
+    return csize.groupBy("csz").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("csz") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("csz") - 1) * F.count("*")).cast("bigint").alias("n_removable"),
+    ).select(
+        F.col("csz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )

@@ -258,3 +258,54 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+@registry.query(
+    "mm_modality_mix",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               lang AS container
+        FROM documents)
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_bytes) // COUNT(*) AS BIGINT) AS avg_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT container) AS BIGINT) AS n_containers
+    FROM media GROUP BY modality
+    """,
+)
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-corpus composition report: per modality, item count, byte
+    volume, average/max payload size, and container variety — the
+    numbers that size a multimodal ingest (which decode pool gets how
+    many workers, what Arrow batch size keeps the biggest payload from
+    OOMing a python worker, whether one modality dominates storage).
+    Computed from the typed metadata + payload length only: no decode,
+    so it runs at catalog speed even when the codecs are the env-gated
+    stubs. Integer floor-division average.
+
+    Scale: one narrow scan, 3-row group-by; octet_length is computed
+    executor-side without materializing payload copies."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "modality",
+            F.octet_length("payload").alias("n_bytes"),
+            F.col("meta.container").alias("container"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.expr("CAST(sum(n_bytes) div count(*) AS BIGINT)").alias(
+                "avg_bytes"
+            ),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+            F.countDistinct("container").cast("bigint").alias("n_containers"),
+        )
+    )

@@ -441,3 +441,154 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(False)
         .alias("keep"),
     )
+
+
+@registry.query(
+    "doc_mix_rebalance",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n_docs
+        FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cells)
+    SELECT c.lang, c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_docs * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+           CAST(LEAST(1000000,
+                (t.n_total // t.n_cells) * 1000000 // c.n_docs) AS BIGINT)
+               AS weight_ppm,
+           CAST(c.n_docs * LEAST(1000000,
+                (t.n_total // t.n_cells) * 1000000 // c.n_docs) // 1000000
+               AS BIGINT) AS expected_docs
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing weights: per (lang, source) cell, the
+    Bernoulli keep-probability (ppm) that flattens the corpus toward a
+    uniform cell mix — over-represented cells are downsampled toward
+    the per-cell target (total/n_cells), under-represented cells keep
+    everything (weight capped at 1.0; upsampling is a repeat policy
+    decided elsewhere). This is the standard mix-balancing step before
+    sampling a 100 TB crawl into a training set; expected_docs audits
+    the post-sample mix. All ratios are floor divisions of non-negative
+    integers, so both engines agree exactly.
+
+    Scale: one group-by over the corpus, then arithmetic on the tiny
+    cell table against a 1-row totals build side (scalar-subquery
+    shape, allowlisted); the per-doc application of these weights is
+    sample_bernoulli_hash's narrow hash filter."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    tot = cells.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    weight = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.expr("(n_total div n_cells) * 1000000 div n_docs"),
+    )
+    return cells.crossJoin(broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        weight.cast("bigint").alias("weight_ppm"),
+        (F.col("n_docs") * weight / 1000000)
+        .cast("bigint")
+        .alias("expected_docs"),
+    )
+
+
+@registry.query(
+    "doc_seqlen_histogram",
+    oracle="""
+    WITH toks AS (
+        SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+        WHERE len(string_split(text, ' ')) >= 1)
+    SELECT CAST(FLOOR(LOG2(n_tokens)) AS INT) AS bucket_pow2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY FLOOR(LOG2(n_tokens))
+    """,
+)
+def doc_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets — the sizing
+    input for doc_pack_sequences (pick SEQ_LEN), chunking (how much
+    straddles), and batch shaping (padding waste under length
+    bucketing). Same log2-bucket device as graph_degree_distribution.
+
+    Scale: one narrow scan + one tiny group-by; token counts never
+    leave the executors unaggregated."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.size(F.split("text", " ")).alias("n_tokens")).filter(
+        F.col("n_tokens") >= 1
+    )
+    return (
+        toks.groupBy(
+            F.floor(F.log2("n_tokens")).cast("int").alias("bucket_pow2")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@registry.query(
+    "doc_pack_efficiency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % {N_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST((SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+               AS n_bins,
+           CAST(SUM(n_tokens) * 1000000 //
+                (((SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN}) * {SEQ_LEN})
+               AS BIGINT) AS fill_ppm,
+           CAST(SUM(CASE WHEN n_tokens > {SEQ_LEN} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oversize
+    FROM toks GROUP BY shard
+    """,
+)
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for doc_pack_sequences: per shard, how
+    many SEQ_LEN bins the contiguous token stream needs, the fill ratio
+    (ppm — the complement is padding waste paid by every training
+    step), and how many documents exceed SEQ_LEN outright (must be
+    chunked first or they straddle bins). Contiguous greedy packing
+    fills every bin except the last completely, so bins and fill derive
+    exactly from the token total — no window needed, unlike the packer
+    itself. All integer arithmetic.
+
+    Scale: one narrow scan, one 8-row group-by — the audit is free next
+    to the pack it audits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    n_bins = F.expr(f"(sum(n_tokens) + {SEQ_LEN - 1}) div {SEQ_LEN}")
+    return toks.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        n_bins.cast("bigint").alias("n_bins"),
+        F.expr(
+            f"CAST(sum(n_tokens) * 1000000 div "
+            f"(((sum(n_tokens) + {SEQ_LEN - 1}) div {SEQ_LEN}) * {SEQ_LEN}) "
+            f"AS BIGINT)"
+        ).alias("fill_ppm"),
+        F.sum(F.when(F.col("n_tokens") > SEQ_LEN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversize"),
+    )

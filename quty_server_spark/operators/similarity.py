@@ -716,3 +716,157 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("norm2") > 1.5 * F.col("m"))
         ).alias("outlier"),
     )
+
+
+@registry.query(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    bucketed AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c),
+    q AS (SELECT * FROM bucketed WHERE vec_id % 20 = 0),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM q JOIN c ON q.vec_id <> c.vec_id)
+        WHERE rn <= 3),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, b.v) DESC,
+                                b.vec_id) AS rn
+            FROM q JOIN bucketed b
+              ON q.bucket = b.bucket AND q.vec_id <> b.vec_id)
+        WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(a.neighbor_id) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: per-query top-3 recall of the sign-LSH index
+    against the brute-force exact top-3 — the measurement that decides
+    whether an index's bucket count / probe budget is acceptable before
+    it serves a 100 TB corpus. Counts are exact integers (recall in ppm
+    via floor division, non-negative so Spark div == DuckDB //).
+
+    Scale: the exact arm is the documented brute-force baseline over the
+    BOUNDED query set (the same justification as sim_cosine_topk's
+    allowlisted broadcast nested loop); the approx arm is the bucketed
+    hash join. In production the exact arm runs on a fixed sample of
+    queries only — exactly the shape here — so recall evaluation costs
+    one corpus scan regardless of corpus size."""
+    c = _corpus(spark, sf_dir).withColumn("bucket", _bucket_col())
+    q = c.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        c.join(broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        c.join(
+            broadcast(q),
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("a_neighbor_id").cast("bigint").alias("hits"),
+            F.expr("CAST(count(a_neighbor_id) * 1000000 div count(*) AS BIGINT)")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+@registry.query(
+    "sim_ivf_cell_balance",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE arn = 1),
+    sizes AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM sizes)
+    SELECT s.cell, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+           CAST(s.n_vecs * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+           CAST(s.n_vecs * t.n_cells * 100 // t.n_total AS BIGINT)
+               AS pct_of_mean
+    FROM sizes s CROSS JOIN tot t
+    """,
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: posting-list sizes with each cell's share
+    of the corpus and its size relative to the mean cell (100 = exactly
+    balanced). Unbalanced cells are the IVF scale hazard — a cell
+    holding 20% of a 100 TB corpus makes every query probing it scan
+    20%, erasing the |corpus|/n_cells win — so this report is what
+    decides re-training the coarse quantizer. All ratios are floor
+    divisions of non-negative integers (Spark div == DuckDB //).
+
+    Scale: one assignment pass (broadcast centroids, map-side-combined
+    argmax), one tiny group-by over n_cells rows, and a 1-row totals
+    build side joined back (scalar-subquery shape, allowlisted)."""
+    c = _corpus(spark, sf_dir)
+    cells = _ivf_cells(c, _ivf_centroids(c))
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    return sizes.crossJoin(broadcast(tot)).select(
+        "cell",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.expr("CAST(n_vecs * 1000000 div n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(n_vecs * n_cells * 100 div n_total AS BIGINT)").alias(
+            "pct_of_mean"
+        ),
+    )

@@ -508,3 +508,119 @@ def test_bot_regularity_metronomic_user_is_flagged(spark, ducks):
     )
     orows = con.execute(se.oracle_sql()["events_bot_regularity"]).fetchall()
     assert orows == [(7, 81, 0.0, True)]
+
+
+# ---------------------------------------------------------------------------
+# Round-7 pipeline QA battery — invariants the oracle compare can't express
+# ---------------------------------------------------------------------------
+
+
+def test_recall_eval_bounds_and_exact_arm(spark):
+    # recall is a proper fraction of the exact top-3; a query whose
+    # bucket is empty must still appear (hits = 0), and hits can never
+    # exceed n_exact.
+    rows = _rows(spark, "sim_ann_recall_eval")
+    n_queries = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id % 20 = 0")
+        .count()
+    )
+    assert len(rows) == n_queries
+    for r in rows:
+        assert 0 <= r.hits <= r.n_exact <= 3
+        assert r.recall_ppm == r.hits * 1_000_000 // r.n_exact
+
+
+def test_ivf_cell_balance_accounts_for_whole_corpus(spark):
+    rows = _rows(spark, "sim_ivf_cell_balance")
+    n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    # shares are floor-ppm: sum within one cell-count of 1e6
+    assert 1_000_000 - len(rows) <= sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+def test_minhash_error_eval_estimator_range(spark):
+    rows = _rows(spark, "dedup_minhash_error_eval")
+    assert rows, "LSH proposes candidates on the fixture"
+    for r in rows:
+        assert 0 <= r.n_match <= 16
+        assert r.est_ppm == r.n_match * 1_000_000 // 16
+        assert 0.0 < r.jaccard <= 1.0
+        # a banded candidate shares at least one full band => >= 2 perms
+        assert r.n_match >= 2
+
+
+def test_cluster_stats_conserve_documents(spark):
+    rows = _rows(spark, "dedup_cluster_stats")
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
+    # keep-one-per-cluster survivor count == keep flags of keep_canonical
+    keepers = sum(1 for k in _rows(spark, "dedup_keep_canonical") if k.keep)
+    assert sum(r.n_clusters for r in rows) == keepers
+
+
+def test_mix_rebalance_weights_flatten_not_upsample(spark):
+    rows = _rows(spark, "doc_mix_rebalance")
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    target = n_docs // len(rows)
+    for r in rows:
+        assert 0 < r.weight_ppm <= 1_000_000
+        # over-represented cells get downweighted toward the target
+        if r.n_docs > target:
+            assert r.weight_ppm < 1_000_000
+            assert r.expected_docs <= r.n_docs
+        else:
+            assert r.weight_ppm == 1_000_000
+
+
+def test_pack_efficiency_matches_packer(spark):
+    # n_bins must equal the actual bin count doc_pack_sequences emits,
+    # and fill can never exceed capacity.
+    eff = {r.shard: r for r in _rows(spark, "doc_pack_efficiency")}
+    bins = defaultdict(set)
+    for r in _rows(spark, "doc_pack_sequences"):
+        bins[r.shard].add(r.bin)
+    for shard, e in eff.items():
+        assert e.n_bins == len(bins[shard])
+        assert 0 < e.fill_ppm <= 1_000_000
+        assert e.tokens_total <= e.n_bins * 2048
+
+
+def test_seqlen_histogram_buckets_are_pow2_consistent(spark):
+    rows = _rows(spark, "doc_seqlen_histogram")
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        lo, hi = 2**r.bucket_pow2, 2 ** (r.bucket_pow2 + 1)
+        assert lo <= r.min_tokens <= r.max_tokens < hi
+
+
+def test_herfindahl_bounds(spark):
+    rows = _rows(spark, "orders_supplier_herfindahl")
+    for r in rows:
+        # floor-ppm shares: HHI in (0, 1e6], and >= the even-split floor
+        # minus quantization (each of n shares loses < 1 ppm to floor).
+        even_floor = 1_000_000 // r.n_suppliers - r.n_suppliers
+        assert even_floor <= r.hhi_ppm <= 1_000_000
+
+
+def test_watermark_audit_counts_late_events(spark):
+    rows = _rows(spark, "events_watermark_lag_audit")
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.n_late < r.n_events
+        assert (r.max_disorder_us > 0) == (r.n_late > 0)
+
+
+def test_modality_mix_partition_is_exhaustive(spark):
+    rows = _rows(spark, "mm_modality_mix")
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_items for r in rows) == n_docs
+    for r in rows:
+        assert r.avg_bytes * r.n_items <= r.total_bytes <= r.max_bytes * r.n_items

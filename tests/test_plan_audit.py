@@ -53,6 +53,11 @@ BNLJ_JUSTIFIED = {
     "(bounded tiny side by construction)",
     "embed_norm_outliers": "1-row corpus-median build side (scalar-"
     "subquery shape)",
+    "sim_ann_recall_eval": "the exact arm IS the documented brute-force "
+    "baseline over the bounded query sample (recall has no cheaper "
+    "ground truth); the approx arm stays a bucket hash join",
+    "sim_ivf_cell_balance": "1-row corpus-totals build side",
+    "doc_mix_rebalance": "1-row corpus-totals build side",
 }
 
 
