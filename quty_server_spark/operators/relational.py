@@ -1883,11 +1883,13 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the shuffle — at 100 TB this skips shuffling the ~96% of lineitem rows
 # whose order is not urgent, the shuffle-join analog of DPP. The rule
 # only fires under size heuristics tuned for real clusters, so the
-# builder scopes the enabling confs to THIS query's planning: Spark
-# memoizes the physical plan on the returned Dataset (QueryExecution is
-# computed once), so forcing executedPlan() while the confs are set
-# bakes the bloom filter + shuffle-join shape into the plan, and the
-# confs are restored before returning — no other query's plan changes.
+# builder scopes the enabling confs to a CHILD SparkSession
+# (newSession(): shared SparkContext + catalog, private SQLConf) and
+# builds the query against it. Because a Dataset plans and re-plans in
+# its OWN session, the bloom shape survives every consumer — collect,
+# DataFrameWriter (the noop-write benches), .cache() — not just the
+# first memoized QueryExecution (the pre-round-7 caveat), and the
+# caller's session confs are untouched by construction.
 _BLOOM_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -1912,25 +1914,23 @@ def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is byte-identical to the plain join the oracle states —
     what changes is the PLAN: the lineitem scan carries a
     might_contain(xxhash64(l_orderkey)) subquery filter, pinned in
-    tests/test_scale_plans.py.
-
-    Memoization caveat: the pinned shape lives only in THIS Dataset's
-    memoized QueryExecution (planned inside the conf scope below). Any
-    consumer that re-plans the logical plan — DataFrameWriter (the
-    noop-write benches), .cache(), reusing df.logicalPlan in a new
-    Dataset — plans under the restored session confs and gets the
-    plain (still correct, unpruned) join. Callers that need the bloom
-    shape on a derived plan must re-apply _BLOOM_CONFS around their own
-    planning, or set them session-wide."""
+    tests/test_scale_plans.py together with caller-session conf
+    hygiene. The returned Dataset belongs to a conf-scoped child
+    session (see _BLOOM_CONFS note), so the shape survives re-planning
+    consumers; the child shares the SparkContext, so no extra JVM
+    resources are held."""
+    child = spark.newSession()
+    for k, v in _BLOOM_CONFS.items():
+        child.conf.set(k, v)
     o = (
-        load_table(spark, sf_dir, "orders")
+        load_table(child, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(child, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    j = (
+    return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
@@ -1940,25 +1940,6 @@ def join_bloom_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # get(k, None) distinguishes "explicitly set" from "defaulted": a
-    # defaulted conf is restored by unset(), not by pinning the default
-    # value, so the session is byte-identical afterwards.
-    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        # Sets live INSIDE the try: a failure (or interrupt) after the
-        # first set must still restore the session.
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
-        # Force physical planning NOW (memoized on this Dataset) so the
-        # bloom rule sees the enabling confs.
-        j._jdf.queryExecution().executedPlan()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return j
 
 
 @registry.query(

@@ -716,11 +716,28 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark):
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
     ]}
-    plan = plan_of(spark, "join_bloom_runtime_filtered")
+    df = se.queries()["join_bloom_runtime_filtered"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     after = {k: spark.conf.get(k, None) for k in before}
     assert "might_contain" in plan
     assert "CartesianProduct" not in plan
     assert before == after, "builder leaked planning confs into the session"
+    # The shape must survive RE-planning (writer/cache path): a derived
+    # Dataset plans fresh in the query's own conf-scoped child session,
+    # so the bloom filter reappears — the pre-round-7 memoization caveat
+    # is structurally closed, not just documented.
+    replanned = df.select("*")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "might_contain" in replanned, (
+        "bloom shape lost on re-planning — child-session conf scope broken"
+    )
 
 
 def test_decontamination_broadcasts_benchmark_set(spark):
