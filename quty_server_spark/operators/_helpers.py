@@ -39,3 +39,21 @@ def osum(expr: str) -> str:
 def oavg(expr: str) -> str:
     """DuckDB twin of :func:`davg`."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def ensure_checkpoint_dir(spark) -> None:
+    """Set a session-scoped reliable-checkpoint dir if none is configured,
+    removed at interpreter exit — shared by every BSP loop (dedup
+    components, pagerank) so whichever runs first claims ONE cleaned-up
+    dir instead of each module bootstrapping its own leak.
+
+    checkpointDir is only readable via the JVM SparkContext (no public
+    PySpark getter)."""
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="quty_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        spark.sparkContext.setCheckpointDir(d)

@@ -30,7 +30,10 @@ from quty_server_spark.functions.hashing import (
     sql_hash28,
     sql_hash60,
 )
-from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.operators._helpers import (
+    ensure_checkpoint_dir,
+    load_table,
+)
 from quty_server_spark.plans.registry import registry
 
 # ---------------------------------------------------------------------------
@@ -318,21 +321,34 @@ candidates AS (
 )"""
 
 
-def minhash_candidates(
-    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
-) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band signature.
-    ``sh`` lets a caller pass an already-materialized shingle table so
-    candidate generation and Jaccard verification share one explode."""
-    if sh is None:
-        sh = doc_shingles(spark, sf_dir)
+def minhash_sigs(sh: DataFrame) -> DataFrame:
+    """16-permutation MinHash signatures from a (doc_id, shingle) table."""
     sh = sh.withColumn("h", hash28(F.col("shingle")))
-    sigs = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(F.expr(minhash_expr(i))).alias(f"s{i}")
             for i in range(N_PERM)
         ]
     )
+
+
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band signature.
+    ``sh`` lets a caller pass an already-materialized shingle table so
+    candidate generation and Jaccard verification share one explode;
+    ``sigs`` lets a caller that also consumes the signatures (the
+    estimator-calibration query) share ONE signature aggregation —
+    without it Catalyst recomputes the 16-way min aggregate per
+    consumer (the dedup_simhash plan-regression class)."""
+    if sigs is None:
+        if sh is None:
+            sh = doc_shingles(spark, sf_dir)
+        sigs = minhash_sigs(sh)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -590,12 +606,7 @@ def min_label_components(
     driver-side data beyond one count). Every CLUSTER_CKPT_EVERY-th
     superstep checkpoints reliably so an executor loss mid-loop replays
     at most k supersteps instead of the whole lineage."""
-    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="quty_cluster_ckpt_")
-        )
+    ensure_checkpoint_dir(spark)
     pairs = pairs.select("doc_a", "doc_b")  # tolerate extra columns
     edges = pairs.unionByName(
         pairs.select(
@@ -1159,11 +1170,10 @@ def dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions) drop from BOTH engines' inner join against the
     shingle-intersection table."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
-    shh = sh.withColumn("h", hash28(F.col("shingle")))
-    sigs = shh.groupBy("doc_id").agg(
-        *[F.min(F.expr(minhash_expr(i))).alias(f"s{i}") for i in range(N_PERM)]
-    )
-    cands = minhash_candidates(spark, sf_dir, sh)
+    # One signature aggregation shared by banding AND both per-side sig
+    # joins (materialized lazily — 3 consumers; see minhash_candidates).
+    sigs = minhash_sigs(sh).localCheckpoint(eager=False)
+    cands = minhash_candidates(spark, sf_dir, sigs=sigs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb_sh = sh.select(

@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.operators._helpers import (
+    ensure_checkpoint_dir,
+    load_table,
+)
 from quty_server_spark.operators.dedup import BROADCAST_NODES_MAX
 from quty_server_spark.plans.registry import registry
 
@@ -224,18 +227,10 @@ PAGERANK_CKPT_EVERY = 5
 
 
 def _ensure_ckpt_dir(spark: SparkSession) -> None:
-    # checkpointDir is only readable via the JVM SparkContext (no public
-    # PySpark getter); fall back to a session-scoped temp dir that is
-    # removed at interpreter exit so long-lived sessions don't accrete
-    # superseded rank vectors on disk.
-    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
-        import atexit
-        import shutil
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="quty_pagerank_ckpt_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        spark.sparkContext.setCheckpointDir(d)
+    # Shared with dedup's BSP loop: one atexit-cleaned dir per session,
+    # whichever loop bootstraps first (_helpers.ensure_checkpoint_dir),
+    # so long-lived sessions don't accrete superseded rank vectors.
+    ensure_checkpoint_dir(spark)
 
 
 def pagerank_converged(

@@ -488,17 +488,24 @@ def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint"),
         F.expr("(n_total div n_cells) * 1000000 div n_docs"),
     )
-    return cells.crossJoin(broadcast(tot)).select(
-        "lang",
-        "source",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
-            "share_ppm"
-        ),
-        weight.cast("bigint").alias("weight_ppm"),
-        (F.col("n_docs") * weight / 1000000)
-        .cast("bigint")
-        .alias("expected_docs"),
+    return (
+        cells.crossJoin(broadcast(tot))
+        .withColumn("weight_ppm", weight.cast("bigint"))
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "weight_ppm",
+            # integer div, NOT float /: at ~4e9 expected docs a double
+            # quotient one ulp under an integer rounds up across it,
+            # diverging from the oracle's floor (//).
+            F.expr("CAST(n_docs * weight_ppm div 1000000 AS BIGINT)").alias(
+                "expected_docs"
+            ),
+        )
     )
 
 
