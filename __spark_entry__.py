@@ -96,6 +96,8 @@ DRIVER_PRIORITY = [
     "orders_supplier_herfindahl",
     "events_watermark_lag_audit",
     "mm_modality_mix",
+    "source_python_datasource",
+    "stream_python_datasource",
 ]
 
 

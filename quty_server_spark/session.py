@@ -44,6 +44,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # under the UTC pin is bit-identical to the oracle's naive reading —
     # filters stay pushed, plans stay cast-free.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Spark 4.1 Python data source filter pushdown: required for any
+    # reader implementing pushFilters (sources/synth_source.py) — a
+    # pushFilters reader ERRORS with the conf off rather than silently
+    # skipping pushdown.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

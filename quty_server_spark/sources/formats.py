@@ -701,3 +701,44 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@registry.query(
+    "source_python_datasource",
+    oracle="""
+    SELECT i AS doc_id, CAST(i % 8 AS INT) AS shard,
+           array_to_string(list_transform(range(0, i % 13 + 3),
+              j -> 'w' || lpad(CAST((i * 2654435761 + j * 40503)
+                                    % 1048576 % 32 AS VARCHAR), 2, '0')),
+               ' ') AS text,
+           CAST(i % 13 + 3 AS INT) AS n_tokens
+    FROM range(100, 1600) t(i)
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 Python data source API
+    (sources/synth_source.py): partition-parallel generation over
+    contiguous InputPartitions, with range predicates on doc_id pushed
+    INTO the reader (pushFilters) so pruned partitions are never
+    created — the extension point for feeds Spark has no builtin for,
+    exercised end-to-end: register → scan → pushdown → project. The
+    plan shows `BatchScan quty_synth ... PushedFilters:
+    [GreaterThanOrEqual(doc_id,100), LessThan(doc_id,1600)]` — pinned
+    in tests/test_scale_plans.py. The generator is deterministic
+    integer arithmetic, so the oracle reproduces every row from SQL."""
+    from quty_server_spark.sources.synth_source import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("quty_synth")
+        .option("n_docs", "2000")
+        .option("n_shards", "8")
+        .load()
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 1600))
+    )
+    return df.select(
+        "doc_id",
+        "shard",
+        "text",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )

@@ -1,0 +1,188 @@
+"""Custom PySpark DataSource (Spark 4 Python data source API): the
+engine's extension point for connectors Spark has no builtin for —
+internal feeds, bespoke formats, service APIs. The reference's only
+"source" is a WebSocket ingress (SURVEY §2.B); this is the idiomatic
+Spark counterpart: a declarative, partition-parallel, filter-pushdown
+source the planner treats like any other scan.
+
+The registered instance generates a deterministic synthetic corpus
+(integer-hash token selection, zero I/O) so the DuckDB oracle can
+reproduce every row from the same arithmetic — the read PATH is what is
+under test, not the data:
+
+- **partition-parallel**: the doc_id range splits into ``n_shards``
+  contiguous ``InputPartition``\\s; executors generate their slice
+  independently (at scale: one partition per feed shard / file split).
+- **filter pushdown** (`pushFilters`, Spark 4.1): range predicates on
+  ``doc_id`` narrow the generated range BEFORE partitioning, so a
+  ``WHERE doc_id < k`` query materializes only the matching slice —
+  whole partitions are never created, the Python-source analog of
+  parquet row-group pruning. Consumed filters are fully applied by the
+  reader; everything else is left for Spark to evaluate post-scan.
+
+Determinism contract (mirrored in the oracle SQL, integer-exact):
+``n_tokens(i) = i % 13 + 3``; token j of doc i is
+``'w' + zero-pad2((i * 2654435761 + j * 40503) % 2^20 % 32)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+_MULT = 2654435761  # Knuth multiplicative hash (shared with similarity.py)
+_MOD = 1048576
+_VOCAB = 32
+
+
+def synth_text(doc_id: int) -> str:
+    """The deterministic document body — importable so tests and the
+    oracle-generating code share one definition with the reader."""
+    n = doc_id % 13 + 3
+    return " ".join(
+        f"w{(doc_id * _MULT + j * 40503) % _MOD % _VOCAB:02d}" for j in range(n)
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.lo = 0
+        self.hi = int(options.get("n_docs", 2000))
+        self.n_shards = int(options.get("n_shards", 8))
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("doc_id",) and isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+            ):
+                v = int(f.value)
+                # Narrow [lo, hi) exactly; a consumed filter is fully
+                # applied by construction, so it is NOT yielded back.
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f  # unsupported — Spark evaluates it post-scan
+
+    def partitions(self):
+        # Contiguous slices of the (already filter-narrowed) range: a
+        # pushed range predicate prunes whole partitions before any row
+        # is generated.
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        per = max(1, -(-span // self.n_shards))
+        return [
+            _RangePartition(s, min(s + per, hi))
+            for s in range(lo, hi, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, i % 8, synth_text(i))
+
+
+class SynthCorpusDataSource(DataSource):
+    """format name: ``quty_synth``; options: n_docs (default 2000),
+    n_shards (default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "quty_synth"
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def reader(self, schema) -> SynthCorpusReader:
+        return SynthCorpusReader(self.options)
+
+
+def register_synth_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine —
+    latest wins per the API; guarded anyway for older builds)."""
+    try:
+        spark.dataSource.register(SynthCorpusDataSource)
+    except Exception:
+        pass
+
+
+class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader`` over the same deterministic
+    corpus: each micro-batch is the next ``batch_docs`` ids of
+    ``[0, n_docs)``; the offset is the next unread id. Replay contract:
+    ``readBetweenOffsets`` regenerates any [start, end) slice
+    bit-identically (the generator is pure), so a batch planned before a
+    crash re-materializes exactly on restart — the source half of
+    exactly-once."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 500))
+        self.batch_docs = int(options.get("batch_docs", 200))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        # A LIST, not a generator: the prefetching wrapper copy.copy()s
+        # the returned iterable when a planned batch is re-served after
+        # restart, and generators aren't copyable.
+        return [(i, i % 8, synth_text(i)) for i in range(start, end)]
+
+    def read(self, start):
+        s = int(start["next"])
+        e = min(s + self.batch_docs, self.n_docs)
+        return self._rows(s, e), {"next": e}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def commit(self, end):
+        pass  # nothing to release: the generator holds no state
+
+
+class SynthCorpusStreamDataSource(DataSource):
+    """format name: ``quty_synth_stream``; options: n_docs (default
+    500), batch_docs (default 200)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "quty_synth_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def simpleStreamReader(self, schema) -> SynthCorpusStreamReader:
+        return SynthCorpusStreamReader(self.options)
+
+
+def register_synth_stream_source(spark) -> None:
+    try:
+        spark.dataSource.register(SynthCorpusStreamDataSource)
+    except Exception:
+        pass

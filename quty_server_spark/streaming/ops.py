@@ -1586,3 +1586,78 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(hour, "mem_chained_windows", "append")
+
+
+@registry.query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(i % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(i) AS BIGINT) AS min_doc,
+           CAST(MAX(i) AS BIGINT) AS max_doc,
+           CAST(SUM(i % 13 + 3) AS BIGINT) AS total_tokens
+    FROM range(0, 500) t(i) GROUP BY i % 8
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector through the Spark 4 Python data source
+    API (sources/synth_source.py SimpleDataSourceStreamReader): the
+    bounded synthetic corpus arrives as offset-tracked micro-batches
+    (200 docs each), consumed across REPEATED availableNow runs on one
+    checkpoint — each run is a fresh query resuming from committed
+    offsets, so the exact per-shard counts the oracle states prove the
+    resume contract end-to-end (no batch re-consumed, none lost; the
+    same stop/resume device as stream_kafka_replay). The idempotent
+    epoch-keyed foreachBatch sink supplies the sink half of
+    exactly-once; readBetweenOffsets regenerates a planned-but-
+    uncommitted batch bit-identically on restart (source half).
+
+    Scale: at a real deployment the reader's offset is a feed position
+    (queue cursor, API page token); partition-parallelism comes from the
+    batch variant's InputPartitions — the simple stream reader
+    prioritizes the offset/replay contract, which is what this query
+    pins."""
+    from quty_server_spark.sources.synth_source import (
+        register_synth_stream_source,
+    )
+
+    configure(spark)
+    register_synth_stream_source(spark)
+    n_docs = 500
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        "quty_synth_stream",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    outdir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(outdir)
+    # 500 docs / 200-doc batches -> 3 productive runs + 1 empty; the
+    # bound is a guard, the loop exits on row-count convergence.
+    for _ in range(6):
+        raw = spark.readStream.format("quty_synth_stream").load()
+        q = (
+            raw.writeStream.foreachBatch(_epoch_writer(outdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if any(d.startswith("epoch=") for d in os.listdir(outdir)):
+            got = (
+                spark.read.option("basePath", outdir)
+                .parquet(os.path.join(outdir, "epoch=*"))
+                .count()
+            )
+            if got >= n_docs:
+                break
+    rows = spark.read.option("basePath", outdir).parquet(
+        os.path.join(outdir, "epoch=*")
+    )
+    return rows.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )

@@ -805,3 +805,45 @@ def test_levenshtein_block_cap_adds_no_exchange(spark):
     assert "Window" in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges <= 2, f"extra shuffle appeared: {n_exchanges} exchanges"
+
+
+def test_python_datasource_pushes_range_filters(spark):
+    # The Spark 4 Python data source must receive the doc_id range via
+    # pushFilters (pruning whole InputPartitions); a plan without
+    # PushedFilters means the reader generates all rows and Spark
+    # re-filters — the Python-source analog of losing parquet pushdown.
+    plan = plan_of(spark, "source_python_datasource")
+    assert "BatchScan quty_synth" in plan
+    assert "GreaterThanOrEqual(doc_id,100)" in plan
+    assert "LessThan(doc_id,1600)" in plan
+
+
+def test_python_datasource_reader_narrows_partitions():
+    # Reader-level unit check: consumed range filters narrow the id
+    # span BEFORE partitioning, unsupported filters are yielded back.
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from quty_server_spark.sources.synth_source import SynthCorpusReader
+
+    r = SynthCorpusReader({"n_docs": "2000", "n_shards": "8"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 500),
+                LessThan(("doc_id",), 900),
+                EqualTo(("shard",), 3),  # not doc_id -> stays with Spark
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    parts = r.partitions()
+    assert parts[0].start == 500 and parts[-1].end == 900
+    spans = [(p.start, p.end) for p in parts]
+    # contiguous, non-overlapping, exactly covering [500, 900)
+    assert spans[0][0] == 500 and spans[-1][1] == 900
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
+    # empty range after contradictory filters -> zero rows, no crash
+    r2 = SynthCorpusReader({"n_docs": "2000"})
+    list(r2.pushFilters([LessThan(("doc_id",), 10), GreaterThanOrEqual(("doc_id",), 50)]))
+    assert sum(p.end - p.start for p in r2.partitions()) == 0
