@@ -98,6 +98,7 @@ DRIVER_PRIORITY = [
     "mm_modality_mix",
     "source_python_datasource",
     "stream_python_datasource",
+    "sink_python_datasource_writer",
 ]
 
 

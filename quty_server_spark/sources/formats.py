@@ -742,3 +742,68 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
     )
+
+
+@registry.query(
+    "sink_python_datasource_writer",
+    oracle="""
+    SELECT CAST(i % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(i) AS BIGINT) AS doc_id_sum,
+           CAST(SUM(i % 13 + 3) AS BIGINT) AS total_tokens
+    FROM range(0, 600) t(i) GROUP BY i % 8
+    """,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional custom SINK through the Spark 4 Python data source
+    writer API (sources/synth_source.py SynthSinkWriter): each task
+    writes a unique attempt file and returns a WriterCommitMessage; the
+    driver-side commit publishes a manifest listing exactly the
+    successful attempts — Spark's own two-phase commit protocol driving
+    the snapshot-isolation device of sink_manifest_snapshot. The
+    read-back goes THROUGH the manifest, and an orphan attempt file
+    planted after the write (a simulated failed/speculative task) must
+    stay invisible — the oracle's exact counts prove it. Completes the
+    connector triple: batch read (pushdown), stream read (offset
+    resume), transactional write."""
+    import json as _json
+
+    from quty_server_spark.sources.synth_source import (
+        register_synth_sink,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    register_synth_sink(spark)
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        "quty_synth_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    df = (
+        spark.read.format("quty_synth")
+        .option("n_docs", "600")
+        .option("n_shards", "8")
+        .load()
+    )
+    df.write.format("quty_synth_sink").option("path", workdir).mode(
+        "append"
+    ).save()
+    # A failed/speculative attempt leaves a file no commit message names;
+    # the manifest-scoped reader must never see it.
+    with open(
+        os.path.join(workdir, "_attempts", "part-orphan.jsonl"), "w"
+    ) as fh:
+        fh.write(_json.dumps({"doc_id": 999999, "shard": 0, "text": "x"}) + "\n")
+    with open(os.path.join(workdir, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    rows = spark.read.schema("doc_id bigint, shard int, text string").json(
+        manifest["files"]
+    )
+    return rows.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )

@@ -40,6 +40,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _MULT = 2654435761  # Knuth multiplicative hash (shared with similarity.py)
@@ -184,5 +186,91 @@ class SynthCorpusStreamDataSource(DataSource):
 def register_synth_stream_source(spark) -> None:
     try:
         spark.dataSource.register(SynthCorpusStreamDataSource)
+    except Exception:
+        pass
+
+
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: the ATTEMPT file it wrote + audit counts.
+    Picklable by contract (plain attributes only)."""
+
+    def __init__(self, path: str, n_rows: int, doc_id_sum: int):
+        self.path = path
+        self.n_rows = n_rows
+        self.doc_id_sum = doc_id_sum
+
+
+class SynthSinkWriter(DataSourceWriter):
+    """Transactional custom sink (the writer half of the API): each task
+    writes its partition to a UNIQUE attempt file under ``_attempts/``
+    (retried/speculative attempts can never collide or append twice),
+    and only the driver-side ``commit`` publishes a manifest listing
+    exactly the files of the SUCCESSFUL attempts plus their audited row
+    count. Readers go through the manifest, so uncommitted attempt
+    files are invisible — the same snapshot-isolation device as
+    sink_manifest_snapshot, here implemented through Spark's own
+    two-phase commit protocol (write → WriterCommitMessage → commit /
+    abort) instead of by hand."""
+
+    def __init__(self, options, overwrite: bool):
+        self.base = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import json as _json
+        import os
+        import uuid
+
+        att_dir = os.path.join(self.base, "_attempts")
+        os.makedirs(att_dir, exist_ok=True)
+        path = os.path.join(att_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        s = 0
+        with open(path, "w") as fh:
+            for row in rows:
+                d = row.asDict()
+                fh.write(_json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+                s += int(d.get("doc_id", 0))
+        return _PartCommit(path, n, s)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "total_rows": sum(m.n_rows for m in messages),
+            "doc_id_sum": sum(m.doc_id_sum for m in messages),
+        }
+        tmp = os.path.join(self.base, "_manifest.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.base, "manifest.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class SynthSinkDataSource(DataSource):
+    """format name: ``quty_synth_sink``; option: path (output dir)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "quty_synth_sink"
+
+    def writer(self, schema, overwrite: bool) -> SynthSinkWriter:
+        return SynthSinkWriter(self.options, overwrite)
+
+
+def register_synth_sink(spark) -> None:
+    try:
+        spark.dataSource.register(SynthSinkDataSource)
     except Exception:
         pass

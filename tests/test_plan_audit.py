@@ -79,6 +79,7 @@ SIDE_EFFECT_BUILDERS = {
     "sink_zorder_clustered",
     "join_dpp_partition_pruned",
     "sink_manifest_snapshot",
+    "sink_python_datasource_writer",
 }
 
 
