@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from quty_server_spark.operators._helpers import dsum, load_table, osum
 from quty_server_spark.plans.registry import registry
+from quty_server_spark.session import configure
 
 
 def _workdir(sf_dir: str, name: str) -> str:
@@ -728,6 +729,11 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, so the oracle reproduces every row from SQL."""
     from quty_server_spark.sources.synth_source import register_synth_source
 
+    # configure() is mandatory here even though no fixture table is read:
+    # a pushFilters reader ERRORS on a plain session unless
+    # spark.sql.python.filterPushdown.enabled is set (RUNTIME_CONFS) —
+    # the driver builds its own unconfigured session.
+    configure(spark)
     register_synth_source(spark)
     df = (
         spark.read.format("quty_synth")
@@ -773,6 +779,7 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         register_synth_source,
     )
 
+    configure(spark)  # see source_python_datasource: pushFilters conf
     register_synth_source(spark)
     register_synth_sink(spark)
     workdir = os.path.join(

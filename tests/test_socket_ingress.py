@@ -83,3 +83,42 @@ def test_socket_ingress_parses_envelope(spark):
         assert got == {("ch0", "1.00", 0), ("ch1", "2.00", 1), ("ch0", "3.00", 2)}
     finally:
         srv.close()
+
+def test_connector_queries_survive_plain_driver_session():
+    """The driver builds its OWN bare SparkSession; every local gate runs
+    through get_spark() (RUNTIME_CONFS applied), so a builder that
+    silently depends on a session conf passes every local check and
+    fails only in the driver — the round-7 near-miss: a pushFilters
+    Python data source reader ERRORS unless
+    spark.sql.python.filterPushdown.enabled is set. A subprocess with a
+    bare PRIMARY session is the only faithful simulation: newSession()
+    children cannot resolve Python data source WRITES at all (the V1
+    write lookup bypasses the child's registry), which is a Spark
+    limitation, not a driver-visible state."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+import __spark_entry__ as se
+for name in ["source_python_datasource", "sink_python_datasource_writer",
+             "stream_python_datasource"]:
+    rows = se.queries()[name](spark, "/root/testdata/sf0.001").collect()
+    assert rows, name
+print("PLAIN_OK")
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert "PLAIN_OK" in p.stdout, p.stderr[-2000:]
