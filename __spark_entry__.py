@@ -99,6 +99,8 @@ DRIVER_PRIORITY = [
     "source_python_datasource",
     "stream_python_datasource",
     "sink_python_datasource_writer",
+    "scalar_variant_json",
+    "sql_recursive_cte_hierarchy",
 ]
 
 

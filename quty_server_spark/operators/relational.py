@@ -1979,3 +1979,99 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
     )
+
+
+@registry.query(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` builds the binary variant once per row,
+    ``variant_get`` extracts typed paths without re-parsing — the
+    modern engine path for open-schema JSON columns like
+    ``events.props`` (scalar_json covers the classic
+    ``get_json_object`` string path; this is its typed successor).
+    Missing paths yield NULL (counted, proving absent-key semantics
+    matches DuckDB's json_extract).
+
+    Scale: the variant encode + typed extraction is one codegen'd
+    projection before the aggregate — no Python, no per-access string
+    re-parse (the get_json_object cost model at 100 TB is one parse
+    PER PATH; variant parses once per row regardless of path count)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.expr("parse_json(props)")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("m"), v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_missing"),
+        )
+    )
+
+
+@registry.query(
+    "sql_recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(s_suppkey, depth) AS (
+        SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT s.s_suppkey, w.depth + 1
+        FROM supplier s JOIN walk w ON s.s_suppkey // 2 = w.s_suppkey
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+    FROM walk GROUP BY depth
+    """,
+)
+def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk the implicit binary
+    tree parent(k) = k div 2 over supplier keys from the root, emitting
+    per-depth node counts — the org-chart / BOM / reachability query
+    shape SQL engines answer with iterated self-joins. The declarative
+    twin of the hand-built BSP loops (dedup.min_label_components,
+    graph.pagerank_converged): Spark lowers each recursion level to one
+    join against the previous level's frontier, terminating when a
+    level is empty — O(log n) levels on this tree, so the plan depth
+    stays bounded at 100 TB exactly like the pointer-doubling loop.
+    Both engines run the IDENTICAL statement modulo the integer-division
+    spelling (div vs //, non-negative keys so they agree)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    s.createOrReplaceTempView("rc_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(s_suppkey, depth) AS (
+            SELECT s_suppkey, 0 FROM rc_supplier WHERE s_suppkey = 1
+            UNION ALL
+            SELECT s.s_suppkey, w.depth + 1
+            FROM rc_supplier s JOIN walk w ON s.s_suppkey div 2 = w.s_suppkey
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+               CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+        FROM walk GROUP BY depth
+        """
+    )
