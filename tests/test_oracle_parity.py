@@ -48,15 +48,15 @@ def test_driver_priority_is_subset_of_registry():
 
 def test_rotation_front_loads_never_sampled_queries():
     """The driver samples the first ~50 registered queries; the rotation
-    must spend that window on queries lacking driver verification. The
-    r06-era form of this test (">= 40 of the first 50 absent from
-    r01-r05") assumed debt larger than the window; from round 7 the debt
-    is smaller, so the exact invariant lives in test_rotation_debt.py
-    (head ⊇ registered ∖ cumulative-green, vs ALL prior artifacts).
-    Here: every name the head spends a slot on is either unproven,
-    changed-this-round, new-this-round, or an explicit canary — i.e.
-    the window is never silently wasted re-sampling old green surface
-    beyond the declared canaries."""
+    must spend that window on queries lacking driver verification —
+    *when such debt exists*. The r07-era form asserted a fixed ">= 30
+    never-sampled in the first 50", which fails the moment the rotation
+    SUCCEEDS (the r07 driver run sampled the whole debt, so fresh==0).
+    The correct invariant is debt-conditional: the head must front-load
+    at least min(30, |debt|) unproven queries, where debt = registered
+    ∖ cumulative-green ∖ no_oracle. With debt exhausted the window is
+    free for staleness rotation (re-proving the oldest green rows), and
+    the exact coverage invariant lives in test_rotation_debt.py."""
     import glob
     import json
     import os
@@ -65,16 +65,21 @@ def test_rotation_front_loads_never_sampled_queries():
     arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r[0-9][0-9].json")))
     if not arts:
         pytest.skip("no prior driver artifacts in this checkout")
+    green: set[str] = set()
     sampled: set[str] = set()
     for p in arts:
-        sampled |= set(json.load(open(p)))
+        with open(p) as f:
+            for name, row in json.load(f).items():
+                sampled.add(name)
+                if row.get("hash_match"):
+                    green.add(name)
+    no_oracle = set(ALL) - set(ORACLES)
+    debt = set(ALL) - green - no_oracle
     first50 = list(ALL)[:50]
     fresh = [n for n in first50 if n not in sampled]
-    # 33 = 21 never-sampled (r01-r06) + 2 never-green array fixes + 10
-    # new round-7 queries; the rest of the head re-proves changed code
-    # and canaries. Drops below 30 only if the rotation drifted back to
-    # the green surface.
-    assert len(fresh) >= 30, (
+    need = min(30, len(debt))
+    assert len(fresh) >= need, (
         f"only {len(fresh)} of the first 50 registered queries are "
-        f"never-driver-sampled — rotation drifted; first50={first50}"
+        f"never-driver-sampled but debt has {len(debt)} entries — "
+        f"rotation drifted; debt={sorted(debt)}"
     )
