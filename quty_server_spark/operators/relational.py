@@ -2012,11 +2012,18 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parse (the get_json_object cost model at 100 TB is one parse
     PER PATH; variant parses once per row regardless of path count)."""
     e = load_table(spark, sf_dir, "events")
-    v = F.expr("parse_json(props)")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
-    missing = F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+    # Bind the variant ONCE, then extract both paths from the bound
+    # column in a second projection — the plan must show a single
+    # parse_json (r07 verdict #6: the previous form built it 3x).
+    parsed = e.select(
+        "event_type", F.expr("parse_json(props)").alias("v")
+    )
     return (
-        e.select("event_type", k.alias("k"), missing.alias("m"), v.alias("v"))
+        parsed.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("variant_get(v, '$.missing', 'string')").alias("m"),
+        )
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
