@@ -96,10 +96,13 @@ class SynthCorpusReader(DataSourceReader):
     def partitions(self):
         # Contiguous slices of the (already filter-narrowed) range: a
         # pushed range predicate prunes whole partitions before any row
-        # is generated.
+        # is generated. Never return [] — PySpark substitutes [None]
+        # for an empty partition list and calls read(None), so a filter
+        # that empties the range must yield ONE empty partition.
         lo, hi = self.lo, max(self.lo, self.hi)
-        span = hi - lo
-        per = max(1, -(-span // self.n_shards))
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        per = max(1, -(-(hi - lo) // self.n_shards))
         return [
             _RangePartition(s, min(s + per, hi))
             for s in range(lo, hi, per)
@@ -107,7 +110,7 @@ class SynthCorpusReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            yield (i, i % 8, synth_text(i))
+            yield (i, i % self.n_shards, synth_text(i))
 
 
 class SynthCorpusDataSource(DataSource):
@@ -125,13 +128,21 @@ class SynthCorpusDataSource(DataSource):
         return SynthCorpusReader(self.options)
 
 
-def register_synth_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine —
-    latest wins per the API; guarded anyway for older builds)."""
+def _register(spark, cls) -> None:
+    """Idempotent registration: re-registering the same name is
+    latest-wins on current builds, but older ones raise a
+    DATA_SOURCE_ALREADY_EXISTS error — swallow ONLY that; any other
+    failure (API mismatch, bad class) must propagate instead of
+    resurfacing later as an opaque 'format not found'."""
     try:
-        spark.dataSource.register(SynthCorpusDataSource)
-    except Exception:
-        pass
+        spark.dataSource.register(cls)
+    except Exception as exc:  # noqa: BLE001 — filtered by message below
+        if "ALREADY_EXISTS" not in str(exc).upper():
+            raise
+
+
+def register_synth_source(spark) -> None:
+    _register(spark, SynthCorpusDataSource)
 
 
 class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
@@ -146,6 +157,7 @@ class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.n_docs = int(options.get("n_docs", 500))
         self.batch_docs = int(options.get("batch_docs", 200))
+        self.n_shards = int(options.get("n_shards", 8))
 
     def initialOffset(self):
         return {"next": 0}
@@ -154,7 +166,7 @@ class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
         # A LIST, not a generator: the prefetching wrapper copy.copy()s
         # the returned iterable when a planned batch is re-served after
         # restart, and generators aren't copyable.
-        return [(i, i % 8, synth_text(i)) for i in range(start, end)]
+        return [(i, i % self.n_shards, synth_text(i)) for i in range(start, end)]
 
     def read(self, start):
         s = int(start["next"])
@@ -184,10 +196,7 @@ class SynthCorpusStreamDataSource(DataSource):
 
 
 def register_synth_stream_source(spark) -> None:
-    try:
-        spark.dataSource.register(SynthCorpusStreamDataSource)
-    except Exception:
-        pass
+    _register(spark, SynthCorpusStreamDataSource)
 
 
 class _PartCommit(WriterCommitMessage):
@@ -270,7 +279,4 @@ class SynthSinkDataSource(DataSource):
 
 
 def register_synth_sink(spark) -> None:
-    try:
-        spark.dataSource.register(SynthSinkDataSource)
-    except Exception:
-        pass
+    _register(spark, SynthSinkDataSource)

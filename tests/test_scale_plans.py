@@ -843,7 +843,52 @@ def test_python_datasource_reader_narrows_partitions():
     assert spans[0][0] == 500 and spans[-1][1] == 900
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert b == c
-    # empty range after contradictory filters -> zero rows, no crash
+    # empty range after contradictory filters -> zero rows, no crash.
+    # partitions() must NOT be [] — PySpark turns an empty partition
+    # list into [None] and calls read(None) (r07 ADVICE, verified
+    # end-to-end below).
     r2 = SynthCorpusReader({"n_docs": "2000"})
     list(r2.pushFilters([LessThan(("doc_id",), 10), GreaterThanOrEqual(("doc_id",), 50)]))
-    assert sum(p.end - p.start for p in r2.partitions()) == 0
+    parts2 = r2.partitions()
+    assert parts2, "empty partition list would make Spark call read(None)"
+    assert sum(p.end - p.start for p in parts2) == 0
+    assert list(r2.read(parts2[0])) == []
+
+
+def test_python_datasource_empty_pushdown_returns_zero_rows(spark):
+    # End-to-end form of the r07 ADVICE crash: a pushed predicate that
+    # empties the id range must yield an empty DataFrame, not
+    # AttributeError on read(None).
+    from quty_server_spark.sources.synth_source import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("quty_synth")
+        .option("n_docs", 2000)
+        .load()
+        .filter("doc_id < 0")
+    )
+    assert df.count() == 0
+
+
+def test_python_datasource_shard_follows_n_shards(spark):
+    # The shard column must honor the n_shards option (it was hardcoded
+    # % 8 — r07 ADVICE); registered queries keep the default 8, so the
+    # oracle arithmetic is untouched.
+    from quty_server_spark.sources.synth_source import (
+        SynthCorpusStreamReader,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("quty_synth")
+        .option("n_docs", 64)
+        .option("n_shards", 5)
+        .load()
+    )
+    bad = df.filter("shard != doc_id % 5").count()
+    assert bad == 0
+    sr = SynthCorpusStreamReader({"n_docs": "20", "batch_docs": "20", "n_shards": "3"})
+    rows, _ = sr.read(sr.initialOffset())
+    assert all(shard == i % 3 for i, shard, _ in rows)
