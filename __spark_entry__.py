@@ -25,82 +25,85 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-7 rotation
-# (the verification-CLOSING round — VERDICT r06 "Next round" #1): after
-# r06 the cumulative driver record covers 191/212 queries; this head is
-# exactly the complement, so a full r07 sample closes the record at
-# every-query-proven:
-# (1) the 21 queries with zero driver rows in CORRECTNESS_r01-r06 —
-# the 7 deferred TPC-H picks + agg_unpivot, and the 13 round-6 ops
-# registered behind the r06 head;
-# (2) agg_approx_distinct — its only driver row (r03) predates the
-# bounded-error oracle that landed in r04; re-sampled to replace the
-# stale no_oracle row;
-# (3) the 4 queries whose code changed THIS round: the two array-output
-# stringifications (embed_quantize_int8, text_winnow_fingerprint —
-# never driver-green before, the r06 comparator erred on their array
-# columns) and the two hot-key caps (graph_bipartite_butterflies,
-# dedup_fuzzy_levenshtein — r06-green but the cap changes their
-# results, QUALIFY-mirrored in the oracle);
-# (4) two long-green canaries (flagship since r01, one stream_*) so a
-# comparator regression on the old surface stays externally detectable.
-# New round-7 queries are appended after these so they get driver rows
-# in the same sample. tests/test_rotation_debt.py asserts this head ⊇
+# queries, so registration order IS driver coverage. Round-9 rotation
+# (the staleness-RETIRING round — VERDICT r08 "Next round" #1; the r08
+# head was never edited, so the driver re-sampled r07's 50 names and
+# the early relational surface's freshest green rows stayed r02/r03
+# vintage). With the never-sampled debt at zero since r07, the window
+# is spent on:
+# (1) the 4 queries whose code changed THIS round — the shared BSP
+# label memo (dedup_cluster / dedup_cluster_stats /
+# dedup_keep_canonical now label once per (session, sf_dir),
+# dedup.py:simhash_component_labels) must be re-proven byte-identical,
+# and stream_rate_source gained its first real oracle (deterministic
+# rate-micro-batch values over range(0,5000)) — previously the only
+# rows-only entry in the registry;
+# (2) two long-green canaries (flagship since r01, one stream_*) so a
+# comparator regression on the old surface stays externally detectable;
+# (3) ALL 42 stale queries, oldest green row first: the three
+# r02-vintage (agg_pivot, events_time_rollup, events_user_funnel), then
+# the 39 whose newest green row is r03 — the whole early
+# join/agg/window/set/scalar/TPC-H surface. 4+2+42 = 48 <= ~50, so one
+# sample retires the entire stale class and the max green-row age drops
+# to <= 2 rounds. tests/test_rotation_debt.py asserts this head ⊇
 # (registered ∖ cumulative-green) so rotation debt cannot silently
-# rebuild. Queries not listed keep their import order after these;
-# nothing is removed — the full local gate (tools/check_oracle.py)
-# still checks all 212+.
+# rebuild; tests/test_oracle_parity.py asserts the head spends its
+# slots on debt when debt exists. Queries not listed keep their import
+# order after these; nothing is removed — the full local gate
+# (tools/check_oracle.py) still checks all 227.
 DRIVER_PRIORITY = [
-    # (1) never driver-sampled: deferred TPC-H family + agg_unpivot
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "min_cost_supplier",
-    "agg_unpivot",
-    # (1) never driver-sampled: round-6 ops registered behind the head
-    "join_bloom_runtime_filtered",
-    "window_rolling_median",
-    "events_dau_wau",
-    "events_bot_regularity",
-    "events_funnel_time_to_convert",
-    "events_top_paths",
-    "dedup_exact_normalized",
-    "dedup_decontaminate_ngram",
-    "doc_quality_gate",
-    "embed_norm_outliers",
-    "graph_degree_distribution",
-    "sample_stratified_hash",
-    "text_lexicon_sentiment",
-    # (2) stale driver row (r03 no_oracle; bounded-error oracle in r04)
-    "agg_approx_distinct",
-    # (3) changed this round — re-prove via driver
-    "embed_quantize_int8",
-    "text_winnow_fingerprint",
-    "graph_bipartite_butterflies",
-    "dedup_fuzzy_levenshtein",
-    # (4) canaries: long-green batch + streaming
+    # (1) changed this round — re-prove via driver
+    "dedup_cluster",
+    "dedup_cluster_stats",
+    "dedup_keep_canonical",
+    "stream_rate_source",
+    # (2) canaries: long-green batch + streaming
     "flagship_delivery_report",
     "stream_session_window",
-    # (5) NEW this round (never existed before r07) — registered inside
-    # the head so they acquire driver rows in the same sample
-    "sim_ann_recall_eval",
-    "sim_ivf_cell_balance",
-    "dedup_minhash_error_eval",
-    "dedup_cluster_stats",
-    "doc_mix_rebalance",
-    "doc_seqlen_histogram",
-    "doc_pack_efficiency",
-    "orders_supplier_herfindahl",
-    "events_watermark_lag_audit",
-    "mm_modality_mix",
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource_writer",
-    "scalar_variant_json",
-    "sql_recursive_cte_hierarchy",
+    # (3) stale: newest green row r02
+    "agg_pivot",
+    "events_time_rollup",
+    "events_user_funnel",
+    # (3) stale: newest green row r03
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_sketch_mergeable",
+    "agg_stats",
+    "conditional_case_null",
+    "distinct_projection",
+    "join_asof",
+    "join_cross",
+    "join_left_anti",
+    "join_left_semi",
+    "join_null_safe",
+    "join_range_nonequi",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "scalar_array",
+    "scalar_dates",
+    "scalar_maps",
+    "scalar_math",
+    "scalar_strings",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sort_limit_topn",
+    "subquery_correlated_exists",
+    "subquery_scalar_in",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_dense_ntile",
+    "window_row_number_topk",
+    "window_running_sum",
+    "window_value_fns",
 ]
 
 

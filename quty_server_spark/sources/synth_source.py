@@ -182,7 +182,8 @@ class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
 
 class SynthCorpusStreamDataSource(DataSource):
     """format name: ``quty_synth_stream``; options: n_docs (default
-    500), batch_docs (default 200)."""
+    500), batch_docs (default 200), n_shards (default 8 — modulus for
+    the emitted ``shard`` column, same contract as the batch source)."""
 
     @classmethod
     def name(cls) -> str:

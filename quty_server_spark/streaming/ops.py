@@ -1211,19 +1211,32 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@registry.query("stream_rate_source")
+@registry.query(
+    "stream_rate_source",
+    oracle="""
+    SELECT CAST(r % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS value_sum
+    FROM range(0, 5000) t(r)
+    GROUP BY 1
+    """,
+)
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rate source smoke: the built-in load-generator source (the stand-in
-    for a Kafka ingress in this container — no broker available; the
-    rate-micro-batch variant emits a fixed row count per batch) feeding a
-    real micro-batch pipeline: projection + modulo bucketing + windowless
-    aggregation, availableNow to a memory sink. Rows-only check by design
-    (row content depends on the trigger wall-clock, so no SQL twin): what
-    it verifies is that a non-file streaming source drives the same
-    operator surface the file-source queries use. At scale the rate
-    source is also the backpressure-calibration tool: crank
-    the per-batch row count until the sink lags, and that is the pipeline's
-    throughput ceiling."""
+    """Rate source, value-verified: the built-in load-generator source
+    (the stand-in for a Kafka ingress in this container — no broker
+    available) feeding a real micro-batch pipeline: projection + modulo
+    bucketing + windowless aggregation, availableNow to a memory sink.
+    Unlike the wall-clock `rate` format, `rate-micro-batch` is
+    DETERMINISTIC by contract: it advances its offset by exactly
+    rowsPerBatch per batch independent of execution timing, and with a
+    fresh checkpoint + availableNow the run consumes exactly one batch —
+    values 0..rowsPerBatch-1. That makes the emitted `value` column (and
+    so every per-bucket count and sum) a pure function of the three
+    pinned options, so the query carries a real SQL oracle over
+    range(0, 5000) — no rows-only trust needed. At scale the rate source
+    is also the backpressure-calibration tool: crank the per-batch row
+    count until the sink lags, and that is the pipeline's throughput
+    ceiling."""
     from quty_server_spark.session import configure
 
     configure(spark)

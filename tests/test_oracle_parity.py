@@ -76,10 +76,13 @@ def test_rotation_front_loads_never_sampled_queries():
     no_oracle = set(ALL) - set(ORACLES)
     debt = set(ALL) - green - no_oracle
     first50 = list(ALL)[:50]
-    fresh = [n for n in first50 if n not in sampled]
+    # Count head slots SPENT ON DEBT directly (r08 advice): debt includes
+    # sampled-but-red queries, so "never sampled" undercounts — re-proving
+    # a red query is exactly what the head is for and must count.
+    spent = [n for n in first50 if n in debt]
     need = min(30, len(debt))
-    assert len(fresh) >= need, (
-        f"only {len(fresh)} of the first 50 registered queries are "
-        f"never-driver-sampled but debt has {len(debt)} entries — "
+    assert len(spent) >= need, (
+        f"only {len(spent)} of the first 50 registered queries address "
+        f"verification debt but debt has {len(debt)} entries — "
         f"rotation drifted; debt={sorted(debt)}"
     )
