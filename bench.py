@@ -80,6 +80,16 @@ def main() -> None:
         # min is the steady-state number a warm, quiet cluster shows.
         best = float("inf")
         for _ in range(3):
+            if name == "dedup_cluster":
+                # The BSP label table is memoized per (session, sf_dir)
+                # so composed pipelines label once. Without this reset,
+                # best-of-3 would time cached label reads and the ~10 s
+                # labeling cost would vanish from the headline entirely.
+                # Convention: dedup_cluster reports the COLD labeling
+                # pass; dedup_cluster_stats (later in HEADLINE) reports
+                # the shared-label consumer path — together they are the
+                # composed-pipeline cost, each stated once.
+                spark._quty_cluster_labels = {}
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -1,0 +1,104 @@
+"""2x-volume probe (synthetic "sf0.2") for the two queries whose cost is
+dominated by data-dependent growth rather than the per-query floor:
+
+- route_fanout: output rows = messages x subscribers-per-channel; with a
+  FIXED channel space (ch0..ch6 at every SF) doubling the events table
+  doubles both factors, so output grows ~4x BY DESIGN. The scale claim
+  to check is therefore not "time is linear in input" but "time tracks
+  OUTPUT rows" — time-per-output-row must stay ~flat; growing t/row
+  would mean the join shape itself degrades with volume (skew, spill).
+- dedup_cluster_stats: the fixture corpus is dense (every doc
+  near-identical), so doubling it doubles every band bucket; WITHOUT the
+  SIMHASH_BUCKET_CAP the candidate pair count would grow ~4x. The cap
+  bounds per-bucket expansion, so the claim to check is wall time ~2x
+  (linear), cold labeling included.
+
+The doubled dataset is built from sf0.1 by unioning each table with an
+id-offset copy (event_id/user_id/doc_id + 10^9; all other columns
+bit-identical), written once to /tmp/quty_sf0.2_probe. Timing mirrors
+bench.py: noop sink, warm once, best-of-3, and the per-session BSP label
+memo is cleared before every dedup timing so the COLD labeling pass is
+what's measured.
+
+Usage: python tools/probe_2x.py [--json PATH]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as se  # noqa: E402
+from quty_server_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+OUT = "/tmp/quty_sf0.2_probe"
+OFFSET = 10**9
+QUERIES = ["route_fanout", "dedup_cluster_stats"]
+
+
+def build_2x(spark) -> None:
+    """Materialize the doubled tables once (idempotent per /tmp life)."""
+    plans = {
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+    }
+    for table, id_cols in plans.items():
+        dest = os.path.join(OUT, f"{table}.parquet")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        shifted = df.withColumns(
+            {c: (F.col(c) + F.lit(OFFSET)).cast("long") for c in id_cols}
+        )
+        df.unionByName(shifted).write.mode("overwrite").parquet(dest)
+
+
+def time_query(spark, fn, sf_dir: str) -> tuple[float, int]:
+    df = fn(spark, sf_dir)
+    rows = df.count()  # output volume, for the t/row reading
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(3):
+        getattr(spark, "_quty_cluster_labels", {}).clear()  # cold labeling
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3), rows
+
+
+def main() -> None:
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+    spark = get_spark("probe-2x")
+    build_2x(spark)
+    qs = se.queries()
+    report = {}
+    for name in QUERIES:
+        t1, r1 = time_query(spark, qs[name], SF01)
+        t2, r2 = time_query(spark, qs[name], OUT)
+        report[name] = {
+            "t_sf0.1": t1,
+            "t_2x": t2,
+            "time_ratio": round(t2 / t1, 2),
+            "rows_sf0.1": r1,
+            "rows_2x": r2,
+            "rows_ratio": round(r2 / r1, 2),
+            "t_per_row_ratio": round((t2 / max(r2, 1)) / (t1 / max(r1, 1)), 2),
+        }
+        print(name, report[name])
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+    print("PROBE2X " + json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
