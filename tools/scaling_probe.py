@@ -79,6 +79,11 @@ def main() -> None:
         for sf in SFS:
             best = float("inf")
             for _ in range(3):
+                # Same convention as bench.py: the per-session BSP label
+                # memo would otherwise serve cached labels from run 2 on
+                # and the ladder would measure the histogram, not the
+                # labeling it exists to probe.
+                getattr(spark, "_quty_cluster_labels", {}).clear()
                 t0 = time.perf_counter()
                 qs[name](spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
