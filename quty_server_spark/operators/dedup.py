@@ -1053,6 +1053,68 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "dedup_incremental_simhash",
+    oracle=f"""
+    WITH {SQL_SIMHASH},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    cands AS (
+        SELECT DISTINCT n.doc_id AS incoming_doc_id, o.doc_id AS lake_doc_id
+        FROM bands n JOIN bands o
+          ON n.band_id = o.band_id AND n.band_val = o.band_val
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    )
+    SELECT c.incoming_doc_id, c.lake_doc_id,
+           bit_count(xor(sn.sig, so.sig)) AS hamming
+    FROM cands c
+    JOIN simhash sn ON c.incoming_doc_id = sn.doc_id
+    JOIN simhash so ON c.lake_doc_id = so.doc_id
+    WHERE bit_count(xor(sn.sig, so.sig)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the nightly-ingest pattern a 100 TB lake
+    actually runs: an incoming shard (here ``doc_id % 10 = 0``, a
+    deterministic 10% slice at every SF) is checked for near-duplicates
+    AGAINST THE EXISTING LAKE ONLY, without re-mining lake-vs-lake
+    pairs. Same 4 x 12-bit pigeonhole banding + Hamming verify as
+    :func:`dedup_simhash`, but the band join is ASYMMETRIC
+    (incoming bands x lake bands), so per run the candidate cost is
+    |incoming| x bucket-density — independent of |lake|² — and the
+    output is exactly the pairs an ingest gate needs to quarantine the
+    shard's duplicates. At scale the lake side's signatures/bands are
+    the precomputed, partitioned artifact (written once by the full
+    dedup run); the shard side is small enough that AQE picks a
+    broadcast of it here, and the shuffle-on-(band_id, band_val) shape
+    engages automatically when a backfill makes the shard large. On a
+    boilerplate-dense corpus compose with the SIMHASH_BUCKET_CAP device
+    of :func:`dedup_simhash_capped` — the cap applies to the lake-side
+    buckets unchanged."""
+    sigs = simhash_sigs(spark, sf_dir)
+    bands = simhash_bands(sigs)
+    new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    lake = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
+    return (
+        new.join(
+            lake,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
 # Case/whitespace-mangled copies for the normalized-dedup exercise:
 # every doc_id % 7 == 0 document reappears uppercased with doubled
 # spaces under doc_id + 2000000. Exact md5 dedup cannot see these;

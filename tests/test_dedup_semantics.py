@@ -173,3 +173,24 @@ def test_component_labels_memoized_per_session_and_sf(spark):
     # The cached frame is materialized (localCheckpoint) — consuming it
     # twice must not re-run the BSP supersteps; cheap sanity: same rows.
     assert first.count() == second.count()
+
+
+def test_incremental_simhash_equals_restricted_full_pairs(spark):
+    # The asymmetric shard-vs-lake join must find EXACTLY the full pair
+    # set restricted to (incoming, lake) — no pair invented, none lost at
+    # the band boundary. Normalize the full set's doc_a < doc_b order to
+    # the incremental's (incoming, lake) orientation.
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r.incoming_doc_id, r.lake_doc_id, r.hamming)
+        for r in D.dedup_incremental_simhash(spark, sf).collect()
+    }
+    full = set()
+    for r in D.dedup_simhash(spark, sf).collect():
+        a_new, b_new = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_new and not b_new:
+            full.add((r.doc_a, r.doc_b, r.hamming))
+        elif b_new and not a_new:
+            full.add((r.doc_b, r.doc_a, r.hamming))
+    assert inc == full
+    assert inc  # fixture sanity: the slice actually has near-dups
