@@ -61,6 +61,9 @@ HEADLINE = [
     "sim_ann_recall_eval",
     "dedup_cluster_stats",
     "orders_supplier_herfindahl",
+    # round-9 addition (incremental ingest gate; dedup_cluster_stats above
+    # now times the shared-label consumer path — see the memo reset note)
+    "dedup_incremental_simhash",
 ]
 
 
