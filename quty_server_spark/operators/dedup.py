@@ -1085,11 +1085,15 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incoming bands x lake bands), so per run the candidate cost is
     |incoming| x bucket-density — independent of |lake|² — and the
     output is exactly the pairs an ingest gate needs to quarantine the
-    shard's duplicates. At scale the lake side's signatures/bands are
-    the precomputed, partitioned artifact (written once by the full
-    dedup run); the shard side is small enough that AQE picks a
-    broadcast of it here, and the shuffle-on-(band_id, band_val) shape
-    engages automatically when a backfill makes the shard large. On a
+    shard's duplicates. The shard/lake predicates are on the grouping
+    key, so Catalyst pushes them BELOW the signature aggregation onto
+    the parquet scans (verified in the optimized plan: each side
+    aggregates only its own documents — nothing is signed twice). At
+    scale the lake side's signatures/bands are the precomputed,
+    partitioned artifact (written once by the full dedup run); AQE
+    broadcasts whichever band side fits (at fixture scale both do; in
+    production that is the shard), and the shuffle-on-(band_id,
+    band_val) shape engages automatically when neither does. On a
     boilerplate-dense corpus compose with the SIMHASH_BUCKET_CAP device
     of :func:`dedup_simhash_capped` — the cap applies to the lake-side
     buckets unchanged."""
