@@ -43,14 +43,14 @@ SF0001 = "/root/testdata/sf0.001"
 # (3) ALL 42 stale queries, oldest green row first: the three
 # r02-vintage (agg_pivot, events_time_rollup, events_user_funnel), then
 # the 39 whose newest green row is r03 — the whole early
-# join/agg/window/set/scalar/TPC-H surface. 5+2+42 = 49 <= ~50, so one
-# sample retires the entire stale class and the max green-row age drops
+# join/agg/window/set/scalar/TPC-H surface. 6+2+42 = 50 = the window, so
+# one sample retires the entire stale class and the max green-row age drops
 # to <= 2 rounds. tests/test_rotation_debt.py asserts this head ⊇
 # (registered ∖ cumulative-green) so rotation debt cannot silently
 # rebuild; tests/test_oracle_parity.py asserts the head spends its
 # slots on debt when debt exists. Queries not listed keep their import
 # order after these; nothing is removed — the full local gate
-# (tools/check_oracle.py) still checks all 228.
+# (tools/check_oracle.py) still checks all 229.
 DRIVER_PRIORITY = [
     # (1) changed or NEW this round — re-prove via driver
     "dedup_cluster",
@@ -58,6 +58,7 @@ DRIVER_PRIORITY = [
     "dedup_keep_canonical",
     "stream_rate_source",
     "dedup_incremental_simhash",
+    "dedup_incremental_simhash_capped",
     # (2) canaries: long-green batch + streaming
     "flagship_delivery_report",
     "stream_session_window",

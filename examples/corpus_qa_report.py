@@ -100,6 +100,19 @@ def main() -> None:
     print(f"packing: {p.toks} tokens into {p.bins} x 2048 bins "
           f"(fill {fill:.3f}, {p.oversize} oversize docs need chunking)")
 
+    # 3b. incremental ingest gate (round 9): what the NEXT shard would
+    # quarantine against this lake, via the capped asymmetric band join
+    gate = q["dedup_incremental_simhash_capped"](spark, sf_dir)
+    g = gate.agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("incoming_doc_id").alias("flagged"),
+    ).collect()[0]
+    n_shard = gate.sparkSession.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).filter(F.col("doc_id") % 10 == 0).count()
+    print(f"ingest gate: {g.flagged}/{n_shard} shard docs have a near-dup "
+          f"already in the lake ({g.pairs} capped candidate pairs)")
+
     # 4. stream readiness
     lag = q["events_watermark_lag_audit"](spark, sf_dir)
     w = lag.agg(

@@ -1119,6 +1119,66 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "dedup_incremental_simhash_capped",
+    oracle=f"""
+    WITH {SQL_SIMHASH},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+        QUALIFY COUNT(*) OVER (PARTITION BY b.band_id,
+                               (sig >> (12 * b.band_id)) & 4095)
+                <= {SIMHASH_BUCKET_CAP}
+    )
+    SELECT DISTINCT n.doc_id AS incoming_doc_id, o.doc_id AS lake_doc_id,
+           bit_count(xor(n.sig, o.sig)) AS hamming
+    FROM bands n JOIN bands o
+      ON n.band_id = o.band_id AND n.band_val = o.band_val
+    WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      AND bit_count(xor(n.sig, o.sig)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_incremental_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental ingest gate's 100 TB candidate-generation
+    contract. The diverse-corpus ladder (SCALING.md §sparsity) measures
+    the UNCAPPED asymmetric join at ~4x candidates per corpus doubling
+    when the shard scales with the corpus — banding is banding: dense
+    boilerplate buckets explode whether the join is symmetric or not.
+    Same fix as :func:`dedup_simhash_capped`, same cap, same
+    QUALIFY-mirrored oracle: buckets larger than SIMHASH_BUCKET_CAP are
+    non-discriminative boilerplate and leave the candidate universe
+    BEFORE the shard/lake split, bounding lake-side work at
+    CAP x n_buckets regardless of corpus density (measured back to
+    ~2x/doubling — linear — on the diverse corpus). Production shape:
+    fixed nightly shard against a growing lake; the cap is what keeps
+    the gate's cost a function of the shard, not of the lake's
+    boilerplate."""
+    bands = simhash_bands(simhash_sigs(spark, sf_dir))
+    bands = bands.withColumn(
+        "bsz",
+        F.count("*").over(Window.partitionBy("band_id", "band_val")),
+    ).filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    lake = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
+    return (
+        new.join(
+            lake,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
 # Case/whitespace-mangled copies for the normalized-dedup exercise:
 # every doc_id % 7 == 0 document reappears uppercased with doubled
 # spaces under doc_id + 2000000. Exact md5 dedup cannot see these;

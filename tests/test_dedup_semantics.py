@@ -194,3 +194,19 @@ def test_incremental_simhash_equals_restricted_full_pairs(spark):
             full.add((r.doc_b, r.doc_a, r.hamming))
     assert inc == full
     assert inc  # fixture sanity: the slice actually has near-dups
+
+
+def test_incremental_capped_is_subset_of_uncapped(spark):
+    # The cap only REMOVES candidates (saturated buckets leave the
+    # universe before the shard/lake split) — it can never invent a pair,
+    # and surviving pairs keep their exact hamming.
+    sf = "/root/testdata/sf0.001"
+    capped = {
+        (r.incoming_doc_id, r.lake_doc_id, r.hamming)
+        for r in D.dedup_incremental_simhash_capped(spark, sf).collect()
+    }
+    full = {
+        (r.incoming_doc_id, r.lake_doc_id, r.hamming)
+        for r in D.dedup_incremental_simhash(spark, sf).collect()
+    }
+    assert capped <= full

@@ -137,10 +137,54 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
         .distinct()
         .count()
     )
+    # The r09 ingest gate's candidate join: shard bands x lake bands.
+    # On sparse realistic buckets this must track the SHARD size (a
+    # fixed 10% of the corpus here), i.e. grow ~linearly with n_docs —
+    # never like the |lake|² a symmetric re-mine would pay.
+    new, old = (
+        bands.filter(F.col("doc_id") % 10 == 0).alias("n"),
+        bands.filter(F.col("doc_id") % 10 != 0).alias("o"),
+    )
+    incremental_pairs = (
+        new.join(
+            old,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select("n.doc_id", "o.doc_id")
+        .distinct()
+        .count()
+    )
+    # And the CAPPED gate: saturated buckets leave the universe before
+    # the shard/lake split (dedup_incremental_simhash_capped) — this is
+    # the column that must come back ~linear.
+    from pyspark.sql import Window
+
+    from quty_server_spark.operators.dedup import SIMHASH_BUCKET_CAP
+
+    capped = bands.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band_id", "band_val"))
+    ).filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    cn, co = (
+        capped.filter(F.col("doc_id") % 10 == 0).alias("n"),
+        capped.filter(F.col("doc_id") % 10 != 0).alias("o"),
+    )
+    incremental_capped_pairs = (
+        cn.join(
+            co,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select("n.doc_id", "o.doc_id")
+        .distinct()
+        .count()
+    )
     return {
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_block_pairs": ngram_pairs,
+        "incremental_pairs": incremental_pairs,
+        "incremental_capped_pairs": incremental_capped_pairs,
     }
 
 
@@ -184,6 +228,14 @@ def main() -> None:
         )
         cur["ngram_step"] = round(
             cur["ngram_block_pairs"] / max(prev["ngram_block_pairs"], 1), 2
+        )
+        cur["incremental_step"] = round(
+            cur["incremental_pairs"] / max(prev["incremental_pairs"], 1), 2
+        )
+        cur["incremental_capped_step"] = round(
+            cur["incremental_capped_pairs"]
+            / max(prev["incremental_capped_pairs"], 1),
+            2,
         )
     out = json.dumps({"seed": SEED, "sizes": rows})
     print(out)
