@@ -25,87 +25,85 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-9 rotation
-# (the staleness-RETIRING round — VERDICT r08 "Next round" #1; the r08
-# head was never edited, so the driver re-sampled r07's 50 names and
-# the early relational surface's freshest green rows stayed r02/r03
-# vintage). With the never-sampled debt at zero since r07, the window
-# is spent on:
-# (1) the 4 queries whose code changed THIS round — the shared BSP
-# label memo (dedup_cluster / dedup_cluster_stats /
-# dedup_keep_canonical now label once per (session, sf_dir),
-# dedup.py:simhash_component_labels) must be re-proven byte-identical,
-# and stream_rate_source gained its first real oracle (deterministic
-# rate-micro-batch values over range(0,5000)) — previously the only
-# rows-only entry in the registry;
+# queries, so registration order IS driver coverage. Round-10 rotation
+# (r09 VERDICT "Next round" #1): after r09 retired the r02/r03 class,
+# the oldest freshest-green vintage is the 43-query r04 class — the
+# pub/sub envelope/routing/cluster surface, the stream_* battery, and a
+# handful of pipeline ops. The window is spent on:
+# (1) the 2 queries NEW this round — the precomputed lake-signature
+# artifact pair (sink_lake_signature_artifact writes the banded lake
+# signatures partitioned by band_id; dedup_incremental_simhash_artifact
+# is the nightly gate whose lake branch SCANS that artifact instead of
+# re-signing the lake — plan-pinned in tests/test_scale_plans.py) —
+# both are rotation DEBT (no cumulative green row) and must be in the
+# head per tests/test_rotation_debt.py;
 # (2) two long-green canaries (flagship since r01, one stream_*) so a
 # comparator regression on the old surface stays externally detectable;
-# (3) ALL 42 stale queries, oldest green row first: the three
-# r02-vintage (agg_pivot, events_time_rollup, events_user_funnel), then
-# the 39 whose newest green row is r03 — the whole early
-# join/agg/window/set/scalar/TPC-H surface. 6+2+42 = 50 = the window, so
-# one sample retires the entire stale class and the max green-row age drops
-# to <= 2 rounds. tests/test_rotation_debt.py asserts this head ⊇
-# (registered ∖ cumulative-green) so rotation debt cannot silently
-# rebuild; tests/test_oracle_parity.py asserts the head spends its
-# slots on debt when debt exists. Queries not listed keep their import
-# order after these; nothing is removed — the full local gate
-# (tools/check_oracle.py) still checks all 229.
+# (3) ALL 43 r04-vintage queries, alphabetically (they share a vintage)
+# — one sample drops the max green-row age to <= 5 rounds;
+# (4) the remaining 3 slots: the two standing incremental-gate queries
+# (their registration was touched this round — the oracle is now the
+# shared SQL_INCREMENTAL_GATE constant, byte-identical, and the capped
+# twin joined the bench HEADLINE) and the alphabetically-first
+# r05-vintage query to start the next-oldest class. 2+2+43+3 = 50.
+# Queries not listed keep their import order after these; nothing is
+# removed — the full local gate (tools/check_oracle.py) still checks
+# all 231.
 DRIVER_PRIORITY = [
-    # (1) changed or NEW this round — re-prove via driver
-    "dedup_cluster",
-    "dedup_cluster_stats",
-    "dedup_keep_canonical",
-    "stream_rate_source",
-    "dedup_incremental_simhash",
-    "dedup_incremental_simhash_capped",
+    # (1) NEW this round — the lake-signature artifact pair
+    "sink_lake_signature_artifact",
+    "dedup_incremental_simhash_artifact",
     # (2) canaries: long-green batch + streaming
     "flagship_delivery_report",
     "stream_session_window",
-    # (3) stale: newest green row r02
-    "agg_pivot",
-    "events_time_rollup",
-    "events_user_funnel",
-    # (3) stale: newest green row r03
-    "agg_basic",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_sketch_mergeable",
-    "agg_stats",
-    "conditional_case_null",
-    "distinct_projection",
-    "join_asof",
-    "join_cross",
-    "join_left_anti",
-    "join_left_semi",
-    "join_null_safe",
-    "join_range_nonequi",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "scalar_array",
-    "scalar_dates",
-    "scalar_maps",
-    "scalar_math",
-    "scalar_strings",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sort_limit_topn",
-    "subquery_correlated_exists",
-    "subquery_scalar_in",
-    "window_lag_lead",
-    "window_moving_frame",
-    "window_rank_dense_ntile",
-    "window_row_number_topk",
-    "window_running_sum",
-    "window_value_fns",
+    # (3) stale: newest green row r04 (whole class, alphabetical)
+    "cluster_discovery",
+    "cluster_node_info",
+    "doc_pack_sequences",
+    "embed_label_centroids",
+    "envelope_parse",
+    "envelope_serialize",
+    "events_retention_cohort",
+    "join_range_banded",
+    "kafka_wire_decode",
+    "kafka_wire_encode",
+    "pending_event_buffer",
+    "route_broadcast_fallback",
+    "route_event_dispatch",
+    "route_fanout_salted",
+    "route_loop_suppression",
+    "route_membership_recheck",
+    "sample_stratified_topk",
+    "scalar_higher_order",
+    "scalar_json",
+    "sink_incremental_matview",
+    "status_snapshot",
+    "stream_checkpoint_recovery",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_liveness_expiry",
+    "stream_pipeline_end_to_end",
+    "stream_route_fanout",
+    "stream_sliding_window",
+    "stream_static_join",
+    "stream_stream_full_outer",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_subscriptions_stateful",
+    "stream_tumbling_window",
+    "stream_watermark_late_drop",
+    "stream_window_topk",
+    "subs_channel_catalog",
+    "subs_current_state",
+    "subs_kick_cascade",
+    "subs_member_channels",
+    "subs_remove_node",
+    "udf_grouped_agg_wmean",
+    # (4) touched registrations + next-oldest vintage starter
+    "dedup_incremental_simhash",
+    "dedup_incremental_simhash_capped",
+    "agg_corr_regression",
 ]
 
 

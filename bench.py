@@ -64,7 +64,19 @@ HEADLINE = [
     # round-9 addition (incremental ingest gate; dedup_cluster_stats above
     # now times the shared-label consumer path — see the memo reset note)
     "dedup_incremental_simhash",
+    # round-10 addition (r09 VERDICT "What's wrong" #3): the CAPPED twin
+    # is the 100 TB contract — the number to track across rounds is the
+    # bounded generator, not the teaching op (which stays above for the
+    # uncapped-vs-capped delta).
+    "dedup_incremental_simhash_capped",
 ]
+
+# The timing convention (dedup_cluster = COLD labeling via the memo
+# reset below; dedup_cluster_stats = the WARM shared-label consumer)
+# silently depends on dedup_cluster running first. Pin the ordering so
+# a future HEADLINE reorder cannot flip dedup_cluster_stats back to
+# cold timing without a loud failure (r09 ADVICE).
+assert HEADLINE.index("dedup_cluster") < HEADLINE.index("dedup_cluster_stats")
 
 
 def main() -> None:
@@ -104,6 +116,15 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Cross-round comparability markers (r09 ADVICE): rows before
+        # r09 timed dedup_cluster_stats on the COLD labeling path
+        # (~8-10 s); "warm-stats" rows time it on the shared-label memo
+        # (~0.3-0.5 s), so diffing `value` across the boundary shows a
+        # spurious ~9 s improvement unrelated to code. n_queries moves
+        # whenever HEADLINE grows — totals only compare at equal
+        # convention AND count; per-query times always compare.
+        "timing_convention": "warm-stats",
+        "n_queries": len(times),
     }
     print(json.dumps(line))
     # Append to the per-query wall-time history so host-noise vs

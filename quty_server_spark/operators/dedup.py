@@ -18,6 +18,10 @@ UDFs — so whole-stage codegen applies end-to-end.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1079,9 +1083,11 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@registry.query(
-    "dedup_incremental_simhash",
-    oracle=f"""
+# Shared by dedup_incremental_simhash and its artifact-reading variant:
+# both compute the same (shard-vs-lake near-pair) relation, so they are
+# oracled by the same SQL — the variant differs only in WHERE the lake
+# side's banded signatures come from (recomputed vs a parquet artifact).
+SQL_INCREMENTAL_GATE = f"""
     WITH {SQL_SIMHASH},
     bands AS (
         SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
@@ -1099,7 +1105,12 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN simhash sn ON c.incoming_doc_id = sn.doc_id
     JOIN simhash so ON c.lake_doc_id = so.doc_id
     WHERE bit_count(xor(sn.sig, so.sig)) <= {HAMMING_MAX}
-    """,
+    """
+
+
+@registry.query(
+    "dedup_incremental_simhash",
+    oracle=SQL_INCREMENTAL_GATE,
 )
 def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the nightly-ingest pattern a 100 TB lake
@@ -1189,6 +1200,143 @@ def dedup_incremental_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFr
     lake = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
     return (
         new.join(
+            lake,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precomputed lake-signature artifact (write-once / read-nightly gate)
+# ---------------------------------------------------------------------------
+
+
+def lake_signature_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Materialize the lake side's banded SimHash signatures
+    ``(doc_id, sig, band_val)`` as an on-disk parquet artifact
+    partitioned by ``band_id``, and return its path. This is the
+    write-once half of the production ingest gate: a 100 TB lake signs
+    its documents ONCE (amortized over every nightly shard), and each
+    night's gate joins the shard's fresh bands against this artifact
+    instead of re-aggregating the lake.
+
+    Partitioning by ``band_id`` makes the artifact's layout match the
+    gate's join key prefix: a probe that only needs band 2 (e.g. a
+    debugging re-check) prunes 3/4 of the files at planning time, and
+    the nightly append of newly-admitted docs goes to 4 directories
+    with no read-modify-write of existing files. Memoized per
+    (session, sf_dir) like ``simhash_component_labels`` so a composed
+    pipeline (writer query, gate query, bench loop) writes once per
+    session; a fresh driver session rebuilds from scratch, so
+    correctness never depends on leftover /tmp state (the build rmtree's
+    any stale directory first)."""
+    cache = getattr(spark, "_quty_lake_sig_artifact", None)
+    if cache is None:
+        cache = {}
+        spark._quty_lake_sig_artifact = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "quty_lake_sig",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        lake = simhash_bands(simhash_sigs(spark, sf_dir)).filter(
+            F.col("doc_id") % 10 != 0
+        )
+        lake.write.partitionBy("band_id").parquet(path)
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_lake_signature_artifact",
+    oracle=f"""
+    WITH {SQL_SIMHASH},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 10 <> 0
+    )
+    SELECT band_id,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT band_val) AS n_buckets,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM bands GROUP BY band_id
+    """,
+)
+def sink_lake_signature_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the banded lake-signature artifact (forced rebuild — this
+    IS the write-once job), then read it back and report per-band row /
+    bucket / doc counts. The oracle recomputes the same summary from the
+    documents table, so the round trip proves the artifact holds exactly
+    the lake's banded signatures — the contract
+    :func:`dedup_incremental_simhash_artifact` relies on.
+
+    Scale: one signature aggregation over the lake + a partitioned
+    columnar write — the job a 100 TB deployment runs once (then
+    appends to), not nightly. The summary read-back aggregates only
+    (band_id, band_val, doc_id) columns out of the artifact."""
+    path = lake_signature_artifact(spark, sf_dir, rebuild=True)
+    art = spark.read.parquet(path)
+    return art.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("band_val").alias("n_buckets"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@registry.query(
+    "dedup_incremental_simhash_artifact",
+    oracle=SQL_INCREMENTAL_GATE,
+)
+def dedup_incremental_simhash_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The read-nightly half of the production ingest gate — the shape
+    :func:`dedup_incremental_simhash`'s docstring promises: the lake
+    side's banded signatures come from the precomputed parquet artifact
+    (:func:`lake_signature_artifact`), NOT from re-signing the lake, so
+    the per-run plan aggregates ONLY the incoming shard. The optimized
+    plan's lake branch is a bare parquet scan of the artifact — no
+    Aggregate — pinned in tests/test_scale_plans.py; the oracle is the
+    same SQL as the recomputing gate, so the artifact round trip is
+    value-verified end to end.
+
+    Scale: nightly cost = sign the shard (|shard| rows) + one equality
+    band join against an artifact scan. With the artifact partitioned by
+    band_id and AQE broadcasting the shard's bands, the lake is read
+    once, columnar, and never shuffled; the lake signature aggregation —
+    the only lake-sized compute — left the nightly path entirely."""
+    path = lake_signature_artifact(spark, sf_dir)
+    lake = (
+        spark.read.parquet(path)
+        .select("doc_id", "sig", "band_id", "band_val")
+        .alias("o")
+    )
+    shard = (
+        simhash_bands(simhash_sigs(spark, sf_dir))
+        .filter(F.col("doc_id") % 10 == 0)
+        .alias("n")
+    )
+    return (
+        shard.join(
             lake,
             (F.col("n.band_id") == F.col("o.band_id"))
             & (F.col("n.band_val") == F.col("o.band_val")),

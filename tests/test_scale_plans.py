@@ -892,3 +892,40 @@ def test_python_datasource_shard_follows_n_shards(spark):
     sr = SynthCorpusStreamReader({"n_docs": "20", "batch_docs": "20", "n_shards": "3"})
     rows, _ = sr.read(sr.initialOffset())
     assert all(shard == i % 3 for i, shard, _ in rows)
+
+
+def test_incremental_gate_artifact_lake_branch_scans_not_aggregates(spark):
+    # r09 VERDICT "Next round" #2: the nightly ingest gate's lake side
+    # must read the precomputed banded-signature artifact, not re-sign
+    # the lake. In the FINAL (post-AQE-planning) tree that means exactly
+    # two parquet leaves — the shard's documents scan and the artifact —
+    # and strictly fewer aggregates than the recomputing gate (the lake
+    # signature aggregation left the nightly path entirely).
+    import re
+
+    plan = plan_of(spark, "dedup_incremental_simhash_artifact")
+    tree = plan.split("\n\n")[0]
+    assert "quty_lake_sig" in plan  # the artifact is what the plan reads
+    assert tree.count("Scan parquet") == 2
+    # Detail blocks belonging to final-tree nodes: documents is scanned
+    # exactly once (the shard branch); the other leaf is the artifact.
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    doc_scans = art_scans = 0
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id not in ids:
+            continue  # AQE initial-plan duplicate, not the final plan
+        if "documents" in block:
+            doc_scans += 1
+        if "quty_lake_sig" in block:
+            art_scans += 1
+    assert doc_scans == 1 and art_scans == 1
+    # No Aggregate on the lake branch: the only aggregations left are the
+    # shard signing + the final distinct — strictly fewer than the
+    # recomputing gate's tree, which signs both sides.
+    plain = plan_of(spark, "dedup_incremental_simhash").split("\n\n")[0]
+    assert tree.count("HashAggregate") < plain.count("HashAggregate")
+    # The shard side (small by construction) broadcasts into the join.
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree

@@ -8,10 +8,22 @@ dominated by data-dependent growth rather than the per-query floor:
   OUTPUT rows" — time-per-output-row must stay ~flat; growing t/row
   would mean the join shape itself degrades with volume (skew, spill).
 - dedup_cluster_stats: the fixture corpus is dense (every doc
-  near-identical), so doubling it doubles every band bucket; WITHOUT the
-  SIMHASH_BUCKET_CAP the candidate pair count would grow ~4x. The cap
-  bounds per-bucket expansion, so the claim to check is wall time ~2x
-  (linear), cold labeling included.
+  near-identical), so doubling it doubles every band bucket and the
+  labeling path's pair miner (simhash_component_labels -> dedup_simhash
+  — UNCAPPED; no bucket cap exists anywhere in that pipeline) emits ~4x
+  candidate rows. The claim to check is that wall time nevertheless
+  stays ~2x (linear): the 4x candidate rows flow through a codegen'd
+  Hamming verify BEFORE the distinct (so the shuffle dedups only true
+  near-pairs), and the BSP label loop after mining is
+  superstep-LATENCY-bound, not data-bound — per-row join cost is a
+  minority of the total. Growing >>2x would mean the mining join's
+  per-row cost started to dominate (skew, spill).
+- dedup_incremental_simhash_capped: the query that actually exercises
+  SIMHASH_BUCKET_CAP on this dense corpus. Doubling the corpus doubles
+  every band bucket, so the uncapped asymmetric gate would pay ~4x
+  candidates; the cap drops buckets > 32 BEFORE the shard/lake split,
+  so the claim to check is wall time ~flat-to-2x AND output candidates
+  far below 4x.
 
 The doubled dataset is built from sf0.1 by unioning each table with an
 id-offset copy (event_id/user_id/doc_id + 10^9; all other columns
@@ -40,7 +52,11 @@ from quty_server_spark.session import get_spark  # noqa: E402
 SF01 = "/root/testdata/sf0.1"
 OUT = "/tmp/quty_sf0.2_probe"
 OFFSET = 10**9
-QUERIES = ["route_fanout", "dedup_cluster_stats"]
+QUERIES = [
+    "route_fanout",
+    "dedup_cluster_stats",
+    "dedup_incremental_simhash_capped",
+]
 
 
 def build_2x(spark) -> None:
