@@ -1,0 +1,105 @@
+"""Runnable nightly-ingest run — the round-9/10 incremental dedup gate
+composed the way a production lake admits a day's shard, end to end:
+
+1. **artifact refresh (the write-once half)** — materialize the lake's
+   banded SimHash signatures as a parquet artifact partitioned by
+   band_id (``lake_signature_artifact``). A real deployment runs this
+   once and appends; the nightly path below never re-signs the lake.
+2. **the gate (the read-nightly half)** — join the shard's fresh bands
+   against the artifact (``dedup_incremental_simhash_artifact``): the
+   lake branch of the plan is a bare artifact scan, the only
+   lake-sized aggregation happened in step 1.
+3. **quarantine** — shard docs with >= 1 near-dup already in the lake
+   are rejected; the rest are admitted.
+4. **within-shard canonicalization** — the admitted docs can still
+   duplicate EACH OTHER (a day's crawl re-fetches the same page), so
+   the keeper policy (``dedup_keep_canonical``) marks the canonical
+   member of every near-dup cluster; admitted = admitted AND keep.
+5. **packing impact** — the packer audit (``doc_pack_efficiency``)
+   states what the post-ingest corpus costs at SEQ_LEN=2048.
+
+Run:  python examples/nightly_ingest.py [sf_dir]
+      (default /root/testdata/sf0.01)
+
+Everything is the SAME code the registered oracle-checked queries run —
+this file only composes the gate into one nightly report. The shard is
+the fixture convention used by the registered gate queries:
+``doc_id % 10 == 0`` is tonight's ingest, the rest is the lake.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import quty_server_spark.operators  # noqa: F401,E402  (registers queries)
+from quty_server_spark.operators.dedup import (  # noqa: E402
+    lake_signature_artifact,
+)
+from quty_server_spark.plans.registry import registry  # noqa: E402
+from quty_server_spark.session import get_spark  # noqa: E402
+from quty_server_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("nightly-ingest")
+    q = registry.queries
+
+    print(f"== nightly ingest over {sf_dir} ==\n")
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    n_shard = shard.count()
+    n_lake = docs.count() - n_shard
+    print(f"shard: {n_shard} incoming docs; lake: {n_lake} docs")
+
+    # 1. artifact refresh (write-once; timed so the amortized cost is
+    # visible next to the nightly cost it buys down)
+    t0 = time.time()
+    path = lake_signature_artifact(spark, sf_dir, rebuild=True)
+    n_sig = spark.read.parquet(path).count()
+    print(f"lake-signature artifact: {n_sig} banded rows at {path} "
+          f"(built in {time.time() - t0:.1f}s — amortized, not nightly)")
+
+    # 2. the gate: shard bands vs the artifact (no lake re-signing)
+    t0 = time.time()
+    hits = q["dedup_incremental_simhash_artifact"](spark, sf_dir)
+    quarantined = hits.select("incoming_doc_id").distinct()
+    n_q = quarantined.count()
+    print(f"gate: {n_q}/{n_shard} incoming docs near-duplicate the lake "
+          f"(nightly cost {time.time() - t0:.1f}s — shard-signing + one "
+          f"band join against the artifact scan)")
+
+    # 3+4. admit the rest, then keep only within-shard canonicals
+    admitted = shard.join(quarantined.withColumnRenamed(
+        "incoming_doc_id", "doc_id"), "doc_id", "left_anti")
+    keep = q["dedup_keep_canonical"](spark, sf_dir).filter("keep")
+    final = admitted.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n_adm, n_final = admitted.count(), final.count()
+    print(f"quarantine: {n_shard - n_adm} rejected, {n_adm} admitted; "
+          f"within-shard canonicalization keeps {n_final} "
+          f"({n_adm - n_final} shard-internal near-dups dropped)")
+
+    # 5. packing impact on the corpus the trainer will actually read
+    pack = q["doc_pack_efficiency"](spark, sf_dir)
+    p = pack.agg(
+        F.sum("n_bins").alias("bins"),
+        F.avg("fill_ppm").alias("fill_ppm"),
+    ).collect()[0]
+    print(f"packer audit: {p.bins} SEQ_LEN=2048 bins, mean fill "
+          f"{p.fill_ppm / 1e4:.1f}%")
+
+    print("\nnightly verdict: "
+          f"{n_final}/{n_shard} incoming docs enter the lake "
+          f"({1e2 * n_final / max(n_shard, 1):.1f}%)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
