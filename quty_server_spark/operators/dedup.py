@@ -1190,7 +1190,13 @@ def dedup_incremental_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFr
     ~2x/doubling — linear — on the diverse corpus). Production shape:
     fixed nightly shard against a growing lake; the cap is what keeps
     the gate's cost a function of the shard, not of the lake's
-    boilerplate."""
+    boilerplate — measured directly by the ladder's fixed-shard column
+    (SPARSITY.json ``fixed_shard_capped_pairs``, SCALING.md round-10
+    section): with the shard pinned at 1,250 docs and the lake doubling
+    12.5k -> 100k, capped per-run candidates go 36,661 -> 21,536
+    (steps 1.09 / 0.82 / 0.66 — flat, then FALLING as saturated buckets
+    retire from the universe), while the uncapped gate's double with
+    every lake doubling (57,881 -> 504,929)."""
     bands = simhash_bands(simhash_sigs(spark, sf_dir))
     bands = bands.withColumn(
         "bsz",

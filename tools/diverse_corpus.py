@@ -188,6 +188,63 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
+# The fixed-shard column holds the nightly shard at the ladder's
+# smallest size / 10 (1250 docs on the default ladder) while the lake
+# doubles underneath it — the actual production shape (a day's ingest
+# does not grow because the lake did). Generation is sequential from a
+# single seeded RNG stream, so the first SHARD_N documents are
+# byte-identical across ladder sizes and the column isolates lake
+# growth alone.
+def measure_fixed_shard(spark, sf_dir: str, shard_n: int) -> dict[str, int]:
+    """Incremental-gate candidate counts with a CONSTANT shard
+    (doc_id < shard_n) against a growing lake (doc_id >= shard_n).
+
+    The capped variant mirrors dedup_incremental_simhash_capped: the
+    SIMHASH_BUCKET_CAP is applied to whole-bucket size before the
+    shard/lake split, so each surviving shard band row meets at most
+    CAP lake rows — per-run candidates are bounded by
+    n_bands x CAP x |shard| regardless of lake size. The claim this
+    column verifies: capped candidates stay ~flat (or fall, as more
+    buckets saturate) while the uncapped count keeps climbing with the
+    lake."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.dedup import (
+        SIMHASH_BUCKET_CAP,
+        simhash_bands,
+        simhash_sigs,
+    )
+
+    bands = simhash_bands(simhash_sigs(spark, sf_dir))
+    out: dict[str, int] = {}
+    for label, side in (
+        ("fixed_shard_pairs", bands),
+        (
+            "fixed_shard_capped_pairs",
+            bands.withColumn(
+                "bsz",
+                F.count("*").over(Window.partitionBy("band_id", "band_val")),
+            ).filter(F.col("bsz") <= SIMHASH_BUCKET_CAP),
+        ),
+    ):
+        new, old = (
+            side.filter(F.col("doc_id") < shard_n).alias("n"),
+            side.filter(F.col("doc_id") >= shard_n).alias("o"),
+        )
+        out[label] = (
+            new.join(
+                old,
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.band_val") == F.col("o.band_val")),
+            )
+            .select("n.doc_id", "o.doc_id")
+            .distinct()
+            .count()
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="12500,25000,50000,100000")
@@ -200,6 +257,7 @@ def main() -> None:
     spark = get_spark("diverse-corpus-probe")
     rows = []
     base = tempfile.mkdtemp(prefix="quty_diverse_")
+    shard_n = min(sizes) // 10
     for n in sizes:
         d = os.path.join(base, f"n{n}")
         t0 = time.time()
@@ -207,8 +265,10 @@ def main() -> None:
         gen_s = time.time() - t0
         t0 = time.time()
         counts = measure(spark, d)
+        counts.update(measure_fixed_shard(spark, d, shard_n))
         row = {
             "n_docs": n,
+            "fixed_shard_n": shard_n,
             **counts,
             **{
                 k.replace("_pairs", "_per_doc"): round(v / n, 3)
@@ -235,6 +295,17 @@ def main() -> None:
         cur["incremental_capped_step"] = round(
             cur["incremental_capped_pairs"]
             / max(prev["incremental_capped_pairs"], 1),
+            2,
+        )
+        # Fixed-shard steps: the lake doubles between rows while the
+        # shard is constant, so ~1.0 here IS the production claim
+        # ("per-run cost is a function of the shard, not the lake").
+        cur["fixed_shard_step"] = round(
+            cur["fixed_shard_pairs"] / max(prev["fixed_shard_pairs"], 1), 2
+        )
+        cur["fixed_shard_capped_step"] = round(
+            cur["fixed_shard_capped_pairs"]
+            / max(prev["fixed_shard_capped_pairs"], 1),
             2,
         )
     out = json.dumps({"seed": SEED, "sizes": rows})
