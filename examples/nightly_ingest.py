@@ -17,6 +17,13 @@ composed the way a production lake admits a day's shard, end to end:
    member of every near-dup cluster; admitted = admitted AND keep.
 5. **packing impact** — the packer audit (``doc_pack_efficiency``)
    states what the post-ingest corpus costs at SEQ_LEN=2048.
+6. **artifact append** — the admitted docs' banded signatures are
+   APPENDED to the artifact (parquet append under the same band_id
+   partitioning: 4 new files, zero read-modify-write of existing ones),
+   so tomorrow's gate sees tonight's admissions. This closes the loop
+   the write-once/read-nightly split promises: the lake-sized signing
+   job never runs again — the artifact grows by exactly each night's
+   admitted shard.
 
 Run:  python examples/nightly_ingest.py [sf_dir]
       (default /root/testdata/sf0.01)
@@ -40,6 +47,8 @@ from pyspark.sql import functions as F  # noqa: E402
 import quty_server_spark.operators  # noqa: F401,E402  (registers queries)
 from quty_server_spark.operators.dedup import (  # noqa: E402
     lake_signature_artifact,
+    simhash_bands,
+    simhash_sigs,
 )
 from quty_server_spark.plans.registry import registry  # noqa: E402
 from quty_server_spark.session import get_spark  # noqa: E402
@@ -94,6 +103,19 @@ def main() -> None:
     ).collect()[0]
     print(f"packer audit: {p.bins} SEQ_LEN=2048 bins, mean fill "
           f"{p.fill_ppm / 1e4:.1f}%")
+
+    # 6. append the admitted docs' signatures so tomorrow's gate sees
+    # tonight's admissions — partitioned append, no rewrite of existing
+    # files. (A re-run of this example rebuilds the artifact at step 1,
+    # so the append never compounds across runs.)
+    before = spark.read.parquet(path).count()
+    adm_sigs = simhash_bands(simhash_sigs(spark, sf_dir)).join(
+        F.broadcast(final), "doc_id", "left_semi"
+    )
+    adm_sigs.write.partitionBy("band_id").mode("append").parquet(path)
+    after = spark.read.parquet(path).count()
+    print(f"artifact append: {before} -> {after} banded rows "
+          f"(+{after - before} = 4 bands x {n_final} admitted docs)")
 
     print("\nnightly verdict: "
           f"{n_final}/{n_shard} incoming docs enter the lake "
