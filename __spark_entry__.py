@@ -30,29 +30,31 @@ SF0001 = "/root/testdata/sf0.001"
 # the oldest freshest-green vintage is the 43-query r04 class — the
 # pub/sub envelope/routing/cluster surface, the stream_* battery, and a
 # handful of pipeline ops. The window is spent on:
-# (1) the 2 queries NEW this round — the precomputed lake-signature
+# (1) the 3 queries NEW this round — the precomputed lake-signature
 # artifact pair (sink_lake_signature_artifact writes the banded lake
 # signatures partitioned by band_id; dedup_incremental_simhash_artifact
 # is the nightly gate whose lake branch SCANS that artifact instead of
-# re-signing the lake — plan-pinned in tests/test_scale_plans.py) —
-# both are rotation DEBT (no cumulative green row) and must be in the
-# head per tests/test_rotation_debt.py;
+# re-signing the lake — plan-pinned in tests/test_scale_plans.py) and
+# dedup_incremental_minhash (the nightly gate on the MinHash-LSH
+# family) — all rotation DEBT (no cumulative green row) and must be in
+# the head per tests/test_rotation_debt.py;
 # (2) two long-green canaries (flagship since r01, one stream_*) so a
 # comparator regression on the old surface stays externally detectable;
 # (3) ALL 43 r04-vintage queries, alphabetically (they share a vintage)
 # — one sample drops the max green-row age to <= 5 rounds;
-# (4) the remaining 3 slots: the two standing incremental-gate queries
+# (4) the remaining 2 slots: the two standing incremental-gate queries
 # (their registration was touched this round — the oracle is now the
 # shared SQL_INCREMENTAL_GATE constant, byte-identical, and the capped
-# twin joined the bench HEADLINE) and the alphabetically-first
-# r05-vintage query to start the next-oldest class. 2+2+43+3 = 50.
+# twin joined the bench HEADLINE). 3+2+43+2 = 50.
 # Queries not listed keep their import order after these; nothing is
 # removed — the full local gate (tools/check_oracle.py) still checks
-# all 231.
+# all 232.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — the lake-signature artifact pair
+    # (1) NEW this round — the lake-signature artifact pair + the
+    # MinHash-family incremental gate
     "sink_lake_signature_artifact",
     "dedup_incremental_simhash_artifact",
+    "dedup_incremental_minhash",
     # (2) canaries: long-green batch + streaming
     "flagship_delivery_report",
     "stream_session_window",
@@ -100,10 +102,11 @@ DRIVER_PRIORITY = [
     "subs_member_channels",
     "subs_remove_node",
     "udf_grouped_agg_wmean",
-    # (4) touched registrations + next-oldest vintage starter
+    # (4) touched registrations (oracle refactored to the shared
+    # SQL_INCREMENTAL_GATE constant this round — byte-identical SQL,
+    # re-proven anyway)
     "dedup_incremental_simhash",
     "dedup_incremental_simhash_capped",
-    "agg_corr_regression",
 ]
 
 

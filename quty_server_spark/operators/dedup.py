@@ -336,24 +336,11 @@ def minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(
-    spark: SparkSession,
-    sf_dir: str,
-    sh: DataFrame | None = None,
-    sigs: DataFrame | None = None,
-) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band signature.
-    ``sh`` lets a caller pass an already-materialized shingle table so
-    candidate generation and Jaccard verification share one explode;
-    ``sigs`` lets a caller that also consumes the signatures (the
-    estimator-calibration query) share ONE signature aggregation —
-    without it Catalyst recomputes the 16-way min aggregate per
-    consumer (the dedup_simhash plan-regression class)."""
-    if sigs is None:
-        if sh is None:
-            sh = doc_shingles(spark, sf_dir)
-        sigs = minhash_sigs(sh)
-    bands = sigs.select(
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, sig) LSH band table from a MinHash signature
+    table: N_BANDS bands of r=2 rows, the band signature being the
+    comma-joined pair — matching SQL_MINHASH's ``bands`` CTE exactly."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -371,6 +358,26 @@ def minhash_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.sig")
+
+
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band signature.
+    ``sh`` lets a caller pass an already-materialized shingle table so
+    candidate generation and Jaccard verification share one explode;
+    ``sigs`` lets a caller that also consumes the signatures (the
+    estimator-calibration query) share ONE signature aggregation —
+    without it Catalyst recomputes the 16-way min aggregate per
+    consumer (the dedup_simhash plan-regression class)."""
+    if sigs is None:
+        if sh is None:
+            sh = doc_shingles(spark, sf_dir)
+        sigs = minhash_sigs(sh)
+    bands = minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1219,6 +1226,108 @@ def dedup_incremental_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
+    )
+
+
+@registry.query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {SQL_SHINGLES}, {SQL_MINHASH},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS incoming_doc_id, o.doc_id AS lake_doc_id
+        FROM bands n
+        JOIN bands o ON n.band_id = o.band_id AND n.sig = o.sig
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    ),
+    inter AS (
+        SELECT c.incoming_doc_id, c.lake_doc_id, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN doc_shingle a ON a.doc_id = c.incoming_doc_id
+        JOIN doc_shingle b ON b.doc_id = c.lake_doc_id
+                          AND b.shingle = a.shingle
+        GROUP BY c.incoming_doc_id, c.lake_doc_id
+    )
+    SELECT i.incoming_doc_id, i.lake_doc_id,
+           i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN doc_size sa ON sa.doc_id = i.incoming_doc_id
+    JOIN doc_size sb ON sb.doc_id = i.lake_doc_id
+    WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly ingest gate on the MinHash-LSH signature family —
+    the same shard-vs-lake asymmetric split as
+    :func:`dedup_incremental_simhash`, proving the incremental shape is
+    signature-agnostic: tonight's shard (``doc_id % 10 == 0``) bands
+    join the lake's bands on (band_id, band signature) equality, and
+    only the surviving candidates pay the exact-Jaccard verify
+    (intersection restricted to candidate pairs, threshold 0.5 — the
+    same contract as :func:`dedup_minhash_lsh`).
+
+    Scale: per-run candidate cost follows the shard — each shard band
+    row meets only its bucket's lake rows, never |lake|² — and the
+    verify joins are candidate-restricted, so verification cost scales
+    with LSH recall. The diverse-corpus ladder (SPARSITY.json
+    ``minhash_*``) measures MinHash buckets naturally sparse on
+    realistic vocabularies (~0.1-0.2 candidate pairs/doc where SimHash's
+    dense buckets need SIMHASH_BUCKET_CAP), which is why this family
+    ships uncapped; a band-bucket cap composes exactly as in
+    :func:`dedup_incremental_simhash_capped` if a corpus proves
+    otherwise. The lake's shingles and band table are both
+    artifact-able the same way as the SimHash gate's
+    (:func:`lake_signature_artifact`)."""
+    sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    bands = minhash_bands(minhash_sigs(sh))
+    new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    lake = bands.filter(F.col("doc_id") % 10 != 0).alias("o")
+    cand = (
+        new.join(
+            lake,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("incoming_doc_id"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("lake_doc_id2"),
+        F.col("shingle").alias("shingle_b"),
+    )
+    inter = (
+        cand.join(sa, "incoming_doc_id")
+        .join(
+            sb,
+            (F.col("lake_doc_id") == F.col("lake_doc_id2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("incoming_doc_id", "lake_doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("incoming_doc_id"), F.col("n_sh").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("lake_doc_id"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(na, "incoming_doc_id")
+        .join(nb, "lake_doc_id")
+        .select(
+            "incoming_doc_id",
+            "lake_doc_id",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
