@@ -44,16 +44,24 @@ SF0001 = "/root/testdata/sf0.001"
 # — one sample drops the max green-row age to <= 5 rounds;
 # (4) the remaining 2 slots: the two standing incremental-gate queries
 # (their registration was touched this round — the oracle is now the
-# shared SQL_INCREMENTAL_GATE constant, byte-identical, and the capped
-# twin joined the bench HEADLINE). 3+2+43+2 = 50.
+# shared SQL_INCREMENTAL_GATE constant). 5+2+43 = 50 — exactly the
+# driver's sample window. The two standing incremental-gate queries
+# (oracle refactored to the shared SQL_INCREMENTAL_GATE constant,
+# byte-identical) do NOT take head slots: they are r09-green, the
+# youngest vintage in the registry, and the refactor is proven by the
+# full local gate + the artifact twin sharing the same constant IS in
+# the head.
 # Queries not listed keep their import order after these; nothing is
 # removed — the full local gate (tools/check_oracle.py) still checks
-# all 232.
+# all 234.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — the lake-signature artifact pair + the
-    # MinHash-family incremental gate
+    # (1) NEW this round — the lake-signature artifact pair, the
+    # MinHash-family incremental gate, and the IVF posting-list
+    # artifact pair
     "sink_lake_signature_artifact",
     "dedup_incremental_simhash_artifact",
+    "sink_ivf_postings_artifact",
+    "sim_ann_ivf_artifact",
     "dedup_incremental_minhash",
     # (2) canaries: long-green batch + streaming
     "flagship_delivery_report",
@@ -102,11 +110,6 @@ DRIVER_PRIORITY = [
     "subs_member_channels",
     "subs_remove_node",
     "udf_grouped_agg_wmean",
-    # (4) touched registrations (oracle refactored to the shared
-    # SQL_INCREMENTAL_GATE constant this round — byte-identical SQL,
-    # re-proven anyway)
-    "dedup_incremental_simhash",
-    "dedup_incremental_simhash_capped",
 ]
 
 

@@ -20,7 +20,10 @@ vec_id tiebreaks.
 
 from __future__ import annotations
 
+import os
 import random
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -342,9 +345,12 @@ def _ivf_cells_plan(c: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@registry.query(
-    "sim_ann_ivf",
-    oracle=f"""
+# Shared by sim_ann_ivf (recomputing index build) and
+# sim_ann_ivf_artifact (probe of the precomputed posting-list artifact):
+# byte-identical oracle SQL proves the artifact round trip changes
+# nothing about the answer — same convention as SQL_INCREMENTAL_GATE in
+# operators/dedup.py.
+SQL_IVF_TOPK = f"""
     WITH c AS {SQL_CORPUS},
     cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
     assigned AS (
@@ -363,7 +369,12 @@ def _ivf_cells_plan(c: DataFrame, cent: DataFrame) -> DataFrame:
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
     WHERE rn <= 3
-    """,
+    """
+
+
+@registry.query(
+    "sim_ann_ivf",
+    oracle=SQL_IVF_TOPK,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a deterministic coarse quantizer — every
@@ -881,4 +892,138 @@ def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_vecs * n_cells * 100 div n_total AS BIGINT)").alias(
             "pct_of_mean"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precomputed IVF posting-list artifact (index-build-once / probe-nightly)
+# ---------------------------------------------------------------------------
+
+
+def ivf_postings_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Materialize the IVF posting lists ``(vec_id, v, cell)`` as an
+    on-disk parquet artifact partitioned by ``cell`` and return its
+    path. This is the index build a production ANN service runs ONCE
+    per corpus snapshot — every recomputing variant in this module
+    (:func:`sim_ann_ivf`, :func:`sim_ann_ivf_nprobe2`,
+    :func:`sim_ivf_cell_balance`) re-runs the corpus-x-centroids
+    assignment per query because their contract is self-contained; the
+    artifact path amortizes that assignment over every probe, exactly
+    as :func:`~quty_server_spark.operators.dedup.lake_signature_artifact`
+    amortizes the lake signing for the dedup ingest gate.
+
+    Partitioning by ``cell`` makes the on-disk layout the inverted
+    index itself: a probe that needs cells {3, 57} reads two
+    directories and prunes the rest at planning time (the artifact
+    probe's scan carries a dynamic-partition-pruning filter on
+    ``cell`` — pinned in tests/test_scale_plans.py). Memoized per
+    (session, sf_dir) like the lake-signature artifact; a fresh driver
+    session rebuilds, so correctness never depends on leftover /tmp
+    state."""
+    cache = getattr(spark, "_quty_ivf_postings_artifact", None)
+    if cache is None:
+        cache = {}
+        spark._quty_ivf_postings_artifact = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "quty_ivf_postings",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        c = _corpus(spark, sf_dir)
+        _ivf_cells_plan(c, _ivf_centroids(c)).write.partitionBy(
+            "cell"
+        ).parquet(path)
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_ivf_postings_artifact",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE arn = 1)
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE vec_id % 20 = 0) AS BIGINT)
+               AS n_queries
+    FROM cells GROUP BY cell
+    """,
+)
+def sink_ivf_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the IVF posting-list artifact (forced rebuild — this IS
+    the index build), then read it back and report per-cell posting
+    sizes plus how many of the standing query sample land in each
+    cell. The oracle recomputes the same summary from the embeddings
+    table, so the round trip proves the artifact holds exactly the
+    corpus's nearest-centroid assignment — the contract
+    :func:`sim_ann_ivf_artifact` relies on.
+
+    Scale: one broadcast corpus-x-centroids assignment pass (map-side
+    combined, as :func:`_ivf_cells_plan`) + a partitioned columnar
+    write — run once per corpus snapshot, then probed nightly. The
+    summary read-back aggregates only (cell, vec_id) out of the
+    artifact."""
+    path = ivf_postings_artifact(spark, sf_dir, rebuild=True)
+    art = spark.read.parquet(path)
+    return art.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count("*").alias("n_vecs"),
+        F.count(F.when(F.col("vec_id") % 20 == 0, 1)).alias("n_queries"),
+    )
+
+
+@registry.query(
+    "sim_ann_ivf_artifact",
+    oracle=SQL_IVF_TOPK,
+)
+def sim_ann_ivf_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing the precomputed posting-list artifact
+    (:func:`ivf_postings_artifact`) instead of re-running the
+    corpus-x-centroids assignment: the query sample and the probed
+    posting lists BOTH come from the artifact, so the per-probe plan
+    contains no centroid join and no assignment aggregate at all —
+    the embeddings table is never scanned. Same top-3 contract and
+    byte-identical oracle SQL as :func:`sim_ann_ivf`.
+
+    Scale: this is the nightly/online shape of IVF — the index build
+    (one corpus pass) left the probe path entirely. The artifact is
+    partitioned by ``cell``, the broadcast query side filters to its
+    own cells, and Spark injects a dynamic-partition-pruning subquery
+    on the posting scan (pinned in tests/test_scale_plans.py), so a
+    25-query probe reads only the ≤25 cell directories it needs —
+    |corpus|/n_cells rows per query, straight off the layout."""
+    path = ivf_postings_artifact(spark, sf_dir)
+    art = spark.read.parquet(path).select(
+        "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
+    )
+    q = art.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = art.join(
+        broadcast(q),
+        (F.col("qcell") == F.col("cell"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
     )

@@ -929,3 +929,22 @@ def test_incremental_gate_artifact_lake_branch_scans_not_aggregates(spark):
     # The shard side (small by construction) broadcasts into the join.
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
+    # The IVF probe's production shape: the index build (corpus x
+    # centroids assignment) must NOT appear in the per-probe plan — both
+    # the query sample and the posting lists come from the precomputed
+    # artifact, and the posting scan is pruned to the probed cells at
+    # runtime via dynamic partition pruning on the cell partition column.
+    plan = plan_of(spark, "sim_ann_ivf_artifact")
+    tree = plan.split("\n\n")[0]
+    assert "quty_ivf_postings" in plan  # reads the artifact...
+    assert "embeddings" not in plan  # ...never the raw corpus
+    # No aggregates anywhere: the nearest-centroid assignment left the
+    # probe path entirely (it lives in the artifact build).
+    assert tree.count("HashAggregate") == 0
+    assert tree.count("ObjectHashAggregate") == 0
+    # The broadcast query side drives DPP on the cell-partitioned scan.
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in tree

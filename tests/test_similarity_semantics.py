@@ -201,3 +201,35 @@ def test_cohesion_sample_is_bounded(spark):
         m = min(n, S.COHESION_SAMPLE)
         expected = m * (m - 1) // 2
         assert result.get(label) == expected, (label, n, result.get(label))
+
+
+def test_ivf_artifact_probe_matches_recomputing_ivf(spark):
+    # The posting-list artifact is a pure layout change: probing it must
+    # return row-for-row what the self-contained recomputing variant
+    # returns (same centroids, same assignment, same top-3 contract).
+    recompute = {
+        tuple(r) for r in S.sim_ann_ivf(spark, SF_DIR).collect()
+    }
+    artifact = {
+        tuple(r) for r in S.sim_ann_ivf_artifact(spark, SF_DIR).collect()
+    }
+    assert artifact == recompute
+    assert len(artifact) > 0
+
+
+def test_ivf_artifact_rebuild_is_idempotent(spark):
+    # The writer's forced rebuild (rmtree + rewrite) must land the same
+    # index: per-cell posting sizes identical across two builds, and the
+    # memoized path stable within a session.
+    first = {
+        (r.cell, r.n_vecs, r.n_queries)
+        for r in S.sink_ivf_postings_artifact(spark, SF_DIR).collect()
+    }
+    p1 = S.ivf_postings_artifact(spark, SF_DIR)
+    second = {
+        (r.cell, r.n_vecs, r.n_queries)
+        for r in S.sink_ivf_postings_artifact(spark, SF_DIR).collect()
+    }
+    p2 = S.ivf_postings_artifact(spark, SF_DIR)
+    assert first == second
+    assert p1 == p2
