@@ -30,42 +30,37 @@ SF0001 = "/root/testdata/sf0.001"
 # the oldest freshest-green vintage is the 43-query r04 class — the
 # pub/sub envelope/routing/cluster surface, the stream_* battery, and a
 # handful of pipeline ops. The window is spent on:
-# (1) the 3 queries NEW this round — the precomputed lake-signature
-# artifact pair (sink_lake_signature_artifact writes the banded lake
-# signatures partitioned by band_id; dedup_incremental_simhash_artifact
-# is the nightly gate whose lake branch SCANS that artifact instead of
-# re-signing the lake — plan-pinned in tests/test_scale_plans.py) and
-# dedup_incremental_minhash (the nightly gate on the MinHash-LSH
-# family) — all rotation DEBT (no cumulative green row) and must be in
-# the head per tests/test_rotation_debt.py;
-# (2) two long-green canaries (flagship since r01, one stream_*) so a
-# comparator regression on the old surface stays externally detectable;
+# (1) the 6 queries NEW this round — all rotation DEBT (no cumulative
+# green row), so they must be in the head per tests/test_rotation_debt:
+# the lake-signature artifact pair, the IVF posting-list artifact pair,
+# the MinHash-family nightly gate, and the continuous ingest gate;
+# (2) one long-green canary (flagship, green since r01) so a comparator
+# regression on the old surface stays externally detectable;
 # (3) ALL 43 r04-vintage queries, alphabetically (they share a vintage)
-# — one sample drops the max green-row age to <= 5 rounds;
-# (4) the remaining 2 slots: the two standing incremental-gate queries
-# (their registration was touched this round — the oracle is now the
-# shared SQL_INCREMENTAL_GATE constant). 5+2+43 = 50 — exactly the
-# driver's sample window. The two standing incremental-gate queries
-# (oracle refactored to the shared SQL_INCREMENTAL_GATE constant,
-# byte-identical) do NOT take head slots: they are r09-green, the
-# youngest vintage in the registry, and the refactor is proven by the
-# full local gate + the artifact twin sharing the same constant IS in
-# the head.
+# — one sample drops the max green-row age to <= 5 rounds.
+# 6+1+43 = 50 — exactly the driver's sample window. The two standing
+# incremental-gate queries (oracle refactored to the shared
+# SQL_INCREMENTAL_GATE constant this round, byte-identical) do NOT take
+# head slots: they are r09-green, the youngest vintage in the registry,
+# and the artifact twin sharing the same constant IS in the head.
 # Queries not listed keep their import order after these; nothing is
 # removed — the full local gate (tools/check_oracle.py) still checks
-# all 234.
+# all 235.
 DRIVER_PRIORITY = [
     # (1) NEW this round — the lake-signature artifact pair, the
-    # MinHash-family incremental gate, and the IVF posting-list
-    # artifact pair
+    # MinHash-family incremental gate, the IVF posting-list artifact
+    # pair, and the continuous (streaming) ingest gate
     "sink_lake_signature_artifact",
     "dedup_incremental_simhash_artifact",
     "sink_ivf_postings_artifact",
     "sim_ann_ivf_artifact",
     "dedup_incremental_minhash",
-    # (2) canaries: long-green batch + streaming
+    "stream_ingest_dedup_gate",
+    # (2) canary: the long-green batch flagship. (The usual streaming
+    # canary slot is covered this round by stream_ingest_dedup_gate
+    # above — a fresh streaming query exercising foreachBatch,
+    # checkpointing, and the artifact join in one row.)
     "flagship_delivery_report",
-    "stream_session_window",
     # (3) stale: newest green row r04 (whole class, alphabetical)
     "cluster_discovery",
     "cluster_node_info",

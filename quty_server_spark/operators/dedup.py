@@ -504,7 +504,14 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded candidate join — not this aggregation — dominates); the
     win is halved per-group state, which is what matters when signature
     aggregation spans billions of docs."""
-    d = load_table(spark, sf_dir, "documents")
+    return simhash_sigs_docs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_sigs_docs(d: DataFrame) -> DataFrame:
+    """:func:`simhash_sigs` over an arbitrary ``(doc_id, text)`` frame —
+    the same packed-vote aggregation, bit-for-bit, so a caller that gets
+    its documents from somewhere other than the table scan (a streaming
+    micro-batch, a quarantine re-check) signs them identically."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).withColumn("h", hash60(F.col("token")))

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 )
 
 from quty_server_spark.operators import pubsub
+from quty_server_spark.operators.dedup import SQL_INCREMENTAL_GATE
 from quty_server_spark.operators._helpers import load_table
 from quty_server_spark.plans.registry import registry
 from quty_server_spark.session import configure
@@ -1673,4 +1674,105 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Continuous ingest gate: the nightly dedup gate as a stream
+# ---------------------------------------------------------------------------
+
+
+@registry.query(
+    "stream_ingest_dedup_gate",
+    oracle=SQL_INCREMENTAL_GATE,
+)
+def stream_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup gate run CONTINUOUSLY: incoming documents
+    arrive as a file stream in micro-batches, and each batch is signed,
+    banded, and joined against the precomputed lake-signature artifact
+    inside ``foreachBatch`` — the streaming twin of
+    :func:`~quty_server_spark.operators.dedup.dedup_incremental_simhash_artifact`,
+    sharing its oracle SQL byte-for-byte. The union of all epochs'
+    outputs must equal the one-shot batch gate exactly: every shard doc
+    lands in exactly one micro-batch (file-partitioned), each doc's
+    signature is computed over its complete row, and the within-batch
+    ``distinct`` collapses multi-band collisions just as the batch gate
+    does, so no cross-epoch dedup is needed.
+
+    Scale: this is the shape of a production ingest tier that cannot
+    wait for a nightly window — per micro-batch cost is sign(batch) +
+    one band-equality join against the artifact scan (batch side
+    broadcast), and the epoch-keyed overwrite sink makes replays
+    idempotent (same exactly-once convention as
+    :func:`stream_foreach_batch_sink`). The lake-sized signing job is
+    amortized into the artifact on both the nightly AND the continuous
+    path."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        lake_signature_artifact,
+        simhash_bands,
+        simhash_sigs_docs,
+    )
+
+    configure(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "quty_stream_gate",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    indir = os.path.join(base, "in")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # Stage the incoming shard as 4 files -> 4 micro-batches under
+    # maxFilesPerTrigger=1 (hash-partitioned on doc_id, so batch
+    # composition is deterministic in content, not in arrival order).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    docs.repartition(4, "doc_id").write.parquet(indir)
+
+    lake = (
+        spark.read.parquet(lake_signature_artifact(spark, sf_dir))
+        .select("doc_id", "sig", "band_id", "band_val")
+        .alias("o")
+    )
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        shard = simhash_bands(simhash_sigs_docs(batch_df)).alias("n")
+        res = (
+            shard.join(
+                lake,
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.band_val") == F.col("o.band_val")),
+            )
+            .select(
+                F.col("n.doc_id").alias("incoming_doc_id"),
+                F.col("o.doc_id").alias("lake_doc_id"),
+                F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .distinct()
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"epoch={epoch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(outdir, "epoch=*")).select(
+        "incoming_doc_id", "lake_doc_id", "hamming"
     )

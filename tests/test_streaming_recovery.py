@@ -167,3 +167,34 @@ def test_epoch_sink_idempotent_on_retry(spark):
         os.path.join(outdir, "epoch=*")
     )
     assert back.count() == 100
+
+
+def test_stream_ingest_gate_matches_batch_gate(spark):
+    # The continuous gate is the batch gate chopped into micro-batches:
+    # the union of per-epoch outputs must equal the one-shot artifact
+    # gate row-for-row, and the run must actually have been multi-batch
+    # (file-partitioned shard + maxFilesPerTrigger=1 -> >= 2 epochs).
+    import tempfile
+
+    from quty_server_spark.operators.dedup import (
+        dedup_incremental_simhash_artifact,
+    )
+    from quty_server_spark.streaming.ops import stream_ingest_dedup_gate
+
+    streamed = {
+        tuple(r) for r in stream_ingest_dedup_gate(spark, SF_DIR).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in dedup_incremental_simhash_artifact(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    outdir = os.path.join(
+        tempfile.gettempdir(),
+        "quty_stream_gate",
+        os.path.basename(SF_DIR.rstrip("/")),
+        "out",
+    )
+    epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
