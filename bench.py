@@ -48,6 +48,12 @@ HEADLINE = [
     "text_pmi_collocations",  # TakeOrdered / heavy-shuffle text plan
     "sim_ann_lsh",
     "sim_ann_ivf",
+    # round-10 addition: the probe-nightly path. Best-of-3 makes the
+    # convention self-enforcing — run 1 pays the one-time index build
+    # (memoized artifact), runs 2-3 time the warm probe, and the min IS
+    # the warm-probe number, which is the path's production contract
+    # (the build cost is sim_ann_ivf's assignment, reported above).
+    "sim_ann_ivf_artifact",
     "mm_decode_features",
     # round-5 additions (new families — no prior-round comparable)
     "doc_chunk_overlap",

@@ -28,6 +28,11 @@ composed the way a production lake admits a day's shard, end to end:
 Run:  python examples/nightly_ingest.py [sf_dir]
       (default /root/testdata/sf0.01)
 
+A deployment that cannot wait for a nightly window runs step 2 as a
+stream instead: ``stream_ingest_dedup_gate`` (streaming/ops.py) is the
+same artifact join executed per micro-batch inside foreachBatch, with
+the same oracle SQL — steps 3-6 compose on its epoch outputs unchanged.
+
 Everything is the SAME code the registered oracle-checked queries run —
 this file only composes the gate into one nightly report. The shard is
 the fixture convention used by the registered gate queries:

@@ -1276,15 +1276,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-run candidate cost follows the shard — each shard band
     row meets only its bucket's lake rows, never |lake|² — and the
     verify joins are candidate-restricted, so verification cost scales
-    with LSH recall. The diverse-corpus ladder (SPARSITY.json
-    ``minhash_*``) measures MinHash buckets naturally sparse on
-    realistic vocabularies (~0.1-0.2 candidate pairs/doc where SimHash's
-    dense buckets need SIMHASH_BUCKET_CAP), which is why this family
-    ships uncapped; a band-bucket cap composes exactly as in
-    :func:`dedup_incremental_simhash_capped` if a corpus proves
-    otherwise. The lake's shingles and band table are both
-    artifact-able the same way as the SimHash gate's
-    (:func:`lake_signature_artifact`)."""
+    with LSH recall. The diverse-corpus ladder measures THIS join
+    directly (SPARSITY.json ``incremental_minhash_*``, SCALING.md
+    §r10): 0.002 → 0.021 candidate pairs/doc across 12.5k → 100k docs —
+    at n=100k, 1,766× fewer candidates than the uncapped SimHash gate
+    on the identical corpus — which is why this family ships uncapped.
+    The trend term is the r=2 rows/band collision floor (quadratic with
+    a tiny constant; the production dial is r), and the
+    SIMHASH_BUCKET_CAP-style device composes on the (band_id, sig)
+    buckets unchanged if a corpus proves otherwise. The lake's shingles
+    and band table are both artifact-able the same way as the SimHash
+    gate's (:func:`lake_signature_artifact`)."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = minhash_bands(minhash_sigs(sh))
     new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")

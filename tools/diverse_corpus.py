@@ -179,12 +179,36 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
         .distinct()
         .count()
     )
+    # The r10 MinHash-family gate (dedup_incremental_minhash): the same
+    # shard-vs-lake split on the MinHash band table. This is the direct
+    # measurement behind that gate shipping UNCAPPED — on a realistic
+    # vocabulary its buckets must be sparse enough that the asymmetric
+    # join tracks the shard (~linear in n_docs, tiny pairs/doc), where
+    # the SimHash gate needs SIMHASH_BUCKET_CAP.
+    from quty_server_spark.operators.dedup import minhash_bands, minhash_sigs
+
+    mb = minhash_bands(minhash_sigs(sh))
+    mn, mo = (
+        mb.filter(F.col("doc_id") % 10 == 0).alias("n"),
+        mb.filter(F.col("doc_id") % 10 != 0).alias("o"),
+    )
+    incremental_minhash_pairs = (
+        mn.join(
+            mo,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select("n.doc_id", "o.doc_id")
+        .distinct()
+        .count()
+    )
     return {
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "ngram_block_pairs": ngram_pairs,
         "incremental_pairs": incremental_pairs,
         "incremental_capped_pairs": incremental_capped_pairs,
+        "incremental_minhash_pairs": incremental_minhash_pairs,
     }
 
 
@@ -295,6 +319,11 @@ def main() -> None:
         cur["incremental_capped_step"] = round(
             cur["incremental_capped_pairs"]
             / max(prev["incremental_capped_pairs"], 1),
+            2,
+        )
+        cur["incremental_minhash_step"] = round(
+            cur["incremental_minhash_pairs"]
+            / max(prev["incremental_minhash_pairs"], 1),
             2,
         )
         # Fixed-shard steps: the lake doubles between rows while the
