@@ -24,6 +24,16 @@ dominated by data-dependent growth rather than the per-query floor:
   candidates; the cap drops buckets > 32 BEFORE the shard/lake split,
   so the claim to check is wall time ~flat-to-2x AND output candidates
   far below 4x.
+- dedup_incremental_minhash: the MinHash-family gate ships UNCAPPED on
+  the strength of the diverse-corpus ladder (incremental_minhash_* in
+  SPARSITY.json: ~0.02 candidates/doc at 100k docs). The dense fixture
+  is its adversarial corpus — a ~31-word vocabulary saturates the r=2
+  band buckets — so this row measures what the uncapped gate pays when
+  the sparsity assumption is violated: candidate rows well above 2x are
+  EXPECTED here, and the claim to check is that wall time still tracks
+  candidates (t/row ~flat, the join shape not degrading), which is the
+  signal that the documented remedy (raise r, or compose the bucket
+  cap) is a tuning knob rather than a rescue.
 
 The doubled dataset is built from sf0.1 by unioning each table with an
 id-offset copy (event_id/user_id/doc_id + 10^9; all other columns
@@ -56,6 +66,7 @@ QUERIES = [
     "route_fanout",
     "dedup_cluster_stats",
     "dedup_incremental_simhash_capped",
+    "dedup_incremental_minhash",
 ]
 
 
