@@ -1381,7 +1381,16 @@ def lake_signature_artifact(
         lake = simhash_bands(simhash_sigs(spark, sf_dir)).filter(
             F.col("doc_id") % 10 != 0
         )
-        lake.write.partitionBy("band_id").parquet(path)
+        # Sorting within partitions by the probe key gives every parquet
+        # row group a tight band_val min/max: at real scale a point
+        # probe ("which lake docs sit in bucket X of band 2?") prunes
+        # first directories (partition column) then row groups
+        # (statistics) before touching a page. Cost at write time is one
+        # local per-task sort — no extra shuffle (partitionBy splits
+        # files per task without one).
+        lake.sortWithinPartitions("band_val").write.partitionBy(
+            "band_id"
+        ).parquet(path)
         cache[sf_dir] = path
     return path
 

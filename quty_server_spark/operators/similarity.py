@@ -935,9 +935,14 @@ def ivf_postings_artifact(
         )
         shutil.rmtree(path, ignore_errors=True)
         c = _corpus(spark, sf_dir)
-        _ivf_cells_plan(c, _ivf_centroids(c)).write.partitionBy(
-            "cell"
-        ).parquet(path)
+        # Sorted by vec_id within each cell so row-group min/max stats
+        # answer "is vec X in this posting list?" membership probes
+        # without scanning the cell (same device as the lake-signature
+        # artifact's band_val sort); the DPP cell pruning is directory-
+        # level and unaffected.
+        _ivf_cells_plan(c, _ivf_centroids(c)).sortWithinPartitions(
+            "vec_id"
+        ).write.partitionBy("cell").parquet(path)
         cache[sf_dir] = path
     return path
 
