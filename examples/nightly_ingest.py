@@ -117,7 +117,9 @@ def main() -> None:
     adm_sigs = simhash_bands(simhash_sigs(spark, sf_dir)).join(
         F.broadcast(final), "doc_id", "left_semi"
     )
-    adm_sigs.write.partitionBy("band_id").mode("append").parquet(path)
+    adm_sigs.sortWithinPartitions("band_id", "band_val").write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(path)
     after = spark.read.parquet(path).count()
     print(f"artifact append: {before} -> {after} banded rows "
           f"(+{after - before} = 4 bands x {n_final} admitted docs)")

@@ -1388,7 +1388,7 @@ def lake_signature_artifact(
         # (statistics) before touching a page. Cost at write time is one
         # local per-task sort — no extra shuffle (partitionBy splits
         # files per task without one).
-        lake.sortWithinPartitions("band_val").write.partitionBy(
+        lake.sortWithinPartitions("band_id", "band_val").write.partitionBy(
             "band_id"
         ).parquet(path)
         cache[sf_dir] = path

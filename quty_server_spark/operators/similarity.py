@@ -941,7 +941,7 @@ def ivf_postings_artifact(
         # artifact's band_val sort); the DPP cell pruning is directory-
         # level and unaffected.
         _ivf_cells_plan(c, _ivf_centroids(c)).sortWithinPartitions(
-            "vec_id"
+            "cell", "vec_id"
         ).write.partitionBy("cell").parquet(path)
         cache[sf_dir] = path
     return path

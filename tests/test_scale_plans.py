@@ -948,3 +948,37 @@ def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
     # The broadcast query side drives DPP on the cell-partitioned scan.
     assert "dynamicpruningexpression" in plan
     assert "BroadcastHashJoin" in tree
+
+
+def test_artifact_files_sorted_by_probe_key(spark):
+    # The artifacts' scale story includes row-group statistics pruning,
+    # which only works if each written file is sorted by the probe key
+    # (band_val / vec_id). Pin the layout: every parquet data file in
+    # one partition directory of each artifact holds a non-decreasing
+    # key column.
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from quty_server_spark.operators.dedup import lake_signature_artifact
+    from quty_server_spark.operators.similarity import ivf_postings_artifact
+
+    for path_fn, part_glob, key in (
+        (lake_signature_artifact, "band_id=0", "band_val"),
+        (ivf_postings_artifact, "cell=*", "vec_id"),
+    ):
+        root = path_fn(spark, SF_DIR)
+        part_dirs = sorted(_glob.glob(_os.path.join(root, part_glob)))
+        assert part_dirs, f"no partition dirs under {root}"
+        files = sorted(_glob.glob(_os.path.join(part_dirs[0], "*.parquet")))
+        assert files, f"no parquet files in {part_dirs[0]}"
+        checked = 0
+        for f in files:
+            vals = _pq.read_table(f, columns=[key])[key].to_pylist()
+            if len(vals) > 1:
+                assert all(
+                    a <= b for a, b in zip(vals, vals[1:])
+                ), f"{f} not sorted by {key}"
+                checked += 1
+        assert checked >= 1, "no multi-row file to check sortedness on"
