@@ -210,3 +210,21 @@ def test_incremental_capped_is_subset_of_uncapped(spark):
         for r in D.dedup_incremental_simhash(spark, sf).collect()
     }
     assert capped <= full
+
+
+def test_sig_grain_labeling_equals_doc_grain(spark):
+    # r10: simhash_component_labels mines and labels at signature grain
+    # (hamming-0 cliques collapsed to their min-doc_id rep) and expands
+    # back. Pin exact equivalence against the direct doc-grain path:
+    # components over dedup_simhash's full pair list, min-label each.
+    sf = "/root/testdata/sf0.001"
+    spark._quty_cluster_labels = {}  # force a cold sig-grain build
+    fast = {
+        (r.node, r.lbl)
+        for r in D.simhash_component_labels(spark, sf).collect()
+    }
+    pairs = D.dedup_simhash(spark, sf).select("doc_a", "doc_b")
+    ref_labels, _ = D.min_label_components(spark, pairs)
+    ref = {(r.node, r.lbl) for r in ref_labels.collect()}
+    assert fast == ref
+    assert fast  # fixture sanity: near-dup nodes exist
