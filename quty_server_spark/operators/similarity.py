@@ -32,6 +32,7 @@ from pyspark.sql.functions import broadcast
 from quty_server_spark.functions.vectors import as_double, cosine, dot
 from quty_server_spark.operators._helpers import load_table
 from quty_server_spark.plans.registry import registry
+from quty_server_spark.session import session_tmp_dir
 
 DIM = 64
 N_PLANES = 8
@@ -921,18 +922,17 @@ def ivf_postings_artifact(
     ``cell`` — pinned in tests/test_scale_plans.py). Memoized per
     (session, sf_dir) like the lake-signature artifact; a fresh driver
     session rebuilds, so correctness never depends on leftover /tmp
-    state."""
+    state. The path is keyed by the Spark application id
+    (session_tmp_dir) so a concurrent session's forced rebuild can
+    never rmtree row groups under this session's memoized probe (r10
+    ADVICE)."""
     cache = getattr(spark, "_quty_ivf_postings_artifact", None)
     if cache is None:
         cache = {}
         spark._quty_ivf_postings_artifact = cache
     path = cache.get(sf_dir)
     if path is None or rebuild:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "quty_ivf_postings",
-            os.path.basename(sf_dir.rstrip("/")),
-        )
+        path = session_tmp_dir(spark, "quty_ivf_postings", sf_dir)
         shutil.rmtree(path, ignore_errors=True)
         c = _corpus(spark, sf_dir)
         # Sorted by vec_id within each cell so row-group min/max stats

@@ -17,6 +17,7 @@ with pushdown intact; legacy NANOS → int64 fallback path in load_table).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -91,3 +92,24 @@ def get_spark(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())
+
+
+def session_tmp_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Session-scoped scratch directory for on-disk artifacts:
+    ``$TMPDIR/<kind>/<spark application id>/<sf basename>``.
+
+    The application id isolates concurrent sessions (e.g. a bench loop
+    and an oracle gate on the same sf_dir): without it, a second
+    session's forced rebuild ``rmtree``'s a predictable shared path and
+    can delete parquet row groups out from under the first session's
+    memoized reader mid-scan (r10 ADVICE). Artifact builders that
+    memoize per (session, sf_dir) pair naturally with this — the path
+    is unique per session, the memo is per session, and a fresh driver
+    session always rebuilds, so correctness never depends on leftover
+    /tmp state."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        kind,
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
+    )

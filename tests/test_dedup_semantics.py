@@ -228,3 +228,87 @@ def test_sig_grain_labeling_equals_doc_grain(spark):
     ref = {(r.node, r.lbl) for r in ref_labels.collect()}
     assert fast == ref
     assert fast  # fixture sanity: near-dup nodes exist
+
+
+def test_incremental_minhash_equals_restricted_lsh_pairs(spark):
+    # The MinHash gate must find EXACTLY dedup_minhash_lsh's verified
+    # pair set restricted to (incoming, lake) orientation — band
+    # asymmetry changes cost shape, never the answer.
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in D.dedup_incremental_minhash(spark, sf).collect()
+    }
+    full = set()
+    for r in D.dedup_minhash_lsh(spark, sf).collect():
+        a_new, b_new = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_new and not b_new:
+            full.add((r.doc_a, r.doc_b, round(r.jaccard, 9)))
+        elif b_new and not a_new:
+            full.add((r.doc_b, r.doc_a, round(r.jaccard, 9)))
+    assert inc == full
+    assert inc  # fixture sanity: the slice actually has near-dups
+
+
+def test_incremental_minhash_capped_vacuous_on_fixture(spark):
+    # Fixture buckets max out at 3 docs << MINHASH_BUCKET_CAP, so the
+    # capped gate IS the uncapped gate there — the property that lets
+    # both share hash-green oracle rows while the cap only ever bites
+    # on boilerplate-clone corpora.
+    sf = "/root/testdata/sf0.001"
+    cap = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in D.dedup_incremental_minhash_capped(spark, sf).collect()
+    }
+    unc = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in D.dedup_incremental_minhash(spark, sf).collect()
+    }
+    assert cap == unc and cap
+
+
+def test_minhash_bucket_cap_drops_clone_buckets(spark, tmp_path):
+    # 40 byte-identical clones saturate every (band_id, sig) bucket
+    # (size 40 > MINHASH_BUCKET_CAP): the uncapped gate pays
+    # shard-clones x lake-clones pairs for docs exact dedup already
+    # catches; the capped gate drops the saturated buckets and keeps
+    # only the rare-text near-dup pair.
+    rows = [
+        (d, "the common boilerplate body repeated for every page")
+        for d in range(40)
+    ]
+    rows += [
+        (50, "rare alpha beta gamma delta epsilon zeta"),
+        (41, "rare alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    unc = {
+        (r.incoming_doc_id, r.lake_doc_id)
+        for r in D.dedup_incremental_minhash(spark, sf).collect()
+    }
+    cap = {
+        (r.incoming_doc_id, r.lake_doc_id)
+        for r in D.dedup_incremental_minhash_capped(spark, sf).collect()
+    }
+    # clones: shard {0,10,20,30} x lake (36 others) + the rare pair
+    assert len(unc) == 4 * 36 + 1 and (50, 41) in unc
+    assert cap == {(50, 41)}
+
+
+def test_incremental_minhash_artifact_equals_recomputing(spark):
+    # The artifact-backed gate must be value-identical to the
+    # recomputing gate — same pairs, same exact Jaccard — with the
+    # lake's band table and sizes read from parquet instead of
+    # recomputed.
+    sf = "/root/testdata/sf0.001"
+    art = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in D.dedup_incremental_minhash_artifact(spark, sf).collect()
+    }
+    rec = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in D.dedup_incremental_minhash(spark, sf).collect()
+    }
+    assert art == rec and art
