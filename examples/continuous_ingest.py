@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,7 +42,10 @@ from quty_server_spark.operators.dedup import (  # noqa: E402
     lake_signature_artifact,
 )
 from quty_server_spark.plans.registry import registry  # noqa: E402
-from quty_server_spark.session import get_spark  # noqa: E402
+from quty_server_spark.session import (  # noqa: E402
+    get_spark,
+    session_tmp_dir,
+)
 from quty_server_spark.sources.tables import load_table  # noqa: E402
 
 
@@ -72,11 +74,12 @@ def main() -> None:
     n_hits = hits.count()
     wall = time.time() - t0
     outdir = os.path.join(
-        tempfile.gettempdir(), "quty_stream_gate",
-        os.path.basename(sf_dir.rstrip("/")), "out",
+        session_tmp_dir(spark, "quty_stream_gate", sf_dir), "out"
     )
+    # numeric sort: lexicographic would put epoch=10 before epoch=2
     epochs = sorted(
-        d for d in os.listdir(outdir) if d.startswith("epoch=")
+        (d for d in os.listdir(outdir) if d.startswith("epoch=")),
+        key=lambda d: int(d.split("=")[1]),
     )
     print(f"gate stream: {len(epochs)} epochs in {wall:.1f}s, "
           f"{n_hits} (incoming, lake) near-dup pairs total")

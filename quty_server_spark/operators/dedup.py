@@ -109,7 +109,12 @@ doc_size AS (
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) pairs — distinct 3-word shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
+    return doc_shingles_docs(load_table(spark, sf_dir, "documents"))
+
+
+def doc_shingles_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) from an already-loaded documents DataFrame —
+    the variant streaming foreachBatch gates call per micro-batch."""
     toks = F.split("text", " ")
     return (
         d.select("doc_id", toks.alias("toks"))

@@ -45,7 +45,10 @@ from pyspark.sql.types import (
 )
 
 from quty_server_spark.operators import pubsub
-from quty_server_spark.operators.dedup import SQL_INCREMENTAL_GATE
+from quty_server_spark.operators.dedup import (
+    SQL_INCREMENTAL_GATE,
+    SQL_MINHASH_GATE,
+)
 from quty_server_spark.operators._helpers import load_table
 from quty_server_spark.plans.registry import registry
 from quty_server_spark.session import configure
@@ -1682,6 +1685,59 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _run_ingest_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    gate_batch_of,
+    out_cols: list[str],
+) -> DataFrame:
+    """Shared runner for the continuous ingest gates: stage the shard
+    (``doc_id % 10 == 0``) as 4 hash-partitioned files, stream them
+    one-file-per-trigger, apply the family's per-batch gate inside
+    ``foreachBatch`` with an epoch-keyed idempotent parquet sink, and
+    return the union of all epochs. Scratch dirs are session-keyed
+    (session_tmp_dir) and the returned frame is eagerly
+    ``localCheckpoint``-ed, so a later call for the same sf_dir — which
+    rmtree's and restages — can never invalidate a frame this call
+    already handed out (r10 ADVICE)."""
+    from quty_server_spark.session import session_tmp_dir
+
+    configure(spark)
+    base = session_tmp_dir(spark, kind, sf_dir)
+    indir = os.path.join(base, "in")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # Stage the incoming shard as 4 files -> 4 micro-batches under
+    # maxFilesPerTrigger=1 (hash-partitioned on doc_id, so batch
+    # composition is deterministic in content, not in arrival order).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    docs.repartition(4, "doc_id").write.parquet(indir)
+
+    gate_batch = gate_batch_of(outdir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(outdir, "epoch=*"))
+        .select(*out_cols)
+        .localCheckpoint(eager=True)
+    )
+
+
 @registry.query(
     "stream_ingest_dedup_gate",
     oracle=SQL_INCREMENTAL_GATE,
@@ -1715,64 +1771,151 @@ def stream_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure(spark)
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "quty_stream_gate",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    indir = os.path.join(base, "in")
-    outdir = os.path.join(base, "out")
-    ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
-
-    # Stage the incoming shard as 4 files -> 4 micro-batches under
-    # maxFilesPerTrigger=1 (hash-partitioned on doc_id, so batch
-    # composition is deterministic in content, not in arrival order).
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 == 0
-    )
-    docs.repartition(4, "doc_id").write.parquet(indir)
-
     lake = (
         spark.read.parquet(lake_signature_artifact(spark, sf_dir))
         .select("doc_id", "sig", "band_id", "band_val")
         .alias("o")
     )
 
-    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        shard = simhash_bands(simhash_sigs_docs(batch_df)).alias("n")
-        res = (
-            shard.join(
-                lake,
-                (F.col("n.band_id") == F.col("o.band_id"))
-                & (F.col("n.band_val") == F.col("o.band_val")),
+    def gate_batch_of(outdir: str):
+        def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            shard = simhash_bands(simhash_sigs_docs(batch_df)).alias("n")
+            res = (
+                shard.join(
+                    lake,
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.band_val") == F.col("o.band_val")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("incoming_doc_id"),
+                    F.col("o.doc_id").alias("lake_doc_id"),
+                    F.bit_count(
+                        F.col("n.sig").bitwiseXOR(F.col("o.sig"))
+                    ).alias("hamming"),
+                )
+                .filter(F.col("hamming") <= HAMMING_MAX)
+                .distinct()
             )
-            .select(
-                F.col("n.doc_id").alias("incoming_doc_id"),
-                F.col("o.doc_id").alias("lake_doc_id"),
-                F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
-                    "hamming"
-                ),
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
             )
-            .filter(F.col("hamming") <= HAMMING_MAX)
-            .distinct()
-        )
-        res.write.mode("overwrite").parquet(
-            os.path.join(outdir, f"epoch={epoch_id}")
-        )
 
-    stream = (
-        spark.readStream.schema(spark.read.parquet(indir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(indir)
+        return gate_batch
+
+    return _run_ingest_gate_stream(
+        spark,
+        sf_dir,
+        "quty_stream_gate",
+        gate_batch_of,
+        ["incoming_doc_id", "lake_doc_id", "hamming"],
     )
-    q = (
-        stream.writeStream.foreachBatch(gate_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+
+
+@registry.query(
+    "stream_ingest_dedup_gate_minhash",
+    oracle=SQL_MINHASH_GATE,
+)
+def stream_ingest_dedup_gate_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash-family continuous ingest gate — the streaming twin
+    of :func:`~quty_server_spark.operators.dedup.dedup_incremental_minhash_artifact`,
+    sharing its oracle SQL byte-for-byte: each micro-batch is shingled,
+    min-hashed, and banded, candidates come from an equality join
+    against the precomputed lake MinHash-band artifact (which carries
+    the lake's per-doc shingle counts, so no lake-side aggregation runs
+    per batch), and the exact-Jaccard verify joins only the batch's own
+    shingles against the lake documents scan restricted to candidate
+    pairs. Epoch union equals the one-shot batch gate exactly: each doc
+    lands in one micro-batch and its candidates/verify are computed
+    from its complete row plus static lake state — nothing crosses
+    epochs.
+
+    Scale: per micro-batch cost is shingle+sign(batch) + one band join
+    against the artifact scan + a candidate-restricted verify; the
+    lake-sized signature and size aggregations are amortized into the
+    write-once artifact on the continuous path just as on the nightly
+    one."""
+    from quty_server_spark.operators.dedup import (
+        doc_shingles,
+        doc_shingles_docs,
+        lake_minhash_artifact,
+        minhash_bands,
+        minhash_sigs,
     )
-    q.awaitTermination()
-    return spark.read.parquet(os.path.join(outdir, "epoch=*")).select(
-        "incoming_doc_id", "lake_doc_id", "hamming"
+
+    configure(spark)
+    lake = (
+        spark.read.parquet(lake_minhash_artifact(spark, sf_dir))
+        .select("doc_id", "sig", "n_sh", "band_id")
+        .alias("o")
+    )
+    lake_sh = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(
+            F.col("doc_id").alias("lake_doc_id2"),
+            F.col("shingle").alias("shingle_b"),
+        )
+    )
+
+    def gate_batch_of(outdir: str):
+        def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            sh = doc_shingles_docs(batch_df).localCheckpoint(eager=False)
+            shard = minhash_bands(minhash_sigs(sh)).alias("n")
+            cand = (
+                shard.join(
+                    lake,
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.sig") == F.col("o.sig")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("incoming_doc_id"),
+                    F.col("o.doc_id").alias("lake_doc_id"),
+                    F.col("o.n_sh").alias("nb"),
+                )
+                .distinct()
+            )
+            sa = sh.select(
+                F.col("doc_id").alias("incoming_doc_id"), "shingle"
+            )
+            inter = (
+                cand.join(sa, "incoming_doc_id")
+                .join(
+                    lake_sh,
+                    (F.col("lake_doc_id") == F.col("lake_doc_id2"))
+                    & (F.col("shingle") == F.col("shingle_b")),
+                )
+                .groupBy("incoming_doc_id", "lake_doc_id", "nb")
+                .agg(F.count("*").alias("n_inter"))
+            )
+            na = (
+                sh.groupBy("doc_id")
+                .agg(F.count("*").alias("na"))
+                .select(F.col("doc_id").alias("incoming_doc_id"), "na")
+            )
+            res = (
+                inter.join(na, "incoming_doc_id")
+                .select(
+                    "incoming_doc_id",
+                    "lake_doc_id",
+                    (
+                        F.col("n_inter")
+                        / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= 0.5)
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
+            )
+
+        return gate_batch
+
+    return _run_ingest_gate_stream(
+        spark,
+        sf_dir,
+        "quty_stream_gate_minhash",
+        gate_batch_of,
+        ["incoming_doc_id", "lake_doc_id", "jaccard"],
     )

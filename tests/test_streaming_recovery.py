@@ -174,11 +174,10 @@ def test_stream_ingest_gate_matches_batch_gate(spark):
     # the union of per-epoch outputs must equal the one-shot artifact
     # gate row-for-row, and the run must actually have been multi-batch
     # (file-partitioned shard + maxFilesPerTrigger=1 -> >= 2 epochs).
-    import tempfile
-
     from quty_server_spark.operators.dedup import (
         dedup_incremental_simhash_artifact,
     )
+    from quty_server_spark.session import session_tmp_dir
     from quty_server_spark.streaming.ops import stream_ingest_dedup_gate
 
     streamed = {
@@ -191,10 +190,35 @@ def test_stream_ingest_gate_matches_batch_gate(spark):
     assert streamed == batch
     assert len(streamed) > 0
     outdir = os.path.join(
-        tempfile.gettempdir(),
-        "quty_stream_gate",
-        os.path.basename(SF_DIR.rstrip("/")),
-        "out",
+        session_tmp_dir(spark, "quty_stream_gate", SF_DIR), "out"
+    )
+    epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
+
+
+def test_stream_ingest_gate_minhash_matches_batch_gate(spark):
+    # The MinHash-family continuous gate: epoch union == the one-shot
+    # artifact-backed gate (pairs AND exact Jaccard), run multi-batch.
+    from quty_server_spark.operators.dedup import (
+        dedup_incremental_minhash_artifact,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import (
+        stream_ingest_dedup_gate_minhash,
+    )
+
+    streamed = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in stream_ingest_dedup_gate_minhash(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.incoming_doc_id, r.lake_doc_id, round(r.jaccard, 9))
+        for r in dedup_incremental_minhash_artifact(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    outdir = os.path.join(
+        session_tmp_dir(spark, "quty_stream_gate_minhash", SF_DIR), "out"
     )
     epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
     assert len(epochs) >= 2
