@@ -43,10 +43,26 @@ TABLES = [
 ]
 
 
+# Footer-inferred schema per parquet path. A bare spark.read.parquet
+# fires a (small) schema-inference Spark job on EVERY DataFrame
+# construction; with the schema supplied the read is pure plan
+# building — zero jobs (pinned for route_fanout in
+# tests/test_pubsub_semantics.py). Keyed by path: the fixture files
+# are immutable per path, and test-written corpora live under unique
+# tmp dirs. Schemas are session-independent plain StructTypes.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table, normalizing schema quirks."""
     configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanoseconds -> microsecond timestamp. Integer division (DIV)
         # is mandatory: float division would round the ~1.7e18 ns epoch value
