@@ -235,33 +235,53 @@ def measure_fixed_shard(spark, sf_dir: str, shard_n: int) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from quty_server_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
         SIMHASH_BUCKET_CAP,
+        doc_shingles,
+        minhash_bands,
+        minhash_sigs,
         simhash_bands,
         simhash_sigs,
     )
 
     bands = simhash_bands(simhash_sigs(spark, sf_dir))
+    # r11 (r10 VERDICT "What's wrong" #1): the MinHash gate's
+    # fixed-shard column — the direct measurement of the nightly shape
+    # for the family that previously shipped on the shard∝corpus
+    # ladder alone. Join key is (band_id, sig).
+    mbands = minhash_bands(
+        minhash_sigs(doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+    )
     out: dict[str, int] = {}
-    for label, side in (
-        ("fixed_shard_pairs", bands),
+    for label, side, keys in (
+        ("fixed_shard_pairs", bands, ("band_id", "band_val")),
         (
             "fixed_shard_capped_pairs",
             bands.withColumn(
                 "bsz",
                 F.count("*").over(Window.partitionBy("band_id", "band_val")),
             ).filter(F.col("bsz") <= SIMHASH_BUCKET_CAP),
+            ("band_id", "band_val"),
+        ),
+        ("fixed_shard_minhash_pairs", mbands, ("band_id", "sig")),
+        (
+            "fixed_shard_minhash_capped_pairs",
+            mbands.withColumn(
+                "bsz",
+                F.count("*").over(Window.partitionBy("band_id", "sig")),
+            ).filter(F.col("bsz") <= MINHASH_BUCKET_CAP),
+            ("band_id", "sig"),
         ),
     ):
         new, old = (
             side.filter(F.col("doc_id") < shard_n).alias("n"),
             side.filter(F.col("doc_id") >= shard_n).alias("o"),
         )
+        cond = (F.col(f"n.{keys[0]}") == F.col(f"o.{keys[0]}")) & (
+            F.col(f"n.{keys[1]}") == F.col(f"o.{keys[1]}")
+        )
         out[label] = (
-            new.join(
-                old,
-                (F.col("n.band_id") == F.col("o.band_id"))
-                & (F.col("n.band_val") == F.col("o.band_val")),
-            )
+            new.join(old, cond)
             .select("n.doc_id", "o.doc_id")
             .distinct()
             .count()
@@ -335,6 +355,16 @@ def main() -> None:
         cur["fixed_shard_capped_step"] = round(
             cur["fixed_shard_capped_pairs"]
             / max(prev["fixed_shard_capped_pairs"], 1),
+            2,
+        )
+        cur["fixed_shard_minhash_step"] = round(
+            cur["fixed_shard_minhash_pairs"]
+            / max(prev["fixed_shard_minhash_pairs"], 1),
+            2,
+        )
+        cur["fixed_shard_minhash_capped_step"] = round(
+            cur["fixed_shard_minhash_capped_pairs"]
+            / max(prev["fixed_shard_minhash_capped_pairs"], 1),
             2,
         )
     out = json.dumps({"seed": SEED, "sizes": rows})
