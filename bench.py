@@ -75,6 +75,11 @@ HEADLINE = [
     # bounded generator, not the teaching op (which stays above for the
     # uncapped-vs-capped delta).
     "dedup_incremental_simhash_capped",
+    # round-11 addition: the MinHash-family nightly gate probing the
+    # write-once band artifact. Best-of-3 makes this the warm-probe
+    # number, same convention as sim_ann_ivf_artifact (run 1 pays the
+    # memoized artifact build; the nightly contract is runs 2-3).
+    "dedup_incremental_minhash_artifact",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

@@ -1398,17 +1398,22 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-run candidate cost follows the shard — each shard band
     row meets only its bucket's lake rows, never |lake|² — and the
     verify joins are candidate-restricted, so verification cost scales
-    with LSH recall. The diverse-corpus ladder measures THIS join
-    directly (SPARSITY.json ``incremental_minhash_*``, SCALING.md
-    §r10): 0.002 → 0.021 candidate pairs/doc across 12.5k → 100k docs —
-    at n=100k, 1,766× fewer candidates than the uncapped SimHash gate
-    on the identical corpus — which is why this family ships uncapped.
-    The trend term is the r=2 rows/band collision floor (quadratic with
-    a tiny constant; the production dial is r), and the
-    SIMHASH_BUCKET_CAP-style device composes on the (band_id, sig)
-    buckets unchanged if a corpus proves otherwise. The lake's shingles
-    and band table are both artifact-able the same way as the SimHash
-    gate's (:func:`lake_signature_artifact`)."""
+    with LSH recall. Measured on both ladder axes (SPARSITY.json,
+    SCALING.md §r10/§r11): shard∝corpus gives 0.002 → 0.021
+    candidate pairs/doc across 12.5k → 100k docs (1,766× fewer than
+    the uncapped SimHash gate at n=100k); the fixed-shard-growing-lake
+    column (``fixed_shard_minhash_*``) shows per-run candidates still
+    GROW with the lake (29 → 315 across 8× lake growth, decelerating
+    2.9× → 1.7×/doubling) at minuscule absolute density. The 100 TB
+    nightly contract is therefore the CAPPED twin
+    (:func:`dedup_incremental_minhash_capped`, bounded at
+    |shard bands| × MINHASH_BUCKET_CAP and measured flattening to
+    ~1.1×/doubling); THIS op is the calibration/teaching variant whose
+    uncapped density quantifies the cap's recall cost (zero on
+    realistic vocabularies — only boilerplate-clone buckets saturate).
+    The lake's band table and sizes are artifact-able
+    (:func:`lake_minhash_artifact`); the artifact-backed execution is
+    :func:`dedup_incremental_minhash_artifact`."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = minhash_bands(minhash_sigs(sh))
     new = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
