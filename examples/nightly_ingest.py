@@ -51,6 +51,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import quty_server_spark.operators  # noqa: F401,E402  (registers queries)
 from quty_server_spark.operators.dedup import (  # noqa: E402
+    lake_minhash_artifact,
     lake_signature_artifact,
     simhash_bands,
     simhash_sigs,
@@ -89,6 +90,22 @@ def main() -> None:
     print(f"gate: {n_q}/{n_shard} incoming docs near-duplicate the lake "
           f"(nightly cost {time.time() - t0:.1f}s — shard-signing + one "
           f"band join against the artifact scan)")
+
+    # 2b. second-opinion gate on the MinHash family (round 11): content
+    # overlap at exact Jaccard >= 0.5 catches rewrites the 48-bit layout
+    # fingerprint misses. Same write-once/read-nightly pattern — the
+    # band artifact embeds per-doc shingle counts, so this gate also
+    # runs zero lake-side aggregations per night.
+    t0 = time.time()
+    mh_path = lake_minhash_artifact(spark, sf_dir, rebuild=True)
+    mh_hits = q["dedup_incremental_minhash_artifact"](spark, sf_dir)
+    mh_q = mh_hits.select("incoming_doc_id").distinct()
+    n_mh = mh_q.count()
+    quarantined = quarantined.union(mh_q).distinct()
+    n_q = quarantined.count()
+    print(f"minhash gate: {n_mh} incoming docs share >=50% content with "
+          f"the lake (artifact at {mh_path}; union quarantine now {n_q}; "
+          f"{time.time() - t0:.1f}s incl. the amortized artifact build)")
 
     # 3+4. admit the rest, then keep only within-shard canonicals
     admitted = shard.join(quarantined.withColumnRenamed(

@@ -973,6 +973,16 @@ def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
     # the query sample and the posting lists come from the precomputed
     # artifact, and the posting scan is pruned to the probed cells at
     # runtime via dynamic partition pruning on the cell partition column.
+    #
+    # Build the artifact EXPLICITLY first (r10 ADVICE): constructing the
+    # probe DataFrame triggers the memoized artifact build (a real
+    # parquet write) as a side effect, so without this line a plan-only
+    # test would silently depend on session /tmp state and ordering vs
+    # other artifact tests. The explicit call makes the write visible
+    # and the plan_of below a pure read of the memoized path.
+    from quty_server_spark.operators.similarity import ivf_postings_artifact
+
+    ivf_postings_artifact(spark, SF_DIR)
     plan = plan_of(spark, "sim_ann_ivf_artifact")
     tree = plan.split("\n\n")[0]
     assert "quty_ivf_postings" in plan  # reads the artifact...
