@@ -1498,7 +1498,12 @@ def dedup_incremental_minhash_capped(
     exact-Jaccard verify is unchanged (the cap restricts candidates,
     not semantics). The fixed-shard-growing-lake ladder column
     (SPARSITY.json ``fixed_shard_minhash_*``) measures the production
-    shape for both variants directly."""
+    shape for both variants directly: with the shard pinned at 1,250
+    docs and the lake doubling 12.5k → 100k, capped per-run candidates
+    go 29 → 85 → 113 → 128 (steps 2.93/1.33/1.13 — flattening toward
+    ~1.1× as buckets saturate and retire), while the uncapped gate's
+    keep climbing (29 → 315, still 1.67× on the last doubling). This
+    is the gate a 100 TB deployment runs nightly."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = minhash_bands(minhash_sigs(sh))
     bands = bands.withColumn(

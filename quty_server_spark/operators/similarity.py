@@ -1032,3 +1032,77 @@ def sim_ann_ivf_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 3
     )
+
+
+# Same-cell cosine threshold for the embedding-family ingest gate —
+# matches dedup_embedding_cosine's 0.35 near-dup bar, so the two
+# embedding-dedup surfaces agree on what "semantic duplicate" means.
+EMB_GATE_COS = 0.35
+
+
+@registry.query(
+    "dedup_incremental_embedding_artifact",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE arn = 1)
+    SELECT n.vec_id AS incoming_vec_id, o.vec_id AS lake_vec_id,
+           list_cosine_similarity(n.v, o.v) AS cos_sim
+    FROM cells n JOIN cells o ON n.cell = o.cell
+    WHERE n.vec_id % 10 = 0 AND o.vec_id % 10 <> 0
+      AND list_cosine_similarity(n.v, o.v) >= {EMB_GATE_COS}
+    """,
+)
+def dedup_incremental_embedding_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING-family nightly ingest gate, completing the
+    write-once/probe-nightly triad (SimHash:
+    :func:`~quty_server_spark.operators.dedup.dedup_incremental_simhash_artifact`,
+    MinHash:
+    :func:`~quty_server_spark.operators.dedup.dedup_incremental_minhash_artifact`,
+    and now semantic near-dup): tonight's shard of fresh vectors
+    (``vec_id % 10 == 0``, read from the embeddings table) is assigned
+    to IVF cells against the centroids READ FROM THE POSTING ARTIFACT,
+    then probed cell-vs-cell against the artifact's lake postings; a
+    pair is a semantic duplicate at cosine >= EMB_GATE_COS. The lake is
+    never re-assigned and never re-scanned from the embeddings table —
+    both the centroids and the postings come off the artifact
+    (plan-pinned in tests/test_scale_plans.py: one embeddings scan — the
+    shard — and the artifact; assignment aggregate over the shard only).
+
+    Scale: nightly cost = |shard| x n_centroids broadcast assignment
+    (map-side combined, one row per shard vector reaches the shuffle) +
+    a same-cell equality join against the cell-partitioned artifact —
+    the shard's assigned cells drive dynamic partition pruning, so the
+    probe reads only the cell directories tonight's vectors land in,
+    |lake|/n_cells rows per shard vector. The same argument as the
+    text-family gates: the lake-sized work (assignment) is amortized
+    into the write-once artifact."""
+    path = ivf_postings_artifact(spark, sf_dir)
+    art = spark.read.parquet(path).select(
+        "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
+    )
+    lake = art.filter(F.col("vec_id") % 10 != 0).alias("o")
+    cent = art.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    shard = _corpus(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    assigned = _ivf_cells_plan(shard, cent).alias("n")
+    return (
+        lake.join(
+            broadcast(assigned), F.col("n.cell") == F.col("o.cell")
+        )
+        .withColumn("cos_sim", cosine(F.col("n.v"), F.col("o.v")))
+        .filter(F.col("cos_sim") >= EMB_GATE_COS)
+        .select(
+            F.col("n.vec_id").alias("incoming_vec_id"),
+            F.col("o.vec_id").alias("lake_vec_id"),
+            "cos_sim",
+        )
+    )

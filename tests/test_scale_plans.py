@@ -996,6 +996,41 @@ def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
     assert "BroadcastHashJoin" in tree
 
 
+def test_embedding_gate_probes_artifact_not_lake(spark):
+    # The embedding-family nightly gate (round 11, completing the
+    # write-once/probe-nightly triad): the lake's postings AND the
+    # centroids come off the cell-partitioned artifact; the embeddings
+    # table is scanned exactly once — the incoming shard. The shard's
+    # assigned cells drive dynamic partition pruning on the posting
+    # scan, and the probe itself is a cell hash join (the only
+    # BroadcastNestedLoopJoin is the bounded shard x centroid
+    # assignment, allowlisted in test_plan_audit).
+    import re
+
+    from quty_server_spark.operators.similarity import ivf_postings_artifact
+
+    ivf_postings_artifact(spark, SF_DIR)  # explicit build (no side effect)
+    plan = plan_of(spark, "dedup_incremental_embedding_artifact")
+    tree = plan.split("\n\n")[0]
+    assert "quty_ivf_postings" in plan
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    emb_scans = art_scans = 0
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id not in ids:
+            continue
+        if "embeddings" in block:
+            emb_scans += 1
+        if "quty_ivf_postings" in block:
+            art_scans += 1
+    assert emb_scans == 1  # the shard only — the lake is never re-read
+    assert art_scans == 2  # postings (lake) + the centroid rows
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in tree  # the cell probe join
+    assert "CartesianProduct" not in tree
+
+
 def test_artifact_files_sorted_by_probe_key(spark):
     # The artifacts' scale story includes row-group statistics pruning,
     # which only works if each written file is sorted by the probe key

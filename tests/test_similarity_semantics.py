@@ -233,3 +233,38 @@ def test_ivf_artifact_rebuild_is_idempotent(spark):
     p2 = S.ivf_postings_artifact(spark, SF_DIR)
     assert first == second
     assert p1 == p2
+
+
+def test_embedding_gate_matches_direct_assignment_path(spark):
+    # The artifact-backed embedding gate must equal the same gate
+    # computed through the direct (non-artifact) assignment path:
+    # assign the WHOLE corpus with _ivf_cells, restrict same-cell
+    # pairs to (shard, lake) orientation, threshold at EMB_GATE_COS.
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.functions.vectors import cosine
+
+    got = {
+        (r.incoming_vec_id, r.lake_vec_id, round(r.cos_sim, 9))
+        for r in S.dedup_incremental_embedding_artifact(
+            spark, SF_DIR
+        ).collect()
+    }
+    c = S._corpus(spark, SF_DIR)
+    cells = S._ivf_cells(c, S._ivf_centroids(c))
+    n = cells.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("ni"), F.col("v").alias("nv"), "cell"
+    )
+    o = cells.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("oi"), F.col("v").alias("ov"),
+        F.col("cell").alias("ocell"),
+    )
+    ref = {
+        (r.ni, r.oi, round(r.cs, 9))
+        for r in n.join(o, F.col("cell") == F.col("ocell"))
+        .select("ni", "oi", cosine(F.col("nv"), F.col("ov")).alias("cs"))
+        .filter(F.col("cs") >= S.EMB_GATE_COS)
+        .collect()
+    }
+    assert got == ref
+    assert got  # fixture sanity: semantic near-dups exist in the slice
