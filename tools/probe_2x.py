@@ -67,6 +67,10 @@ QUERIES = [
     "dedup_cluster_stats",
     "dedup_incremental_simhash_capped",
     "dedup_incremental_minhash",
+    # r11: the capped MinHash twin (the family's nightly contract) and
+    # the artifact-backed gate (write-once split) at doubled volume.
+    "dedup_incremental_minhash_capped",
+    "dedup_incremental_minhash_artifact",
 ]
 
 
