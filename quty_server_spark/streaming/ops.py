@@ -1850,6 +1850,10 @@ def stream_ingest_dedup_gate_minhash(
         .select("doc_id", "sig", "n_sh", "band_id")
         .alias("o")
     )
+    # Lazy-checkpointed once: every micro-batch's verify joins the lake
+    # shingles, and without the checkpoint each batch would re-run the
+    # lake documents scan+explode — 4 lake passes per run instead of 1
+    # (materializes on the first batch, reused by the rest).
     lake_sh = (
         doc_shingles(spark, sf_dir)
         .filter(F.col("doc_id") % 10 != 0)
@@ -1857,6 +1861,7 @@ def stream_ingest_dedup_gate_minhash(
             F.col("doc_id").alias("lake_doc_id2"),
             F.col("shingle").alias("shingle_b"),
         )
+        .localCheckpoint(eager=False)
     )
 
     def gate_batch_of(outdir: str):
