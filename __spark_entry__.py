@@ -29,11 +29,11 @@ SF0001 = "/root/testdata/sf0.001"
 # (r10 VERDICT "Next round" #3): the r04 class got its green rows in
 # r10, so the oldest freshest-green vintage is the 44-query r05 class.
 # The window is spent on:
-# (1) the 5 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 6 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the lake MinHash-band
 # artifact pair, the capped MinHash gate, the MinHash continuous ingest
-# gate, and the embedding-family incremental gate (completing the
-# write-once/probe-nightly triad);
+# gate, the embedding-family incremental gate (completing the
+# write-once/probe-nightly triad), and the ingest mix-drift QA;
 # (2) the 6 queries whose own code changed this round (discipline: a
 # changed query re-earns its external green row): the SimHash/IVF
 # artifact pairs + the SimHash continuous gate (scratch paths now
@@ -44,22 +44,23 @@ SF0001 = "/root/testdata/sf0.001"
 # does not by itself head-list the other 230;
 # (3) one long-green canary (flagship, green since r01) so a comparator
 # regression on the old surface stays externally detectable;
-# (4) the r05 class alphabetically up to the window: 38 of 44 fit; the
-# 6-query tail (udf_map_in_arrow + window_gaps_islands ..
-# window_running_distinct) stays r05-vintage and leads class (3) of the
-# r12 head.
-# 5+6+1+38 = 50 — exactly the driver's sample window. Queries not
+# (4) the r05 class alphabetically up to the window: 37 of 44 fit; the
+# 7-query tail (text_bigram_familiarity, udf_map_in_arrow, and the five
+# window_* queries) stays r05-vintage and leads class (3) of the r12
+# head.
+# 6+6+1+37 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all 240+.
 DRIVER_PRIORITY = [
     # (1) NEW this round — the MinHash-family artifact split, the
-    # capped MinHash gate, the MinHash continuous ingest gate, and the
-    # embedding-family incremental gate
+    # capped MinHash gate, the MinHash continuous ingest gate, the
+    # embedding-family incremental gate, and the ingest mix-drift QA
     "sink_lake_minhash_artifact",
     "dedup_incremental_minhash_artifact",
     "dedup_incremental_minhash_capped",
     "stream_ingest_dedup_gate_minhash",
     "dedup_incremental_embedding_artifact",
+    "doc_ingest_mix_drift",
     # (2) CHANGED this round — session-keyed artifact paths + the
     # route_fanout metadata gate
     "sink_lake_signature_artifact",
@@ -70,7 +71,7 @@ DRIVER_PRIORITY = [
     "route_fanout",
     # (3) canary: the long-green batch flagship
     "flagship_delivery_report",
-    # (4) stale: newest green row r05 (alphabetical, first 38 of 44)
+    # (4) stale: newest green row r05 (alphabetical, first 37 of 44)
     "agg_corr_regression",
     "agg_filtered_conditional",
     "agg_grouping_id",
@@ -108,7 +109,6 @@ DRIVER_PRIORITY = [
     "stream_kafka_replay",
     "stream_seq_counter_tws",
     "subquery_lateral_topk",
-    "text_bigram_familiarity",
 ]
 
 

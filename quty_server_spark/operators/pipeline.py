@@ -549,6 +549,93 @@ def doc_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "doc_ingest_mix_drift",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, source,
+               CAST(FLOOR(LOG2(len(string_split(text, ' ')))) AS INT)
+                   AS len_pow2,
+               doc_id % 10 = 0 AS is_shard
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 1),
+    cells AS (
+        SELECT lang, source, len_pow2,
+               COUNT(*) FILTER (WHERE is_shard) AS n_shard,
+               COUNT(*) FILTER (WHERE NOT is_shard) AS n_lake
+        FROM keyed GROUP BY lang, source, len_pow2),
+    tot AS (SELECT CAST(SUM(n_shard) AS BIGINT) AS shard_total,
+                   CAST(SUM(n_lake) AS BIGINT) AS lake_total FROM cells)
+    SELECT c.lang, c.source, c.len_pow2,
+           CAST(c.n_shard AS BIGINT) AS n_shard,
+           CAST(c.n_lake AS BIGINT) AS n_lake,
+           CAST(c.n_shard * 1000000 // t.shard_total AS BIGINT)
+               AS shard_ppm,
+           CAST(c.n_lake * 1000000 // t.lake_total AS BIGINT) AS lake_ppm,
+           CAST(ABS(c.n_shard * 1000000 // t.shard_total
+                    - c.n_lake * 1000000 // t.lake_total) AS BIGINT)
+               AS drift_ppm
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def doc_ingest_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly ingest DISTRIBUTION QA — the check that runs next to the
+    dedup gates before a shard is admitted: per (lang, source,
+    pow2-length-bucket) cell, tonight's shard share vs the lake's
+    share, and their absolute difference in ppm. A drifting feed (a
+    crawler stuck on one domain, a language filter silently failing, a
+    truncation bug shifting the length histogram) shows up as large
+    drift_ppm rows BEFORE it pollutes the lake — dedup gates can't see
+    this class of fault because drifted documents are usually novel,
+    not duplicated. Shares are integer ppm via floor division, so both
+    engines agree exactly (same convention as doc_mix_rebalance).
+
+    Scale: ONE scan of the corpus computes both sides — the shard/lake
+    split is a grouping flag, not two passes — one shuffle on the
+    3-column cell key, then arithmetic on the tiny cell table against a
+    1-row totals build side (scalar-subquery shape, allowlisted). At
+    100 TB the production variant reads last night's cell table from a
+    matview instead of re-scanning the lake; the cell-grain output IS
+    that matview."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "lang",
+        "source",
+        F.floor(F.log2(F.size(F.split("text", " "))))
+        .cast("int")
+        .alias("len_pow2"),
+        (F.col("doc_id") % 10 == 0).alias("is_shard"),
+    ).filter(F.size(F.split("text", " ")) >= 1)
+    cells = keyed.groupBy("lang", "source", "len_pow2").agg(
+        F.count(F.when(F.col("is_shard"), 1)).alias("n_shard"),
+        F.count(F.when(~F.col("is_shard"), 1)).alias("n_lake"),
+    )
+    tot = cells.agg(
+        F.sum("n_shard").cast("bigint").alias("shard_total"),
+        F.sum("n_lake").cast("bigint").alias("lake_total"),
+    )
+    return (
+        cells.crossJoin(broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "len_pow2",
+            F.col("n_shard").cast("bigint").alias("n_shard"),
+            F.col("n_lake").cast("bigint").alias("n_lake"),
+            F.expr("CAST(n_shard * 1000000 div shard_total AS BIGINT)").alias(
+                "shard_ppm"
+            ),
+            F.expr("CAST(n_lake * 1000000 div lake_total AS BIGINT)").alias(
+                "lake_ppm"
+            ),
+            F.expr(
+                "CAST(ABS(n_shard * 1000000 div shard_total "
+                "- n_lake * 1000000 div lake_total) AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+@registry.query(
     "doc_pack_efficiency",
     oracle=f"""
     WITH toks AS (

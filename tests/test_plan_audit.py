@@ -58,6 +58,7 @@ BNLJ_JUSTIFIED = {
     "ground truth); the approx arm stays a bucket hash join",
     "sim_ivf_cell_balance": "1-row corpus-totals build side",
     "doc_mix_rebalance": "1-row corpus-totals build side",
+    "doc_ingest_mix_drift": "1-row shard/lake-totals build side",
     "dedup_incremental_embedding_artifact": "the shard x coarse-quantizer "
     "assignment (fixture: every-50th-vector centroids standing in for a "
     "fixed-K codebook) — the standard IVF assign step, build side bounded "
