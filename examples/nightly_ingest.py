@@ -8,7 +8,10 @@ composed the way a production lake admits a day's shard, end to end:
 2. **the gate (the read-nightly half)** — join the shard's fresh bands
    against the artifact (``dedup_incremental_simhash_artifact``): the
    lake branch of the plan is a bare artifact scan, the only
-   lake-sized aggregation happened in step 1.
+   lake-sized aggregation happened in step 1. Round 11 adds step 2b:
+   the MinHash-family gate (``dedup_incremental_minhash_artifact``)
+   as a second opinion — content Jaccard catches rewrites the layout
+   fingerprint misses — and the quarantine is the union of both.
 3. **quarantine** — shard docs with >= 1 near-dup already in the lake
    are rejected; the rest are admitted.
 4. **within-shard canonicalization** — the admitted docs can still

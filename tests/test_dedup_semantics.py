@@ -312,3 +312,25 @@ def test_incremental_minhash_artifact_equals_recomputing(spark):
         for r in D.dedup_incremental_minhash(spark, sf).collect()
     }
     assert art == rec and art
+
+
+def test_minhash_artifact_rebuild_is_idempotent(spark):
+    # The write-once MinHash-band artifact: a forced rebuild (rmtree +
+    # rewrite) must land the same band table — per-band summary
+    # identical across two builds, memoized path stable in-session,
+    # and the path is session-keyed (contains the application id).
+    from tests.conftest import SF_DIR
+
+    first = {
+        (r.band_id, r.n_rows, r.n_buckets, r.n_docs, r.sum_nsh)
+        for r in D.sink_lake_minhash_artifact(spark, SF_DIR).collect()
+    }
+    p1 = D.lake_minhash_artifact(spark, SF_DIR)
+    second = {
+        (r.band_id, r.n_rows, r.n_buckets, r.n_docs, r.sum_nsh)
+        for r in D.sink_lake_minhash_artifact(spark, SF_DIR).collect()
+    }
+    p2 = D.lake_minhash_artifact(spark, SF_DIR)
+    assert first == second
+    assert p1 == p2
+    assert spark.sparkContext.applicationId in p1
