@@ -1403,12 +1403,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs/doc across 12.5k → 100k docs (1,766× fewer than
     the uncapped SimHash gate at n=100k); the fixed-shard-growing-lake
     column (``fixed_shard_minhash_*``) shows per-run candidates still
-    GROW with the lake (29 → 315 across 8× lake growth, decelerating
-    2.9× → 1.7×/doubling) at minuscule absolute density. The 100 TB
-    nightly contract is therefore the CAPPED twin
+    GROW with the lake (29 → 695 across 16× lake growth, ~2×/doubling)
+    at minuscule absolute density. The 100 TB nightly contract is
+    therefore the CAPPED twin
     (:func:`dedup_incremental_minhash_capped`, bounded at
-    |shard bands| × MINHASH_BUCKET_CAP and measured flattening to
-    ~1.1×/doubling); THIS op is the calibration/teaching variant whose
+    |shard bands| × MINHASH_BUCKET_CAP, measured ~lake^0.5 — the trend
+    dial beyond that is r); THIS op is the calibration/teaching variant whose
     uncapped density quantifies the cap's recall cost (zero on
     realistic vocabularies — only boilerplate-clone buckets saturate).
     The lake's band table and sizes are artifact-able
@@ -1498,12 +1498,20 @@ def dedup_incremental_minhash_capped(
     exact-Jaccard verify is unchanged (the cap restricts candidates,
     not semantics). The fixed-shard-growing-lake ladder column
     (SPARSITY.json ``fixed_shard_minhash_*``) measures the production
-    shape for both variants directly: with the shard pinned at 1,250
-    docs and the lake doubling 12.5k → 100k, capped per-run candidates
-    go 29 → 85 → 113 → 128 (steps 2.93/1.33/1.13 — flattening toward
-    ~1.1× as buckets saturate and retire), while the uncapped gate's
-    keep climbing (29 → 315, still 1.67× on the last doubling). This
-    is the gate a 100 TB deployment runs nightly."""
+    shape for both variants directly across 16x lake growth: with the
+    shard pinned at 1,250 docs and the lake doubling 12.5k → 200k,
+    capped per-run candidates go 29 → 85 → 113 → 128 → 204 (steps
+    2.93/1.33/1.13/1.59 — bounded sublinear, ~lake^0.5, NOT the
+    flat-falling SimHash shape: MinHash's (band_id, sig) bucket space
+    is enormous, so collisions spread across many small buckets the
+    cap never touches instead of saturating a fixed pigeonhole space).
+    The cap's value is the WORST-CASE bound (|shard bands| x CAP =
+    320k here, measured 204) plus removing exactly the boilerplate-
+    clone buckets; the TREND dial for this family is r (rows/band),
+    which shrinks collision probability exponentially. The uncapped
+    gate climbs 29 → 695 on the same ladder (2.2x on the last
+    doubling). This is the gate a 100 TB deployment runs nightly —
+    0.16 candidates/shard-doc against the 16x-grown lake."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = minhash_bands(minhash_sigs(sh))
     bands = bands.withColumn(
