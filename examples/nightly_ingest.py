@@ -54,8 +54,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import quty_server_spark.operators  # noqa: F401,E402  (registers queries)
 from quty_server_spark.operators.dedup import (  # noqa: E402
+    doc_shingles,
     lake_minhash_artifact,
     lake_signature_artifact,
+    minhash_bands,
+    minhash_sigs,
     simhash_bands,
     simhash_sigs,
 )
@@ -143,6 +146,24 @@ def main() -> None:
     after = spark.read.parquet(path).count()
     print(f"artifact append: {before} -> {after} banded rows "
           f"(+{after - before} = 4 bands x {n_final} admitted docs)")
+    # ... and the same append for the MinHash-band artifact, so BOTH
+    # gates see tonight's admissions tomorrow (the write-once claim
+    # holds per family only if each family's artifact absorbs the
+    # admitted shard — r11 review finding).
+    mh_before = spark.read.parquet(mh_path).count()
+    adm_sh = doc_shingles(spark, sf_dir).join(
+        F.broadcast(final), "doc_id", "left_semi"
+    )
+    adm_sizes = adm_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    adm_bands = minhash_bands(minhash_sigs(adm_sh)).join(
+        adm_sizes, "doc_id"
+    ).select("doc_id", "sig", "n_sh", "band_id")
+    adm_bands.sortWithinPartitions("band_id", "sig").write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(mh_path)
+    mh_after = spark.read.parquet(mh_path).count()
+    print(f"minhash artifact append: {mh_before} -> {mh_after} band rows "
+          f"(8 bands per admitted doc with >= 3 tokens)")
 
     print("\nnightly verdict: "
           f"{n_final}/{n_shard} incoming docs enter the lake "

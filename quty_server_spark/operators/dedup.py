@@ -18,9 +18,7 @@ UDFs — so whole-stage codegen applies end-to-end.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1351,6 +1349,63 @@ def _minhash_gate_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_gate_verify_nb(
+    cand: DataFrame, sh_shard: DataFrame, lake_sh: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification for the ARTIFACT-backed gates:
+    ``cand`` is (incoming_doc_id, lake_doc_id, nb) with the lake doc's
+    shingle count already embedded (read off the artifact), so only
+    the shard's sizes are aggregated; ``sh_shard`` is the incoming
+    side's (doc_id, shingle) table, ``lake_sh`` the lake documents'
+    (lake_doc_id2, shingle_b) scan+explode. Shared by
+    :func:`dedup_incremental_minhash_artifact` and the streaming twin
+    so the threshold/denominator contract lives in exactly one place
+    (r11 review finding)."""
+    sa = sh_shard.select(F.col("doc_id").alias("incoming_doc_id"), "shingle")
+    inter = (
+        cand.join(sa, "incoming_doc_id")
+        .join(
+            lake_sh,
+            (F.col("lake_doc_id") == F.col("lake_doc_id2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("incoming_doc_id", "lake_doc_id", "nb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = (
+        sh_shard.groupBy("doc_id")
+        .agg(F.count("*").alias("na"))
+        .select(F.col("doc_id").alias("incoming_doc_id"), "na")
+    )
+    return (
+        inter.join(na, "incoming_doc_id")
+        .select(
+            "incoming_doc_id",
+            "lake_doc_id",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def lake_shingles_for_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake documents' (lake_doc_id2, shingle_b) table the
+    artifact-backed gates' verify stage joins — a narrow scan+explode
+    with no aggregation (the lake-sized aggregations live in the
+    artifact build)."""
+    return (
+        doc_shingles(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(
+            F.col("doc_id").alias("lake_doc_id2"),
+            F.col("shingle").alias("shingle_b"),
+        )
+    )
+
+
 # Shared by the recomputing MinHash gate, its artifact-backed twin, and
 # the streaming twin — one SQL contract, three execution shapes (the
 # same constant-sharing device as SQL_INCREMENTAL_GATE for the SimHash
@@ -1676,39 +1731,8 @@ def dedup_incremental_minhash_artifact(
         )
         .distinct()
     )
-    sa = sh_shard.select(F.col("doc_id").alias("incoming_doc_id"), "shingle")
-    sb = (
-        doc_shingles(spark, sf_dir)
-        .filter(F.col("doc_id") % 10 != 0)
-        .select(
-            F.col("doc_id").alias("lake_doc_id2"),
-            F.col("shingle").alias("shingle_b"),
-        )
-    )
-    inter = (
-        cand.join(sa, "incoming_doc_id")
-        .join(
-            sb,
-            (F.col("lake_doc_id") == F.col("lake_doc_id2"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("incoming_doc_id", "lake_doc_id", "nb")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = sh_shard.groupBy("doc_id").agg(F.count("*").alias("na")).select(
-        F.col("doc_id").alias("incoming_doc_id"), "na"
-    )
-    return (
-        inter.join(na, "incoming_doc_id")
-        .select(
-            "incoming_doc_id",
-            "lake_doc_id",
-            (
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return _minhash_gate_verify_nb(
+        cand, sh_shard, lake_shingles_for_verify(spark, sf_dir)
     )
 
 

@@ -568,12 +568,13 @@ def doc_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.lang, c.source, c.len_pow2,
            CAST(c.n_shard AS BIGINT) AS n_shard,
            CAST(c.n_lake AS BIGINT) AS n_lake,
-           CAST(c.n_shard * 1000000 // t.shard_total AS BIGINT)
+           CAST(c.n_shard * 1000000 // NULLIF(t.shard_total, 0) AS BIGINT)
                AS shard_ppm,
-           CAST(c.n_lake * 1000000 // t.lake_total AS BIGINT) AS lake_ppm,
-           CAST(ABS(c.n_shard * 1000000 // t.shard_total
-                    - c.n_lake * 1000000 // t.lake_total) AS BIGINT)
-               AS drift_ppm
+           CAST(c.n_lake * 1000000 // NULLIF(t.lake_total, 0) AS BIGINT)
+               AS lake_ppm,
+           CAST(ABS(c.n_shard * 1000000 // NULLIF(t.shard_total, 0)
+                    - c.n_lake * 1000000 // NULLIF(t.lake_total, 0))
+               AS BIGINT) AS drift_ppm
     FROM cells c CROSS JOIN tot t
     """,
 )
@@ -587,7 +588,7 @@ def doc_ingest_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift_ppm rows BEFORE it pollutes the lake — dedup gates can't see
     this class of fault because drifted documents are usually novel,
     not duplicated. Shares are integer ppm via floor division, so both
-    engines agree exactly (same convention as doc_mix_rebalance).
+    engines agree exactly (same convention as doc_mix_rebalance). A degenerate corpus with an EMPTY shard or lake side yields NULL ppm columns in BOTH engines (Spark integer div-by-zero is NULL; the oracle mirrors it with NULLIF) rather than diverging on an error.
 
     Scale: ONE scan of the corpus computes both sides — the shard/lake
     split is a grouping flag, not two passes — one shuffle on the

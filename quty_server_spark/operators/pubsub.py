@@ -356,29 +356,39 @@ def subs_remove_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 BROADCAST_SUBS_MAX = 1_000_000
 
 
-def _changelog_rows_estimate(sf_dir: str) -> int:
+def _events_rows_upper_bound(sf_dir: str) -> int | None:
     """Upper bound on the compacted subscription-state size WITHOUT
-    firing a Spark job: the parquet footer row count of the events
-    table (driver-side metadata read). |current_subs| <= |changelog
-    events| always — the fold only ever compacts — so gating the
-    broadcast on this bound can only err toward the salted-shuffle
-    plan, which is correct at any size (a conservative mis-estimate
-    costs a shuffle, never an OOM'd broadcast). This replaced the r10
-    localCheckpoint+count construction-time gate (r10 VERDICT "What's
-    wrong" #2): plan-only consumers (explain, registry sweeps) now pay
-    zero jobs to build the DataFrame. On a production catalog the same
-    gate reads table statistics (ANALYZE/row_count) instead of
-    footers."""
+    firing a Spark job: the parquet footer row count of the WHOLE
+    events table (driver-side metadata read — deliberately looser than
+    the changelog subset, which footers cannot isolate).
+    |current_subs| <= |changelog events| <= |events| always — the fold
+    only ever compacts — so gating the broadcast on this bound can only
+    err toward the salted-shuffle plan, which is correct at any size (a
+    conservative mis-estimate costs a shuffle, never an OOM'd
+    broadcast). Returns ``None`` when the path is not a local
+    filesystem (hdfs://, s3a:// — pyarrow/os cannot see it); the caller
+    treats unknown as over-bound for the same conservative reason. This
+    replaced the r10 localCheckpoint+count construction-time gate (r10
+    VERDICT "What's wrong" #2): plan-only consumers (explain, registry
+    sweeps) now pay zero jobs to build the DataFrame. On a production
+    catalog the same gate reads table statistics (ANALYZE/row_count)
+    instead of footers."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except (OSError, ValueError):
+        # OSError: unreadable/missing local file; ValueError covers
+        # pyarrow's ArrowInvalid on non-local URI schemes (s3a://,
+        # hdfs://) that the Spark reader handles but pyarrow does not.
+        return None
 
 
 N_SALTS = 8
@@ -425,15 +435,16 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build-time cost: ZERO Spark jobs (pinned in
     tests/test_pubsub_semantics.py). The broadcast-vs-salt gate reads
     the events parquet footer row count — a driver-side metadata
-    upper bound on the compacted state (:func:`_changelog_rows_estimate`)
+    upper bound on the compacted state (:func:`_events_rows_upper_bound`)
     — instead of materializing and counting the fold, so plan-only
     consumers (explain, registry sweeps) build the DataFrame for free.
-    A loose bound can only flip toward the salted plan, which stays
-    correct at any state size.
+    A loose or unknown bound (non-local filesystem) can only flip
+    toward the salted plan, which stays correct at any state size.
     """
     msgs = messages(spark, sf_dir)
     subs = current_subs(spark, sf_dir)
-    if _changelog_rows_estimate(sf_dir) > BROADCAST_SUBS_MAX:
+    est = _events_rows_upper_bound(sf_dir)
+    if est is None or est > BROADCAST_SUBS_MAX:
         return _salted_fanout(msgs, subs)
     return msgs.join(broadcast(subs), "channel").select(
         "event_id", "channel", "member_id", "sender_id", "value"

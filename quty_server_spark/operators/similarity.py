@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import random
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -943,6 +942,13 @@ def ivf_postings_artifact(
         _ivf_cells_plan(c, _ivf_centroids(c)).sortWithinPartitions(
             "cell", "vec_id"
         ).write.partitionBy("cell").parquet(path)
+        # Centroid sidecar: the coarse quantizer (K rows) written next
+        # to the postings under an underscore-prefixed name, which
+        # parquet readers of the artifact root ignore (the _SUCCESS /
+        # _metadata convention). A nightly probe assigns its shard
+        # against THIS tiny table instead of filtering the lake-sized
+        # posting scan for vec_id % 50 rows (r11 review finding).
+        _ivf_centroids(c).write.parquet(os.path.join(path, "_centroids"))
         cache[sf_dir] = path
     return path
 
@@ -1068,13 +1074,15 @@ def dedup_incremental_embedding_artifact(
     :func:`~quty_server_spark.operators.dedup.dedup_incremental_minhash_artifact`,
     and now semantic near-dup): tonight's shard of fresh vectors
     (``vec_id % 10 == 0``, read from the embeddings table) is assigned
-    to IVF cells against the centroids READ FROM THE POSTING ARTIFACT,
-    then probed cell-vs-cell against the artifact's lake postings; a
-    pair is a semantic duplicate at cosine >= EMB_GATE_COS. The lake is
-    never re-assigned and never re-scanned from the embeddings table —
-    both the centroids and the postings come off the artifact
-    (plan-pinned in tests/test_scale_plans.py: one embeddings scan — the
-    shard — and the artifact; assignment aggregate over the shard only).
+    to IVF cells against the artifact's K-row centroid SIDECAR (written
+    once at index-build time next to the postings — never a lake-sized
+    filter scan), then probed cell-vs-cell against the artifact's lake
+    postings; a pair is a semantic duplicate at cosine >= EMB_GATE_COS.
+    The lake is never re-assigned and never re-scanned from the
+    embeddings table — both the centroids and the postings come off the
+    artifact (plan-pinned in tests/test_scale_plans.py: one embeddings
+    scan — the shard — and the artifact; assignment aggregate over the
+    shard only).
 
     Scale: nightly cost = |shard| x n_centroids broadcast assignment
     (map-side combined, one row per shard vector reaches the shuffle) +
@@ -1089,9 +1097,7 @@ def dedup_incremental_embedding_artifact(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
     )
     lake = art.filter(F.col("vec_id") % 10 != 0).alias("o")
-    cent = art.filter(F.col("vec_id") % 50 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cent = spark.read.parquet(os.path.join(path, "_centroids"))
     shard = _corpus(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     assigned = _ivf_cells_plan(shard, cent).alias("n")
     return (

@@ -1720,7 +1720,11 @@ def _run_ingest_gate_stream(
 
     gate_batch = gate_batch_of(outdir)
     stream = (
-        spark.readStream.schema(spark.read.parquet(indir).schema)
+        # docs.schema, not a re-read of the staging dir: the staged
+        # files were just written FROM docs, and a spark.read.parquet
+        # here would fire a schema-inference job per gate run (the same
+        # construction-job class load_table's schema cache removes).
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
@@ -1837,9 +1841,10 @@ def stream_ingest_dedup_gate_minhash(
     write-once artifact on the continuous path just as on the nightly
     one."""
     from quty_server_spark.operators.dedup import (
-        doc_shingles,
+        _minhash_gate_verify_nb,
         doc_shingles_docs,
         lake_minhash_artifact,
+        lake_shingles_for_verify,
         minhash_bands,
         minhash_sigs,
     )
@@ -1854,14 +1859,8 @@ def stream_ingest_dedup_gate_minhash(
     # shingles, and without the checkpoint each batch would re-run the
     # lake documents scan+explode — 4 lake passes per run instead of 1
     # (materializes on the first batch, reused by the rest).
-    lake_sh = (
-        doc_shingles(spark, sf_dir)
-        .filter(F.col("doc_id") % 10 != 0)
-        .select(
-            F.col("doc_id").alias("lake_doc_id2"),
-            F.col("shingle").alias("shingle_b"),
-        )
-        .localCheckpoint(eager=False)
+    lake_sh = lake_shingles_for_verify(spark, sf_dir).localCheckpoint(
+        eager=False
     )
 
     def gate_batch_of(outdir: str):
@@ -1881,36 +1880,7 @@ def stream_ingest_dedup_gate_minhash(
                 )
                 .distinct()
             )
-            sa = sh.select(
-                F.col("doc_id").alias("incoming_doc_id"), "shingle"
-            )
-            inter = (
-                cand.join(sa, "incoming_doc_id")
-                .join(
-                    lake_sh,
-                    (F.col("lake_doc_id") == F.col("lake_doc_id2"))
-                    & (F.col("shingle") == F.col("shingle_b")),
-                )
-                .groupBy("incoming_doc_id", "lake_doc_id", "nb")
-                .agg(F.count("*").alias("n_inter"))
-            )
-            na = (
-                sh.groupBy("doc_id")
-                .agg(F.count("*").alias("na"))
-                .select(F.col("doc_id").alias("incoming_doc_id"), "na")
-            )
-            res = (
-                inter.join(na, "incoming_doc_id")
-                .select(
-                    "incoming_doc_id",
-                    "lake_doc_id",
-                    (
-                        F.col("n_inter")
-                        / (F.col("na") + F.col("nb") - F.col("n_inter"))
-                    ).alias("jaccard"),
-                )
-                .filter(F.col("jaccard") >= 0.5)
-            )
+            res = _minhash_gate_verify_nb(cand, sh, lake_sh)
             res.write.mode("overwrite").parquet(
                 os.path.join(outdir, f"epoch={epoch_id}")
             )

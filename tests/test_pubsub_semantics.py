@@ -420,11 +420,13 @@ def test_changelog_rows_estimate_bounds_state(spark):
     # state size — the invariant that makes a loose estimate safe (it
     # can only flip toward the always-correct salted plan).
     from quty_server_spark.operators.pubsub import (
-        _changelog_rows_estimate,
+        _events_rows_upper_bound,
         current_subs,
     )
     from tests.conftest import SF_DIR
 
-    est = _changelog_rows_estimate(SF_DIR)
+    est = _events_rows_upper_bound(SF_DIR)
     actual = current_subs(spark, SF_DIR).count()
-    assert actual <= est
+    assert est is not None and actual <= est
+    # Unknown bound (non-local path) reads as over-bound -> salted plan.
+    assert _events_rows_upper_bound("s3a://nonexistent/sf") is None
