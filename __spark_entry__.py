@@ -25,90 +25,88 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-11 rotation
-# (r10 VERDICT "Next round" #3): the r04 class got its green rows in
-# r10, so the oldest freshest-green vintage is the 44-query r05 class.
-# The window is spent on:
-# (1) the 6 queries NEW this round — rotation DEBT (no cumulative green
-# row), mandatory per tests/test_rotation_debt: the lake MinHash-band
-# artifact pair, the capped MinHash gate, the MinHash continuous ingest
-# gate, the embedding-family incremental gate (completing the
-# write-once/probe-nightly triad), and the ingest mix-drift QA;
-# (2) the 6 queries whose own code changed this round (discipline: a
-# changed query re-earns its external green row): the SimHash/IVF
-# artifact pairs + the SimHash continuous gate (scratch paths now
-# session-keyed via session_tmp_dir) and route_fanout (eager
-# count gate replaced by the parquet-footer metadata gate). The
-# load_table schema cache touches EVERY query identically and is
-# covered by the full local gate + this head's cross-section, so it
-# does not by itself head-list the other 230;
+# queries, so registration order IS driver coverage. Round-12 rotation
+# (r11 VERDICT "Next round" #3): every r05-class query got its green
+# row re-verified by the judge in r11 but its newest DRIVER row is
+# still r05, so the 7-query r05 tail leads the stale class, followed
+# by the 44-query r06 vintage. The window is spent on:
+# (1) the 4 queries NEW this round — rotation DEBT (no cumulative
+# green row), mandatory per tests/test_rotation_debt: the three
+# oracle-verified artifact APPEND sinks (append ≡ rebuild through
+# oracle SQL shared byte-for-byte with the write-once sinks) and the
+# post-append IVF cell-growth drift guard;
+# (2) the 8 queries whose own code changed this round (discipline: a
+# changed query re-earns its external green row): the MinHash artifact
+# gate + its streaming twin (convention-free verify shingle side — the
+# r11 ADVICE false-negative fix), the three gates/probes that gained a
+# tests-only path parameter, and the three write-once sinks refactored
+# onto the shared summary helpers;
 # (3) one long-green canary (flagship, green since r01) so a comparator
 # regression on the old surface stays externally detectable;
-# (4) the r05 class alphabetically up to the window: 37 of 44 fit; the
-# 7-query tail (text_bigram_familiarity, udf_map_in_arrow, and the five
-# window_* queries) stays r05-vintage and leads class (3) of the r12
-# head.
-# 6+6+1+37 = 50 — exactly the driver's sample window. Queries not
+# (4) the 7-query r05 tail, then the r06 class alphabetically up to
+# the window: 30 of 44 fit; the 14-query r06 tail
+# (text_bpe_pair_counts .. udf_iter_model_score) leads the r13 head.
+# 4+8+1+7+30 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 240+.
+# full local gate (tools/check_oracle.py) still checks all 245.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — the MinHash-family artifact split, the
-    # capped MinHash gate, the MinHash continuous ingest gate, the
-    # embedding-family incremental gate, and the ingest mix-drift QA
-    "sink_lake_minhash_artifact",
+    # (1) NEW this round — the artifact APPEND lifecycle, oracle-
+    # verified, + the post-append drift guard
+    "sink_lake_signature_artifact_append",
+    "sink_lake_minhash_artifact_append",
+    "sink_ivf_postings_artifact_append",
+    "sim_ivf_cell_growth",
+    # (2) CHANGED this round — convention-free MinHash verify + path
+    # params + shared summary helpers
     "dedup_incremental_minhash_artifact",
-    "dedup_incremental_minhash_capped",
     "stream_ingest_dedup_gate_minhash",
-    "dedup_incremental_embedding_artifact",
-    "doc_ingest_mix_drift",
-    # (2) CHANGED this round — session-keyed artifact paths + the
-    # route_fanout metadata gate
-    "sink_lake_signature_artifact",
     "dedup_incremental_simhash_artifact",
-    "sink_ivf_postings_artifact",
     "sim_ann_ivf_artifact",
-    "stream_ingest_dedup_gate",
-    "route_fanout",
+    "dedup_incremental_embedding_artifact",
+    "sink_lake_signature_artifact",
+    "sink_lake_minhash_artifact",
+    "sink_ivf_postings_artifact",
     # (3) canary: the long-green batch flagship
     "flagship_delivery_report",
-    # (4) stale: newest green row r05 (alphabetical, first 37 of 44)
-    "agg_corr_regression",
-    "agg_filtered_conditional",
-    "agg_grouping_id",
-    "agg_heavy_hitters",
-    "agg_percentile_approx_check",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix",
-    "dedup_simhash",
-    "doc_chunk_overlap",
-    "embed_dim_variance",
-    "events_anomaly_mad",
-    "events_anomaly_running_z",
-    "events_concurrency_sweep",
-    "events_cumulative_uniques",
-    "events_transition_matrix",
-    "join_asof_tolerance",
-    "join_dpp_partition_pruned",
-    "lineitem_abc_pareto",
-    "orders_cohort_ltv",
-    "orders_market_basket",
-    "orders_rfm_segmentation",
-    "scalar_bitwise",
-    "scalar_try_arithmetic",
-    "sim_ann_ivf",
-    "sim_ann_ivf_nprobe2",
-    "sim_cosine_topk",
-    "sink_manifest_snapshot",
-    "sink_scd2_history",
-    "sink_zorder_clustered",
-    "stream_chained_windows",
-    "stream_kafka_replay",
-    "stream_seq_counter_tws",
-    "subquery_lateral_topk",
+    # (4a) stale: the r05 tail (newest driver-green row r05)
+    "text_bigram_familiarity",
+    "udf_map_in_arrow",
+    "window_gaps_islands",
+    "window_ignore_nulls",
+    "window_percent_rank_cume",
+    "window_range_interval",
+    "window_running_distinct",
+    # (4b) stale: newest green row r06 (alphabetical, first 30 of 44)
+    "agg_histogram_mode",
+    "agg_skew_profile",
+    "audit_referential_integrity",
+    "auth_admission",
+    "dedup_simhash_capped",
+    "events_ab_test_lift",
+    "events_densified_hourly",
+    "events_sessionize_batch",
+    "graph_pagerank_2iter",
+    "graph_pagerank_converged",
+    "join_bucketed_colocated",
+    "mm_audio_chunks",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_dims",
+    "profile_column_stats",
+    "sample_bernoulli_hash",
+    "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
+    "sim_label_cohesion",
+    "sink_compacted_parquet",
+    "sink_merge_upsert",
+    "sink_partitioned_parquet",
+    "source_csv_roundtrip",
+    "source_json_corrupt_records",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "split_train_val_test",
+    "text_boilerplate_shingles",
 ]
 
 

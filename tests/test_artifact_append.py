@@ -1,0 +1,183 @@
+"""Artifact-append lifecycle tests — append ≡ rebuild, end to end.
+
+The r11 VERDICT's single unverified lifecycle step: the nightly-ingest
+story appends admitted docs'/vectors' rows to the precomputed lake
+artifacts, and tomorrow's gate correctness depends on that append being
+exactly right. The registered append sinks prove it at the SUMMARY
+level through shared oracle SQL; these tests prove it at the strongest
+level — the downstream consumers (the three nightly gates and the ANN
+probe) return the IDENTICAL row set whether they read the appended
+artifact or a from-scratch rebuild.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_simhash_gate_after_append_equals_after_rebuild(spark):
+    from quty_server_spark.operators.dedup import (
+        appended_signature_artifact,
+        dedup_incremental_simhash_artifact,
+        lake_signature_artifact,
+    )
+
+    app = appended_signature_artifact(spark, SF_DIR, rebuild=True)
+    full = lake_signature_artifact(spark, SF_DIR, rebuild=True)
+    cols = ["incoming_doc_id", "lake_doc_id", "hamming"]
+    got = _rows(dedup_incremental_simhash_artifact(spark, SF_DIR, app), cols)
+    want = _rows(
+        dedup_incremental_simhash_artifact(spark, SF_DIR, full), cols
+    )
+    assert got == want
+    # The artifact CONTENT is set-equal too (not just the gate's view).
+    art_cols = ["doc_id", "sig", "band_id", "band_val"]
+    assert _rows(spark.read.parquet(app), art_cols) == _rows(
+        spark.read.parquet(full), art_cols
+    )
+
+
+def test_minhash_gate_after_append_equals_after_rebuild(spark):
+    from quty_server_spark.operators.dedup import (
+        appended_minhash_artifact,
+        dedup_incremental_minhash_artifact,
+        lake_minhash_artifact,
+    )
+
+    app = appended_minhash_artifact(spark, SF_DIR, rebuild=True)
+    full = lake_minhash_artifact(spark, SF_DIR, rebuild=True)
+    cols = ["incoming_doc_id", "lake_doc_id", "jaccard"]
+    got = _rows(dedup_incremental_minhash_artifact(spark, SF_DIR, app), cols)
+    want = _rows(
+        dedup_incremental_minhash_artifact(spark, SF_DIR, full), cols
+    )
+    assert got == want
+    art_cols = ["doc_id", "sig", "n_sh", "band_id"]
+    assert _rows(spark.read.parquet(app), art_cols) == _rows(
+        spark.read.parquet(full), art_cols
+    )
+
+
+def test_appended_minhash_gate_verifies_appended_docs(spark):
+    """The r11 ADVICE false-negative scenario, exercised directly: a
+    candidate whose lake doc entered the artifact by APPEND (the
+    admitted batch, doc_id % 10 == 5) must survive the exact-Jaccard
+    verify — i.e. the verify's shingle side finds appended docs. With
+    the old % 10 != 0 convention filter this held only by luck of the
+    batch choice; the convention-free lake_shingles_for_verify holds
+    for any admitted doc_id."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.dedup import (
+        appended_minhash_artifact,
+        dedup_incremental_minhash_artifact,
+    )
+
+    app = appended_minhash_artifact(spark, SF_DIR)
+    out = dedup_incremental_minhash_artifact(spark, SF_DIR, app)
+    # At sf0.001 the fixture corpus yields at least one gate pair whose
+    # lake doc is in the admitted batch; if the fixtures ever change,
+    # the count assert below keeps this test honest (it must not pass
+    # vacuously AND silently).
+    n_batch_pairs = out.filter(F.col("lake_doc_id") % 10 == 5).count()
+    n_all = out.count()
+    assert n_all >= 0  # gate runs
+    # Non-vacuity: the batch holds ~10% of lake docs, and the gate's
+    # pairs hit it at sf0.001 — pin that the appended docs are visible.
+    assert n_batch_pairs > 0, (
+        "no gate pair has its lake doc in the appended batch — either "
+        "the fixtures changed or appended docs are invisible to the "
+        "verify again (the r11 ADVICE false-negative)"
+    )
+
+
+def test_ivf_probe_after_append_equals_after_rebuild(spark):
+    from quty_server_spark.operators.similarity import (
+        appended_ivf_artifact,
+        ivf_postings_artifact,
+        sim_ann_ivf_artifact,
+    )
+
+    app = appended_ivf_artifact(spark, SF_DIR, rebuild=True)
+    full = ivf_postings_artifact(spark, SF_DIR, rebuild=True)
+    cols = ["query_id", "neighbor_id", "cell", "cos_sim", "rn"]
+    got = _rows(sim_ann_ivf_artifact(spark, SF_DIR, app), cols)
+    want = _rows(sim_ann_ivf_artifact(spark, SF_DIR, full), cols)
+    assert got == want
+    art_cols = ["vec_id", "cell"]
+    assert _rows(spark.read.parquet(app), art_cols) == _rows(
+        spark.read.parquet(full), art_cols
+    )
+
+
+def test_embedding_gate_after_append_equals_after_rebuild(spark):
+    from quty_server_spark.operators.similarity import (
+        appended_ivf_artifact,
+        dedup_incremental_embedding_artifact,
+        ivf_postings_artifact,
+    )
+
+    app = appended_ivf_artifact(spark, SF_DIR)
+    full = ivf_postings_artifact(spark, SF_DIR)
+    cols = ["incoming_vec_id", "lake_vec_id", "cos_sim"]
+    got = _rows(
+        dedup_incremental_embedding_artifact(spark, SF_DIR, app), cols
+    )
+    want = _rows(
+        dedup_incremental_embedding_artifact(spark, SF_DIR, full), cols
+    )
+    assert got == want
+
+
+def test_append_adds_files_never_rewrites(spark):
+    """The append's file-level contract: every file of the base build
+    survives the append byte-identical (same name, same size, same
+    mtime) — the append only ADDS files. A read-modify-write here
+    would be a corruption risk under concurrent readers at scale."""
+    import glob
+    import os
+
+    from quty_server_spark.operators.dedup import (
+        APPEND_BATCH_MOD,
+        admitted_simhash_bands,
+        append_to_band_artifact,
+        session_tmp_dir,
+        simhash_bands,
+        simhash_sigs,
+    )
+    from pyspark.sql import functions as F
+
+    path = session_tmp_dir(spark, "quty_append_file_test", SF_DIR)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    base = simhash_bands(simhash_sigs(spark, SF_DIR)).filter(
+        (F.col("doc_id") % 10 != 0)
+        & (F.col("doc_id") % 10 != APPEND_BATCH_MOD)
+    )
+    base.sortWithinPartitions("band_id", "band_val").write.partitionBy(
+        "band_id"
+    ).parquet(path)
+
+    def snapshot():
+        return {
+            f: (os.path.getsize(f), os.path.getmtime(f))
+            for f in glob.glob(
+                os.path.join(path, "band_id=*", "*.parquet")
+            )
+        }
+
+    before = snapshot()
+    append_to_band_artifact(
+        admitted_simhash_bands(spark, SF_DIR), path, "band_val"
+    )
+    after = snapshot()
+    assert set(before) <= set(after), "append removed base files"
+    for f, meta in before.items():
+        assert after[f] == meta, f"append rewrote base file {f}"
+    assert len(after) > len(before), "append added no files"
+    shutil.rmtree(path, ignore_errors=True)

@@ -1031,6 +1031,89 @@ def test_embedding_gate_probes_artifact_not_lake(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_signature_append_job_scans_only_the_batch(spark):
+    # r11 VERDICT "Next round" #1: the artifact APPEND job must never
+    # re-read the lake or the artifact — its entire read set is the
+    # admitted batch. The batch predicate is on the signature
+    # aggregation's grouping key, so it sits below the aggregate on the
+    # single documents scan.
+    from quty_server_spark.operators.dedup import admitted_simhash_bands
+
+    df = admitted_simhash_bands(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "documents" in plan
+    assert "quty_lake_sig" not in plan  # the artifact is write-only here
+    assert "% 10) = 5" in plan  # the batch filter reaches the plan
+    assert "CartesianProduct" not in tree
+
+
+def test_minhash_append_job_scans_only_the_batch(spark):
+    # MinHash twin: the append computes bands + the embedded n_sh sizes
+    # from the batch's documents alone (two filtered scans — the sizes
+    # branch and the bands branch; deliberately unheckpointed so the
+    # filters stay visible). Never the artifact, never the lake.
+    from quty_server_spark.operators.dedup import admitted_minhash_bands
+
+    df = admitted_minhash_bands(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2
+    assert "documents" in plan
+    assert "quty_lake_minhash" not in plan
+    assert "% 10) = 5" in plan
+    assert "CartesianProduct" not in tree
+
+
+def test_ivf_append_assigns_against_sidecar_not_postings(spark):
+    # The IVF append assigns the batch against the K-row centroid
+    # SIDECAR — its read set is the batch's embeddings plus _centroids;
+    # the corpus-sized posting files are never scanned.
+    import re
+
+    from quty_server_spark.operators.similarity import (
+        admitted_ivf_postings,
+        appended_ivf_artifact,
+    )
+    import os as _os
+
+    root = appended_ivf_artifact(spark, SF_DIR)
+    sidecar = spark.read.parquet(_os.path.join(root, "_centroids"))
+    df = admitted_ivf_postings(spark, SF_DIR, sidecar)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    emb = cent = postings = 0
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id not in ids:
+            continue
+        if "embeddings" in block:
+            emb += 1
+        if "_centroids" in block:
+            cent += 1
+        elif "quty_ivf_postings" in block:
+            postings += 1
+    assert emb == 1 and cent == 1
+    assert postings == 0, "append job scanned the posting files"
+    assert "% 10) = 5" in plan  # batch filter on the embeddings scan
+
+
 def test_artifact_files_sorted_by_probe_key(spark):
     # The artifacts' scale story includes row-group statistics pruning,
     # which only works if each written file is sorted by the probe key
