@@ -378,10 +378,20 @@ def _events_rows_upper_bound(sf_dir: str) -> int | None:
     path = os.path.join(sf_dir, "events.parquet")
     try:
         if os.path.isdir(path):
+            parts = [
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            ]
+            if not parts:
+                # A directory with no TOP-LEVEL part files (e.g. a
+                # partitioned layout nesting them under key=value/
+                # subdirectories) must read as UNKNOWN, not 0: a zero
+                # here would flip the gate to broadcast for arbitrarily
+                # large state — an UNDER-bound, violating the "can only
+                # err toward the salted plan" invariant (r11 ADVICE).
+                return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
+                for f in parts
             )
         return pq.ParquetFile(path).metadata.num_rows
     except (OSError, ValueError):

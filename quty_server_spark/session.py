@@ -94,6 +94,48 @@ def get_spark(
     return configure(builder.getOrCreate())
 
 
+# Scratch dirs created by THIS process, reclaimed at interpreter exit —
+# plus a stale-sibling sweep at creation time. Together they bound the
+# accumulation the application-id keying introduced (r11 ADVICE: app-id
+# paths are never revisited, so crashed/killed runs leaked parquet under
+# $TMPDIR forever).
+_CREATED_TMP_DIRS: set[str] = set()
+_STALE_SIBLING_SECONDS = 24 * 3600
+
+
+def _cleanup_session_tmp_dirs() -> None:
+    import shutil
+
+    for d in _CREATED_TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _prune_stale_siblings(kind_root: str, own_app_dir: str) -> None:
+    """Delete sibling application-id directories whose mtime is older
+    than _STALE_SIBLING_SECONDS. Safe by the same reasoning as tmpwatch:
+    a LIVE session's artifact dirs carry mtimes from its own (recent)
+    builds, so only sessions dead for a day — or pathological >24h-old
+    live builds, which would simply rebuild — are reclaimed. Never
+    touches this session's own directory."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(kind_root)
+    except OSError:
+        return
+    now = time.time()
+    for e in entries:
+        p = os.path.join(kind_root, e)
+        if p == own_app_dir:
+            continue
+        try:
+            if now - os.stat(p).st_mtime > _STALE_SIBLING_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def session_tmp_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     """Session-scoped scratch directory for on-disk artifacts:
     ``$TMPDIR/<kind>/<spark application id>/<sf basename>``.
@@ -106,10 +148,22 @@ def session_tmp_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     memoize per (session, sf_dir) pair naturally with this — the path
     is unique per session, the memo is per session, and a fresh driver
     session always rebuilds, so correctness never depends on leftover
-    /tmp state."""
+    /tmp state.
+
+    Reclamation (r11 ADVICE): the per-session app-id dir is registered
+    for atexit removal, and >24h-stale sibling app-id dirs are pruned
+    at creation time, so repeated bench/test runs do not accumulate
+    unbounded parquet under $TMPDIR."""
+    import atexit
+
+    kind_root = os.path.join(tempfile.gettempdir(), kind)
+    app_dir = os.path.join(kind_root, spark.sparkContext.applicationId)
+    if app_dir not in _CREATED_TMP_DIRS:
+        if not _CREATED_TMP_DIRS:
+            atexit.register(_cleanup_session_tmp_dirs)
+        _CREATED_TMP_DIRS.add(app_dir)
+        _prune_stale_siblings(kind_root, app_dir)
     return os.path.join(
-        tempfile.gettempdir(),
-        kind,
-        spark.sparkContext.applicationId,
+        app_dir,
         os.path.basename(sf_dir.rstrip("/")),
     )

@@ -47,20 +47,42 @@ TABLES = [
 # fires a (small) schema-inference Spark job on EVERY DataFrame
 # construction; with the schema supplied the read is pure plan
 # building — zero jobs (pinned for route_fanout in
-# tests/test_pubsub_semantics.py). Keyed by path: the fixture files
-# are immutable per path, and test-written corpora live under unique
-# tmp dirs. Schemas are session-independent plain StructTypes.
+# tests/test_pubsub_semantics.py). Keyed by (path, mtime): the mtime
+# tag invalidates the entry if a path is ever REWRITTEN with a
+# different schema (r11 ADVICE — the bare-path key silently served the
+# stale schema, reading nulls/mis-typed columns), while costing one
+# os.stat per construction — still zero Spark jobs. Bounded FIFO so
+# tmp-dir corpora churned across a long test session cannot grow the
+# dict without limit. Schemas are session-independent plain StructTypes.
 _SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 256
+
+
+def _path_mtime(path: str) -> float | None:
+    import os
+
+    try:
+        # For a directory the mtime changes when files are added or
+        # removed (the Spark rewrite patterns: overwrite, append) —
+        # exactly the invalidation signal needed; for a single file it
+        # changes on rewrite. In-place content mutation without a
+        # metadata change is not a Spark write pattern.
+        return os.stat(path).st_mtime
+    except OSError:
+        return None  # non-local path: cache under a constant tag
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table, normalizing schema quirks."""
     configure(spark)
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    key = (path, _path_mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

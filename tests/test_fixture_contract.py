@@ -70,3 +70,34 @@ def test_all_tables_exist_and_load_normalized(spark):
         assert "timestamp_ntz" not in dtypes.values(), (name, dtypes)
     ev = dict(load_table(spark, SF_DIR, "events").dtypes)
     assert ev["ts"] == "timestamp", ev
+
+
+def test_schema_cache_invalidates_on_rewrite(spark):
+    """The footer-schema cache is keyed by (path, mtime) so a path
+    REWRITTEN with a different schema re-infers instead of silently
+    scanning with the stale schema (r11 ADVICE: the bare-path key
+    yielded nulls/mis-typed columns after a rewrite)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp(prefix="schema_cache_test_")
+    try:
+        sf = d  # load_table reads f"{sf_dir}/{name}.parquet"
+        p = os.path.join(sf, "documents.parquet")
+        spark.range(3).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        first = dict(load_table(spark, sf, "documents").dtypes)
+        assert first["text"] == "string"
+        time.sleep(1.05)  # ensure a distinct directory mtime tick
+        spark.range(3).selectExpr(
+            "id AS doc_id", "id AS text"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        second = dict(load_table(spark, sf, "documents").dtypes)
+        assert second["text"] == "bigint", (
+            "stale cached schema served after rewrite"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -430,3 +430,15 @@ def test_changelog_rows_estimate_bounds_state(spark):
     assert est is not None and actual <= est
     # Unknown bound (non-local path) reads as over-bound -> salted plan.
     assert _events_rows_upper_bound("s3a://nonexistent/sf") is None
+    # A partitioned/nested events layout (no TOP-LEVEL part files) must
+    # also read as unknown, never 0 — a zero would UNDER-bound and flip
+    # the gate to broadcast for arbitrarily large state (r11 ADVICE).
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        nested = os.path.join(d, "events.parquet", "day=2026-01-01")
+        os.makedirs(nested)
+        with open(os.path.join(nested, "part-0.parquet"), "wb") as f:
+            f.write(b"PAR1")  # content irrelevant: top level has no parts
+        assert _events_rows_upper_bound(d) is None

@@ -25,6 +25,20 @@ def plan_of(spark, name: str) -> str:
     )
 
 
+@pytest.fixture
+def ivf_artifact(spark) -> str:
+    """The IVF posting-list artifact, built EXPLICITLY (r10 ADVICE /
+    r11 VERDICT #6): constructing an artifact-probing DataFrame
+    triggers the memoized build (a real parquet write) as a side
+    effect, so a plan-only test would otherwise silently depend on
+    session /tmp state and test ordering. The fixture makes the write
+    a visible, declared dependency; plan_of below is then a pure read
+    of the memoized path."""
+    from quty_server_spark.operators.similarity import ivf_postings_artifact
+
+    return ivf_postings_artifact(spark, SF_DIR)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = plan_of(spark, "q6_forecast_revenue")
     assert "PushedFilters:" in plan
@@ -967,22 +981,13 @@ def test_minhash_gate_artifact_lake_branch_scans_not_aggregates(spark):
     assert "CartesianProduct" not in tree
 
 
-def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
+def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark, ivf_artifact):
     # The IVF probe's production shape: the index build (corpus x
     # centroids assignment) must NOT appear in the per-probe plan — both
     # the query sample and the posting lists come from the precomputed
-    # artifact, and the posting scan is pruned to the probed cells at
-    # runtime via dynamic partition pruning on the cell partition column.
-    #
-    # Build the artifact EXPLICITLY first (r10 ADVICE): constructing the
-    # probe DataFrame triggers the memoized artifact build (a real
-    # parquet write) as a side effect, so without this line a plan-only
-    # test would silently depend on session /tmp state and ordering vs
-    # other artifact tests. The explicit call makes the write visible
-    # and the plan_of below a pure read of the memoized path.
-    from quty_server_spark.operators.similarity import ivf_postings_artifact
-
-    ivf_postings_artifact(spark, SF_DIR)
+    # artifact (built by the declared `ivf_artifact` fixture), and the
+    # posting scan is pruned to the probed cells at runtime via dynamic
+    # partition pruning on the cell partition column.
     plan = plan_of(spark, "sim_ann_ivf_artifact")
     tree = plan.split("\n\n")[0]
     assert "quty_ivf_postings" in plan  # reads the artifact...
@@ -996,20 +1001,18 @@ def test_ivf_artifact_probe_prunes_partitions_no_assignment(spark):
     assert "BroadcastHashJoin" in tree
 
 
-def test_embedding_gate_probes_artifact_not_lake(spark):
+def test_embedding_gate_probes_artifact_not_lake(spark, ivf_artifact):
     # The embedding-family nightly gate (round 11, completing the
     # write-once/probe-nightly triad): the lake's postings AND the
-    # centroids come off the cell-partitioned artifact; the embeddings
-    # table is scanned exactly once — the incoming shard. The shard's
-    # assigned cells drive dynamic partition pruning on the posting
-    # scan, and the probe itself is a cell hash join (the only
+    # centroids come off the cell-partitioned artifact (built by the
+    # declared `ivf_artifact` fixture); the embeddings table is scanned
+    # exactly once — the incoming shard. The shard's assigned cells
+    # drive dynamic partition pruning on the posting scan, and the
+    # probe itself is a cell hash join (the only
     # BroadcastNestedLoopJoin is the bounded shard x centroid
     # assignment, allowlisted in test_plan_audit).
     import re
 
-    from quty_server_spark.operators.similarity import ivf_postings_artifact
-
-    ivf_postings_artifact(spark, SF_DIR)  # explicit build (no side effect)
     plan = plan_of(spark, "dedup_incremental_embedding_artifact")
     tree = plan.split("\n\n")[0]
     assert "quty_ivf_postings" in plan

@@ -293,6 +293,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="12500,25000,50000,100000")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--shard-n",
+        type=int,
+        default=None,
+        help="fixed-shard size (default min(sizes)//10); pass the "
+        "standing ladder's value (1250) when extending it with "
+        "single larger sizes so the fixed-shard columns stay "
+        "comparable",
+    )
+    ap.add_argument(
+        "--merge",
+        default=None,
+        help="existing SPARSITY-shaped json to merge into: rows are "
+        "combined by n_docs (new rows win), sorted, and ALL step "
+        "ratios recomputed over the merged ladder",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -301,7 +317,7 @@ def main() -> None:
     spark = get_spark("diverse-corpus-probe")
     rows = []
     base = tempfile.mkdtemp(prefix="quty_diverse_")
-    shard_n = min(sizes) // 10
+    shard_n = args.shard_n if args.shard_n is not None else min(sizes) // 10
     for n in sizes:
         d = os.path.join(base, f"n{n}")
         t0 = time.time()
@@ -323,6 +339,16 @@ def main() -> None:
         }
         rows.append(row)
         print(row, file=sys.stderr)
+    if args.merge:
+        with open(args.merge) as f:
+            prior = json.load(f)["sizes"]
+        by_n = {r["n_docs"]: r for r in prior}
+        for r in rows:
+            by_n[r["n_docs"]] = r
+        rows = [by_n[n] for n in sorted(by_n)]
+        for r in rows:  # steps recomputed below over the merged ladder
+            for k in [k for k in r if k.endswith("_step")]:
+                del r[k]
     for prev, cur in zip(rows, rows[1:]):
         cur["minhash_step"] = round(
             cur["minhash_pairs"] / max(prev["minhash_pairs"], 1), 2
