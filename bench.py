@@ -80,6 +80,13 @@ HEADLINE = [
     # number, same convention as sim_ann_ivf_artifact (run 1 pays the
     # memoized artifact build; the nightly contract is runs 2-3).
     "dedup_incremental_minhash_artifact",
+    # round-12 additions: the nightly cluster ASSIGNMENT against the two
+    # standing artifacts (run 1 pays the memoized signature+label
+    # artifact builds; the best-of-3 min is the nightly number — shard
+    # signing + contracted-graph BSP), and substring-level dedup (the
+    # aggregate-only repeated-passage report).
+    "dedup_cluster_incremental",
+    "dedup_repeated_passages",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

@@ -1559,20 +1559,24 @@ def dedup_incremental_minhash_capped(
     exact-Jaccard verify is unchanged (the cap restricts candidates,
     not semantics). The fixed-shard-growing-lake ladder column
     (SPARSITY.json ``fixed_shard_minhash_*``) measures the production
-    shape for both variants directly across 16x lake growth: with the
-    shard pinned at 1,250 docs and the lake doubling 12.5k → 200k,
-    capped per-run candidates go 29 → 85 → 113 → 128 → 204 (steps
-    2.93/1.33/1.13/1.59 — bounded sublinear, ~lake^0.5, NOT the
-    flat-falling SimHash shape: MinHash's (band_id, sig) bucket space
-    is enormous, so collisions spread across many small buckets the
-    cap never touches instead of saturating a fixed pigeonhole space).
-    The cap's value is the WORST-CASE bound (|shard bands| x CAP =
-    320k here, measured 204) plus removing exactly the boilerplate-
-    clone buckets; the TREND dial for this family is r (rows/band),
-    which shrinks collision probability exponentially. The uncapped
-    gate climbs 29 → 695 on the same ladder (2.2x on the last
-    doubling). This is the gate a 100 TB deployment runs nightly —
-    0.16 candidates/shard-doc against the 16x-grown lake."""
+    shape for both variants directly across 32x lake growth: with the
+    shard pinned at 1,250 docs and the lake doubling 12.5k → 400k,
+    capped per-run candidates go 29 → 85 → 113 → 128 → 204 → 311
+    (steps 2.93/1.33/1.13/1.59/1.52 — bounded sublinear, ~lake^0.5,
+    NOT the flat-falling SimHash shape: MinHash's (band_id, sig)
+    bucket space is enormous, so collisions spread across many small
+    buckets the cap never touches instead of saturating a fixed
+    pigeonhole space; the r12 400k doubling settled the r11 watch
+    item — this column does not flatten, and does not need to).
+    THE CONTRACT for this family is therefore the WORST-CASE BOUND:
+    |shard bands| x CAP = 320k per run (measured 311 — three orders
+    of magnitude of headroom), absolute density 0.25 candidates per
+    shard doc against the 32x-grown lake; the TREND dial is r
+    (rows/band), which shrinks collision probability exponentially
+    where tightening the cap would only charge recall for sub-cap
+    buckets it cannot affect (SCALING.md §r12). The uncapped gate
+    climbs 29 → 742 on the same ladder. This is the gate a 100 TB
+    deployment runs nightly."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     bands = minhash_bands(minhash_sigs(sh))
     bands = bands.withColumn(
@@ -2098,6 +2102,381 @@ def sink_lake_minhash_artifact_append(
     n_sh would summarize differently and go red)."""
     path = appended_minhash_artifact(spark, sf_dir, rebuild=True)
     return _minhash_artifact_summary(spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (round 12): nightly cluster assignment
+# against a precomputed lake label artifact
+# ---------------------------------------------------------------------------
+
+
+def lake_cluster_labels_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """The LAKE-ONLY near-dup component label table ``(node, lbl)``
+    materialized as a parquet artifact — the standing cluster state a
+    production lake keeps next to its signature artifact, written once
+    per corpus snapshot and consumed nightly by
+    :func:`dedup_cluster_incremental`. Built exactly like
+    :func:`simhash_component_labels` (signature-grain pre-collapse,
+    min-label BSP, clique expansion) but restricted to lake documents
+    (``doc_id % 10 != 0``): lake-vs-lake mining is the expensive
+    symmetric job that must NOT run nightly, so it lives here, in the
+    amortized half. Sorted by ``node`` so the nightly join's point
+    lookups prune row groups via min/max stats."""
+    cache = getattr(spark, "_quty_lake_cluster_labels", None)
+    if cache is None:
+        cache = {}
+        spark._quty_lake_cluster_labels = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_lake_clabels", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        sigs = (
+            simhash_sigs(spark, sf_dir)
+            .filter(F.col("doc_id") % 10 != 0)
+            .localCheckpoint(eager=False)
+        )
+        grp = sigs.groupBy("sig").agg(
+            F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
+        )
+        ub = simhash_bands(grp.select(F.col("rep").alias("doc_id"), "sig"))
+        a, b = ub.alias("a"), ub.alias("b")
+        rep_pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        rep_lbl, _ = min_label_components(spark, rep_pairs)
+        rl = rep_lbl.select(
+            F.col("node").alias("rep"), F.col("lbl").alias("rlbl")
+        )
+        if rep_lbl.count() <= BROADCAST_NODES_MAX:
+            rl = F.broadcast(rl)
+        labels = (
+            sigs.join(grp, "sig")
+            .join(rl, "rep", "left")
+            .filter(F.col("rlbl").isNotNull() | (F.col("gsz") >= 2))
+            .select(
+                F.col("doc_id").alias("node"),
+                F.coalesce(F.col("rlbl"), F.col("rep")).alias("lbl"),
+            )
+        )
+        labels.sortWithinPartitions("node").write.parquet(path)
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_lake_cluster_labels_artifact",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 10 <> 0
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+    )
+    SELECT lbl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(node) AS BIGINT) AS max_doc_id
+    FROM labels GROUP BY lbl
+    """,
+)
+def sink_lake_cluster_labels_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write the lake-only cluster-label artifact (forced rebuild —
+    this IS the write-once labeling job), then read it back and report
+    each cluster's size and max member. The oracle recomputes lake-only
+    connected components from scratch (recursive min-reachable-label
+    CTE restricted to lake docs), so the round trip proves the artifact
+    holds exactly the lake's standing cluster state — the contract
+    :func:`dedup_cluster_incremental` relies on.
+
+    Scale: signature-grain pair mining + the min-label BSP over the
+    lake — the most expensive job in the dedup surface, which is
+    exactly why it is the artifact: run once per snapshot, appended-to
+    logically by each night's :func:`dedup_cluster_incremental` output,
+    fully re-run only on corpus compaction."""
+    path = lake_cluster_labels_artifact(spark, sf_dir, rebuild=True)
+    art = spark.read.parquet(path)
+    return art.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )
+
+
+# Same reach CTE as dedup_cluster's oracle, restricted to shard nodes:
+# the incremental op must agree with the FULL-corpus recompute on every
+# shard doc's final label — the strongest possible contract (a shard
+# doc bridging two lake clusters must get the merged component's min
+# label, which neither lake cluster's standing label alone provides).
+SQL_INCREMENTAL_CLUSTER = f"""
+    WITH RECURSIVE {{sim}},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach WHERE node % 10 = 0 GROUP BY node
+    """.format(sim=SQL_SIMHASH.lstrip())
+
+
+@registry.query(
+    "dedup_cluster_incremental",
+    oracle=SQL_INCREMENTAL_CLUSTER,
+)
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly cluster ASSIGNMENT — the incremental twin of
+    :func:`dedup_cluster`, completing the write-once/probe-nightly
+    story for the clustering stage: tonight's shard docs are assigned
+    their FINAL (full-corpus-equivalent) cluster labels without any
+    lake-vs-lake mining or a lake-sized BSP. Inputs are the two
+    standing artifacts — the banded lake signatures
+    (:func:`lake_signature_artifact`, for the shard-vs-lake gate join)
+    and the lake cluster labels
+    (:func:`lake_cluster_labels_artifact`) — plus a shard-internal
+    band self-join; nothing lake-sized is recomputed.
+
+    The device is graph CONTRACTION: every lake doc a gate pair
+    touches is replaced by its standing cluster label (a lake
+    component's label is its min member id, and lake-lake structure is
+    already folded into the label table), so the BSP runs on a graph
+    of |shard| + |touched lake clusters| nodes — per-run cost follows
+    the shard. Exactness: the merged component's min label is
+    min(min shard ids, constituent lake cluster labels) — precisely
+    what min-label propagation over the contracted graph computes —
+    and two lake clusters can only merge THROUGH shard docs (all
+    lake-lake near pairs are already intra-cluster), so no merge is
+    missed. The oracle recomputes full-corpus components from scratch
+    and restricts to shard docs: the incremental answer must be
+    IDENTICAL to the from-scratch answer, bridge merges included —
+    the fixture corpus contains real bridge docs (a shard doc whose
+    gate pairs touch >= 2 distinct lake clusters), and the equality +
+    bridge non-vacuity are pinned in tests/test_dedup_semantics.py."""
+    pairs = _incremental_cluster_pairs(spark, sf_dir)
+    labels, _ = min_label_components(spark, pairs)
+    return labels.filter(F.col("node") % 10 == 0).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _incremental_cluster_pairs(
+    spark: SparkSession, sf_dir: str, materialize_shard: bool = True
+) -> DataFrame:
+    """The contracted-graph pair list :func:`dedup_cluster_incremental`
+    feeds to the BSP loop — factored out so tests can pin its PLAN (the
+    BSP output itself is a checkpointed RDD leaf, opaque to explain):
+    both artifacts scanned, documents touched only by the shard
+    signing, no lake-sized aggregation anywhere
+    (tests/test_scale_plans.py). ``materialize_shard`` lazily
+    checkpoints the shard's banded signatures so the gate join and the
+    self-join share ONE signing pass (the production default); plan
+    tests pass False to keep the signing subtree visible to explain."""
+    # Gate pairs (shard vs lake) off the signature artifact — the
+    # aggregation-free nightly join of dedup_incremental_simhash_artifact.
+    lake_sig = (
+        spark.read.parquet(lake_signature_artifact(spark, sf_dir))
+        .select("doc_id", "sig", "band_id", "band_val")
+        .alias("o")
+    )
+    shard_bands = (
+        simhash_bands(simhash_sigs(spark, sf_dir))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    if materialize_shard:
+        shard_bands = shard_bands.localCheckpoint(eager=False)
+    gate = (
+        shard_bands.alias("n")
+        .join(
+            lake_sig,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .filter(
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig")))
+            <= HAMMING_MAX
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+        )
+        .distinct()
+    )
+    # Shard-internal near pairs: band self-join over the shard only.
+    sa, sb = shard_bands.alias("a"), shard_bands.alias("b")
+    shard_pairs = (
+        sa.join(
+            sb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            <= HAMMING_MAX
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Contract: lake doc -> its standing cluster label (itself if the
+    # doc was a lake singleton and is absent from the label table).
+    lab = spark.read.parquet(
+        lake_cluster_labels_artifact(spark, sf_dir)
+    ).select(F.col("node").alias("lake_doc_id"), "lbl")
+    gate_contracted = gate.join(lab, "lake_doc_id", "left").select(
+        F.col("incoming_doc_id").alias("doc_a"),
+        F.coalesce(F.col("lbl"), F.col("lake_doc_id")).alias("doc_b"),
+    )
+    return shard_pairs.unionByName(gate_contracted).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage detection (round 12): substring-level dedup
+# ---------------------------------------------------------------------------
+
+# 16-token windows at stride 8: every 16-token run is covered by at
+# least one window start within 8 positions, so any cross-doc verbatim
+# passage of >= 23 tokens (16 + stride - 1) is GUARANTEED to produce at
+# least one exactly-aligned window pair; shorter repeats are caught
+# when their alignments coincide. Stride halves the index size vs
+# stride-1 suffix windows while keeping the guarantee — the standard
+# cost/recall dial for passage-level dedup.
+PASSAGE_W = 16
+PASSAGE_STRIDE = 8
+
+
+@registry.query(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i:i+{PASSAGE_W - 1}], ' '))
+                   AS passage_md5
+        FROM t, unnest(range(1, len(toks) - {PASSAGE_W - 2},
+                             {PASSAGE_STRIDE})) AS u(i)
+        WHERE len(toks) >= {PASSAGE_W}
+    )
+    SELECT passage_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM w GROUP BY passage_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup — the operator whole-document dedup
+    cannot express: verbatim passages repeated ACROSS documents
+    (licenses, navboxes, quoted boilerplate) that inflate training
+    loss without the containing documents being near-duplicates of
+    each other (the Lee et al. 2022 "Deduplicating Training Data"
+    finding: most duplicated text lives inside otherwise-distinct
+    documents). Each doc's token stream is windowed into
+    PASSAGE_W-token passages at PASSAGE_STRIDE, hashed, and grouped;
+    a passage in >= 2 distinct docs is reported with its document
+    frequency, occurrence count, and first host — the removal plan a
+    passage-scrub pass consumes.
+
+    Scale: aggregate-only — the plan is scan → narrow window explode
+    (~len/stride rows per doc) → ONE shuffle keyed on the 16-byte
+    digest with map-side partial aggregation. No self-join exists to
+    go quadratic, so unlike the pair-mining family this op needs no
+    hot-key cap: a boilerplate passage in 10^6 docs costs one
+    aggregate row, not C(10^6, 2) join rows. The deliberate contrast:
+    this REPORTS repeated text linearly; expanding to occurrence
+    PAIRS would be the quadratic trap."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= PASSAGE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {PASSAGE_W - 1}, "
+                    f"{PASSAGE_STRIDE}), "
+                    f"i -> md5(array_join(slice(toks, i, {PASSAGE_W}), ' ')))"
+                )
+            ).alias("passage_md5"),
+        )
+    )
+    return (
+        w.groupBy("passage_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
 
 
 # Case/whitespace-mangled copies for the normalized-dedup exercise:

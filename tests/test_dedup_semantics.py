@@ -334,3 +334,84 @@ def test_minhash_artifact_rebuild_is_idempotent(spark):
     assert first == second
     assert p1 == p2
     assert spark.sparkContext.applicationId in p1
+
+
+def test_incremental_cluster_equals_full_recompute_including_bridges(spark):
+    """dedup_cluster_incremental's contraction must agree with the
+    full-corpus recompute on every shard doc — INCLUDING bridge docs
+    (a shard doc whose gate pairs touch >= 2 distinct lake clusters,
+    forcing a merge the standing lake labels alone cannot express).
+    The fixture corpus contains real bridges at sf0.001 (probed: 3),
+    so this is exercised on genuine data, not a vacuous subset."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster_incremental(spark, sf).collect()
+    }
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster(spark, sf)
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    }
+    assert inc == full and inc
+    # Non-vacuity: at least one shard doc's gate pairs touch >= 2
+    # distinct standing lake clusters (the bridge-merge case).
+    lab = spark.read.parquet(
+        D.lake_cluster_labels_artifact(spark, sf)
+    ).select(F.col("node").alias("lake_doc_id"), "lbl")
+    lake_sig = spark.read.parquet(
+        D.lake_signature_artifact(spark, sf)
+    ).alias("o")
+    shard = (
+        D.simhash_bands(D.simhash_sigs(spark, sf))
+        .filter(F.col("doc_id") % 10 == 0)
+        .alias("n")
+    )
+    gate = (
+        shard.join(
+            lake_sig,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .filter(
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig")))
+            <= D.HAMMING_MAX
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+        )
+        .distinct()
+    )
+    bridges = (
+        gate.join(lab, "lake_doc_id", "left")
+        .select(
+            "incoming_doc_id",
+            F.coalesce("lbl", "lake_doc_id").alias("clbl"),
+        )
+        .groupBy("incoming_doc_id")
+        .agg(F.count_distinct("clbl").alias("k"))
+        .filter("k >= 2")
+        .count()
+    )
+    assert bridges >= 1, (
+        "fixture no longer contains a bridge-merge case — the "
+        "equality above would not exercise cross-cluster merging"
+    )
+
+
+def test_lake_cluster_labels_artifact_is_lake_only(spark):
+    """The standing label artifact must contain NO shard docs (its
+    whole point is that lake-vs-lake mining ran without tonight's
+    shard) and every label must be a lake doc id."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    art = spark.read.parquet(D.lake_cluster_labels_artifact(spark, sf))
+    assert art.filter(F.col("node") % 10 == 0).count() == 0
+    assert art.filter(F.col("lbl") % 10 == 0).count() == 0
+    # Labels are component minima: lbl <= node everywhere.
+    assert art.filter(F.col("lbl") > F.col("node")).count() == 0

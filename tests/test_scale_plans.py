@@ -1117,6 +1117,60 @@ def test_ivf_append_assigns_against_sidecar_not_postings(spark):
     assert "% 10) = 5" in plan  # batch filter on the embeddings scan
 
 
+def test_incremental_cluster_pairs_read_artifacts_not_lake(spark):
+    # The nightly cluster-assignment op's pair build must read BOTH
+    # standing artifacts (banded lake signatures + lake cluster labels)
+    # and touch the documents table only through the shard signing —
+    # no lake-sized mining or labeling in the per-run plan. The BSP
+    # output itself is a checkpointed RDD leaf, so the pin targets the
+    # factored pair-builder with the shard checkpoint disabled.
+    import re
+
+    from quty_server_spark.operators.dedup import (
+        _incremental_cluster_pairs,
+        lake_cluster_labels_artifact,
+        lake_signature_artifact,
+    )
+
+    lake_signature_artifact(spark, SF_DIR)  # declared builds
+    lake_cluster_labels_artifact(spark, SF_DIR)
+    df = _incremental_cluster_pairs(spark, SF_DIR, materialize_shard=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "quty_lake_sig" in plan
+    assert "quty_lake_clabels" in plan
+    assert "CartesianProduct" not in tree
+    # Every documents scan is a shard branch: the batch predicate
+    # appears, and no unfiltered documents scan exists (the signing
+    # aggregates run over shard rows only).
+    assert "% 10) = 0" in plan
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    doc_scans = 0
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id in ids and "documents" in block:
+            doc_scans += 1
+    # gate branch + the self-join's two sides (the query path
+    # collapses these to one signing via the shard checkpoint).
+    assert 1 <= doc_scans <= 3
+
+
+def test_repeated_passages_single_digest_shuffle_no_join(spark):
+    # Substring-level dedup is aggregate-only by design: scan ->
+    # narrow window explode -> ONE shuffle keyed on the 16-byte digest
+    # (count-distinct runs as a two-phase Expand aggregation over the
+    # same key). Any Join here would be the quadratic pair-expansion
+    # trap the op deliberately avoids.
+    plan = plan_of(spark, "dedup_repeated_passages")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the window explode is narrow
+
+
 def test_artifact_files_sorted_by_probe_key(spark):
     # The artifacts' scale story includes row-group statistics pruning,
     # which only works if each written file is sorted by the probe key
