@@ -2479,6 +2479,96 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@registry.query(
+    "doc_passage_dup_ratio",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i:i+{PASSAGE_W - 1}], ' '))
+                   AS passage_md5
+        FROM t, unnest(range(1, len(toks) - {PASSAGE_W - 2},
+                             {PASSAGE_STRIDE})) AS u(i)
+        WHERE len(toks) >= {PASSAGE_W}
+    ),
+    dup AS (
+        SELECT passage_md5 FROM w GROUP BY passage_md5
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(*) FILTER (WHERE dup.passage_md5 IS NOT NULL)
+                   AS n_dup_windows
+        FROM w LEFT JOIN dup ON w.passage_md5 = dup.passage_md5
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+           CAST((1000000 * n_dup_windows) // n_windows AS BIGINT)
+               AS dup_ppm
+    FROM per_doc
+    """,
+)
+def doc_passage_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-level view of :func:`dedup_repeated_passages` —
+    the scrub PLAN: for every doc (with >= PASSAGE_W tokens), what
+    fraction of its passage windows is verbatim-duplicated elsewhere
+    in the corpus, in integer ppm. A doc near 10^6 ppm is boilerplate
+    wearing a document id (drop it whole); a doc with a thin duplicated
+    band carries a shared header/footer (scrub the passages, keep the
+    doc); the corpus-level aggregate of this table is the "how much of
+    my 100 TB is repeated text" number that decides whether a scrub
+    pass is worth scheduling at all.
+
+    Scale: the window table is computed once and consumed twice — the
+    duplicated-passage set (digest-keyed aggregate) and the per-doc
+    rollup joined through a left semi/anti-free LEFT join on the
+    digest. All shuffles are keyed on the 16-byte digest or doc_id;
+    no self-join of occurrence pairs exists (same structural guarantee
+    as the report op). Integer floor-division ppm on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= PASSAGE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {PASSAGE_W - 1}, "
+                    f"{PASSAGE_STRIDE}), "
+                    f"i -> md5(array_join(slice(toks, i, {PASSAGE_W}), ' ')))"
+                )
+            ).alias("passage_md5"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        w.groupBy("passage_md5")
+        .agg(F.count_distinct("doc_id").alias("pd"))
+        .filter(F.col("pd") >= 2)
+        .select("passage_md5", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        w.join(dup, "passage_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.expr("(1000000 * n_dup_windows) DIV n_windows").alias("dup_ppm"),
+    )
+
+
 # Case/whitespace-mangled copies for the normalized-dedup exercise:
 # every doc_id % 7 == 0 document reappears uppercased with doubled
 # spaces under doc_id + 2000000. Exact md5 dedup cannot see these;

@@ -1065,9 +1065,11 @@ def sim_ann_ivf_artifact(
 EMB_GATE_COS = 0.35
 
 
-@registry.query(
-    "dedup_incremental_embedding_artifact",
-    oracle=f"""
+# Shared by the batch embedding gate and its streaming twin
+# (stream_ingest_dedup_gate_embedding) — one SQL contract, two
+# execution shapes, same convention as SQL_MINHASH_GATE in
+# operators/dedup.py.
+SQL_EMB_GATE = f"""
     WITH c AS {SQL_CORPUS},
     cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
     assigned AS (
@@ -1081,7 +1083,12 @@ EMB_GATE_COS = 0.35
     FROM cells n JOIN cells o ON n.cell = o.cell
     WHERE n.vec_id % 10 = 0 AND o.vec_id % 10 <> 0
       AND list_cosine_similarity(n.v, o.v) >= {EMB_GATE_COS}
-    """,
+    """
+
+
+@registry.query(
+    "dedup_incremental_embedding_artifact",
+    oracle=SQL_EMB_GATE,
 )
 def dedup_incremental_embedding_artifact(
     spark: SparkSession, sf_dir: str, path: str | None = None

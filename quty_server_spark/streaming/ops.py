@@ -50,6 +50,7 @@ from quty_server_spark.operators.dedup import (
     SQL_MINHASH_GATE,
 )
 from quty_server_spark.operators._helpers import load_table
+from quty_server_spark.operators.similarity import SQL_EMB_GATE
 from quty_server_spark.plans.registry import registry
 from quty_server_spark.session import configure
 
@@ -1691,13 +1692,15 @@ def _run_ingest_gate_stream(
     kind: str,
     gate_batch_of,
     out_cols: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Shared runner for the continuous ingest gates: stage the shard
-    (``doc_id % 10 == 0``) as 4 hash-partitioned files, stream them
-    one-file-per-trigger, apply the family's per-batch gate inside
-    ``foreachBatch`` with an epoch-keyed idempotent parquet sink, and
-    return the union of all epochs. Scratch dirs are session-keyed
-    (session_tmp_dir) and the returned frame is eagerly
+    (``<id_col> % 10 == 0`` of ``table``) as 4 hash-partitioned files,
+    stream them one-file-per-trigger, apply the family's per-batch gate
+    inside ``foreachBatch`` with an epoch-keyed idempotent parquet
+    sink, and return the union of all epochs. Scratch dirs are
+    session-keyed (session_tmp_dir) and the returned frame is eagerly
     ``localCheckpoint``-ed, so a later call for the same sf_dir — which
     rmtree's and restages — can never invalidate a frame this call
     already handed out (r10 ADVICE)."""
@@ -1711,12 +1714,12 @@ def _run_ingest_gate_stream(
     shutil.rmtree(base, ignore_errors=True)
 
     # Stage the incoming shard as 4 files -> 4 micro-batches under
-    # maxFilesPerTrigger=1 (hash-partitioned on doc_id, so batch
+    # maxFilesPerTrigger=1 (hash-partitioned on the id, so batch
     # composition is deterministic in content, not in arrival order).
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 == 0
+    docs = load_table(spark, sf_dir, table).filter(
+        F.col(id_col) % 10 == 0
     )
-    docs.repartition(4, "doc_id").write.parquet(indir)
+    docs.repartition(4, id_col).write.parquet(indir)
 
     gate_batch = gate_batch_of(outdir)
     stream = (
@@ -1893,4 +1896,86 @@ def stream_ingest_dedup_gate_minhash(
         "quty_stream_gate_minhash",
         gate_batch_of,
         ["incoming_doc_id", "lake_doc_id", "jaccard"],
+    )
+
+
+@registry.query(
+    "stream_ingest_dedup_gate_embedding",
+    oracle=SQL_EMB_GATE,
+)
+def stream_ingest_dedup_gate_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING-family continuous ingest gate — the streaming twin
+    of :func:`~quty_server_spark.operators.similarity.dedup_incremental_embedding_artifact`,
+    completing the continuous tier for ALL THREE signature families
+    (SimHash ``stream_ingest_dedup_gate``, MinHash
+    ``stream_ingest_dedup_gate_minhash``, and now semantic near-dup):
+    incoming vectors arrive as a file stream in micro-batches; each
+    batch is assigned to IVF cells against the artifact's K-row
+    centroid sidecar and probed cell-vs-cell against the artifact's
+    lake postings inside ``foreachBatch``, with the epoch-keyed
+    idempotent parquet sink. Shares the batch gate's oracle SQL
+    byte-for-byte; epoch union equals the one-shot gate exactly (each
+    vector lands in one micro-batch, its cell assignment is a pure
+    function of its own row and the static centroids, and candidates
+    come only from static lake state — nothing crosses epochs;
+    set-equality tested in tests/test_streaming_recovery.py).
+
+    Scale: per micro-batch cost is |batch| × K broadcast assignment
+    (map-side combined) + a same-cell equality join against the
+    cell-partitioned artifact — the batch's assigned cells drive
+    partition pruning, so each trigger reads only the cell directories
+    its vectors land in. The corpus-sized assignment is amortized into
+    the write-once artifact on the continuous path just as on the
+    nightly one."""
+    from pyspark.sql.functions import broadcast
+
+    from quty_server_spark.functions.vectors import as_double, cosine
+    from quty_server_spark.operators.similarity import (
+        EMB_GATE_COS,
+        _ivf_cells_plan,
+        ivf_postings_artifact,
+    )
+
+    configure(spark)
+    path = ivf_postings_artifact(spark, sf_dir)
+    art = spark.read.parquet(path).select(
+        "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
+    )
+    lake = art.filter(F.col("vec_id") % 10 != 0).alias("o")
+    cent = spark.read.parquet(os.path.join(path, "_centroids"))
+
+    def gate_batch_of(outdir: str):
+        def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            shard = batch_df.select(
+                "vec_id", as_double(F.col("embedding")).alias("v")
+            )
+            assigned = _ivf_cells_plan(shard, cent).alias("n")
+            res = (
+                lake.join(
+                    broadcast(assigned), F.col("n.cell") == F.col("o.cell")
+                )
+                .withColumn("cos_sim", cosine(F.col("n.v"), F.col("o.v")))
+                .filter(F.col("cos_sim") >= EMB_GATE_COS)
+                .select(
+                    F.col("n.vec_id").alias("incoming_vec_id"),
+                    F.col("o.vec_id").alias("lake_vec_id"),
+                    "cos_sim",
+                )
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
+            )
+
+        return gate_batch
+
+    return _run_ingest_gate_stream(
+        spark,
+        sf_dir,
+        "quty_stream_gate_embedding",
+        gate_batch_of,
+        ["incoming_vec_id", "lake_vec_id", "cos_sim"],
+        table="embeddings",
+        id_col="vec_id",
     )

@@ -222,3 +222,33 @@ def test_stream_ingest_gate_minhash_matches_batch_gate(spark):
     )
     epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
     assert len(epochs) >= 2
+
+
+def test_stream_ingest_gate_embedding_matches_batch_gate(spark):
+    # The embedding-family continuous gate (round 12, completing the
+    # continuous tier for all three signature families): epoch union ==
+    # the one-shot artifact-backed gate (pairs AND cosine), run
+    # multi-batch.
+    from quty_server_spark.operators.similarity import (
+        dedup_incremental_embedding_artifact,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import (
+        stream_ingest_dedup_gate_embedding,
+    )
+
+    streamed = {
+        (r.incoming_vec_id, r.lake_vec_id, round(r.cos_sim, 9))
+        for r in stream_ingest_dedup_gate_embedding(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.incoming_vec_id, r.lake_vec_id, round(r.cos_sim, 9))
+        for r in dedup_incremental_embedding_artifact(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    outdir = os.path.join(
+        session_tmp_dir(spark, "quty_stream_gate_embedding", SF_DIR), "out"
+    )
+    epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
