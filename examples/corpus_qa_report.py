@@ -113,6 +113,19 @@ def main() -> None:
     print(f"ingest gate: {g.flagged}/{n_shard} shard docs have a near-dup "
           f"already in the lake ({g.pairs} capped candidate pairs)")
 
+    # 3c. repeated-text exposure (round 12): how much of the corpus is
+    # verbatim passages shared across documents — the substring-level
+    # mass whole-doc dedup cannot see, and the scrub-pass go/no-go.
+    ratio = q["doc_passage_dup_ratio"](spark, sf_dir)
+    r = ratio.agg(
+        F.sum("n_windows").alias("w"),
+        F.sum("n_dup_windows").alias("dw"),
+        F.count(F.when(F.col("dup_ppm") >= 500000, 1)).alias("mostly_dup"),
+    ).collect()[0]
+    print(f"repeated text: {r.dw}/{r.w} passage windows duplicated "
+          f"({1e2 * r.dw / max(r.w, 1):.1f}% of corpus text), "
+          f"{r.mostly_dup} docs >=50% boilerplate (drop-whole candidates)")
+
     # 4. stream readiness
     lag = q["events_watermark_lag_audit"](spark, sf_dir)
     w = lag.agg(

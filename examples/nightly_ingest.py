@@ -124,6 +124,18 @@ def main() -> None:
           f"within-shard canonicalization keeps {n_final} "
           f"({n_adm - n_final} shard-internal near-dups dropped)")
 
+    # 4b. cluster ASSIGNMENT for the admitted docs (round 12): final
+    # full-corpus-equivalent cluster labels from the contracted
+    # shard-sized graph — the standing lake label artifact + the gate
+    # pairs; no lake-vs-lake mining tonight. These labels are what the
+    # artifact append below logically extends the cluster state with.
+    t0 = time.time()
+    assign = q["dedup_cluster_incremental"](spark, sf_dir)
+    n_assigned = assign.count()
+    print(f"cluster assignment: {n_assigned} shard docs joined existing "
+          f"or shard-internal clusters ({time.time() - t0:.1f}s — "
+          f"contracted-graph BSP, cost follows the shard)")
+
     # 5. packing impact on the corpus the trainer will actually read
     pack = q["doc_pack_efficiency"](spark, sf_dir)
     p = pack.agg(

@@ -2480,6 +2480,103 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "dedup_cluster_relabel_queue",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    lake_edges AS (
+        SELECT src, dst FROM edges WHERE src % 10 <> 0 AND dst % 10 <> 0
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lake_reach(node, lbl) AS (
+        SELECT src, src FROM lake_edges
+        UNION
+        SELECT e.dst, r.lbl
+        FROM lake_reach r JOIN lake_edges e ON e.src = r.node
+    ),
+    full_labels AS (
+        SELECT node, MIN(lbl) AS flbl FROM reach GROUP BY node
+    ),
+    lake_labels AS (
+        SELECT node, MIN(lbl) AS llbl FROM lake_reach GROUP BY node
+    )
+    SELECT l.llbl AS old_lbl, MIN(f.flbl) AS new_lbl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lake_labels l JOIN full_labels f ON l.node = f.node
+    GROUP BY l.llbl HAVING MIN(f.flbl) <> l.llbl
+    """,
+)
+def dedup_cluster_relabel_queue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The nightly RELABEL QUEUE — the honest price tag of incremental
+    clustering: which STANDING lake clusters' labels are invalidated by
+    tonight's merges, and how many stored label rows each rewrite
+    touches. A shard doc bridging two lake clusters gives the merged
+    component one final label (the min), so the other constituent
+    cluster's artifact rows now carry a stale label; a pure append
+    cannot fix them — they must be rewritten, and this queue is the
+    rewrite's work list (a deployment compacts the label artifact when
+    the queue's cumulative n_docs crosses a threshold — the clustering
+    analog of :func:`~quty_server_spark.operators.similarity.sim_ivf_cell_growth`'s
+    re-cluster signal).
+
+    Derivation is contraction again: the same shard-sized BSP as
+    :func:`dedup_cluster_incremental`, read from the other side — a
+    lake-LABEL node whose final contracted label differs from its own
+    id is a cluster that merged into something smaller (possibly a
+    shard doc's id). n_docs counts that cluster's rows in the standing
+    artifact via a broadcast join of the (tiny) queue against the
+    artifact scan. The oracle recomputes BOTH labelings from scratch —
+    lake-only (the standing state) and full-corpus (tonight's truth) —
+    and diffs them, so the incremental queue is verified against the
+    ground-truth definition of "stale", not against its own machinery.
+
+    Scale: per-run cost = the contracted BSP (shard-sized) + one
+    artifact scan for the row counts; the queue itself is bounded by
+    the number of clusters tonight's shard touches."""
+    pairs = _incremental_cluster_pairs(spark, sf_dir)
+    labels, _ = min_label_components(spark, pairs)
+    queue = labels.filter(
+        (F.col("node") % 10 != 0) & (F.col("lbl") != F.col("node"))
+    ).select(
+        F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl")
+    )
+    art = spark.read.parquet(
+        lake_cluster_labels_artifact(spark, sf_dir)
+    ).select(F.col("lbl").alias("old_lbl"))
+    return (
+        art.join(F.broadcast(queue), "old_lbl")
+        .groupBy("old_lbl", "new_lbl")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@registry.query(
     "doc_passage_dup_ratio",
     oracle=f"""
     WITH t AS (

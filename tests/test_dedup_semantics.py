@@ -415,3 +415,70 @@ def test_lake_cluster_labels_artifact_is_lake_only(spark):
     assert art.filter(F.col("lbl") % 10 == 0).count() == 0
     # Labels are component minima: lbl <= node everywhere.
     assert art.filter(F.col("lbl") > F.col("node")).count() == 0
+
+
+def test_relabel_queue_on_crafted_bridge_merge(spark, tmp_path):
+    """A corpus with a GENUINE standing-cluster merge, built by
+    signature construction (dominant-pair majority trick): tokens wa,
+    wb sit at SimHash distance 6 (clusters A and B never pair:
+    6 > HAMMING_MAX), and the bridge text 10*wa + 10*wb + filler has
+    the agreeing bits of both plus filler-decided tie bits — exactly
+    distance 3 from EACH cluster. The shard bridge doc must therefore
+    merge A and B, dedup_cluster_incremental must give all three the
+    full-recompute label (A's, since 1001 < 2000), and the relabel
+    queue must contain exactly B's standing label with its 2 artifact
+    rows."""
+    from pyspark.sql import functions as F
+
+    wa, wb, filler = "tok326", "tok8533", "tok42"
+    ta = " ".join([wa] * 10)
+    tb = " ".join([wb] * 10)
+    tx = " ".join([wa] * 10 + [wb] * 10 + [filler])
+    rows = [
+        (1001, ta), (1011, ta),   # standing cluster A (label 1001)
+        (1003, tb), (1013, tb),   # standing cluster B (label 1003)
+        (2000, tx),               # tonight's bridge (shard: % 10 == 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # Sanity: the crafted distances hold in the engine's own sigs.
+    sigs = {r.doc_id: r.sig for r in D.simhash_sigs(spark, sf).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    assert ham(1001, 1003) == 6   # clusters never pair directly
+    assert ham(2000, 1001) == 3   # bridge near A
+    assert ham(2000, 1003) == 3   # bridge near B
+
+    # Standing lake state: two 2-doc clusters.
+    art = {
+        (r.node, r.lbl)
+        for r in spark.read.parquet(
+            D.lake_cluster_labels_artifact(spark, sf, rebuild=True)
+        ).collect()
+    }
+    assert art == {(1001, 1001), (1011, 1001), (1003, 1003), (1013, 1003)}
+
+    # Incremental assignment merges everything into label 1001 — and
+    # equals the full recompute.
+    D.lake_signature_artifact(spark, sf, rebuild=True)
+    inc = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster_incremental(spark, sf).collect()
+    }
+    assert inc == {(2000, 1001)}
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster(spark, sf).collect()
+    }
+    assert full == {
+        (2000, 1001), (1001, 1001), (1011, 1001),
+        (1003, 1001), (1013, 1001),
+    }
+
+    # The relabel queue: exactly B's standing label, 2 artifact rows.
+    queue = {
+        (r.old_lbl, r.new_lbl, r.n_docs)
+        for r in D.dedup_cluster_relabel_queue(spark, sf).collect()
+    }
+    assert queue == {(1003, 1001, 2)}
