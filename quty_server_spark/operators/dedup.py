@@ -2558,7 +2558,14 @@ def dedup_cluster_relabel_queue(
 
     Scale: per-run cost = the contracted BSP (shard-sized) + one
     artifact scan for the row counts; the queue itself is bounded by
-    the number of clusters tonight's shard touches."""
+    the number of clusters tonight's shard touches.
+
+    Honesty note: on the driver fixtures the queue is EMPTY (the
+    fixture bridges merge lake singletons, not standing clusters), so
+    the CORRECTNESS row is a vacuous 0 == 0; the non-vacuous evidence
+    is tests/test_dedup_semantics.py's crafted-merge corpus (two
+    standing 2-doc clusters at signature distance 6, a bridge shard
+    doc at distance 3 from each — queue pinned exactly)."""
     pairs = _incremental_cluster_pairs(spark, sf_dir)
     labels, _ = min_label_components(spark, pairs)
     queue = labels.filter(
