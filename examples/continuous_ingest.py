@@ -87,6 +87,18 @@ def main() -> None:
         n = spark.read.parquet(os.path.join(outdir, e)).count()
         print(f"  {e}: {n} pairs")
 
+    # 2b. the embedding-family continuous gate (round 12): the same
+    # per-epoch arrival for semantic near-dups — micro-batches of
+    # vectors assigned against the IVF artifact's centroid sidecar and
+    # probed cell-vs-cell against the lake postings. With this, all
+    # THREE signature families run continuously.
+    t0 = time.time()
+    emb_hits = q["stream_ingest_dedup_gate_embedding"](spark, sf_dir)
+    n_emb = emb_hits.select("incoming_vec_id").distinct().count()
+    print(f"embedding gate stream: {n_emb} incoming vectors have a "
+          f"semantic near-dup in the lake ({time.time() - t0:.1f}s incl. "
+          f"the amortized IVF artifact build)")
+
     # 3. quarantine + admission — batch composition, unchanged
     quarantined = hits.select("incoming_doc_id").distinct()
     admitted = shard.join(
