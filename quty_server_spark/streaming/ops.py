@@ -46,13 +46,15 @@ from pyspark.sql.types import (
 
 from quty_server_spark.operators import pubsub
 from quty_server_spark.operators.dedup import (
+    SQL_DUPED,
     SQL_INCREMENTAL_GATE,
     SQL_MINHASH_GATE,
+    duped_corpus,
 )
 from quty_server_spark.operators._helpers import load_table
 from quty_server_spark.operators.similarity import SQL_EMB_GATE
 from quty_server_spark.plans.registry import registry
-from quty_server_spark.session import configure
+from quty_server_spark.session import configure, session_tmp_dir
 
 EVENTS_RAW_SCHEMA = StructType(
     [
@@ -1978,4 +1980,150 @@ def stream_ingest_dedup_gate_embedding(
         ["incoming_vec_id", "lake_vec_id", "cos_sim"],
         table="embeddings",
         id_col="vec_id",
+    )
+
+
+@registry.query(
+    "stream_ingest_exact_dedup_sequential",
+    oracle=f"""
+    WITH {SQL_DUPED},
+    shard AS (
+        SELECT doc_id, md5(text) AS h, (doc_id % 7) % 4 AS epoch
+        FROM duped WHERE doc_id % 10 = 0
+    ),
+    lake_h AS (
+        SELECT DISTINCT md5(text) AS h FROM duped WHERE doc_id % 10 <> 0
+    )
+    SELECT s.doc_id AS admitted_doc_id,
+           CAST(s.epoch AS BIGINT) AS epoch,
+           s.h AS text_md5
+    FROM shard s
+    WHERE NOT EXISTS (SELECT 1 FROM lake_h l WHERE l.h = s.h)
+      AND NOT EXISTS (
+          SELECT 1 FROM shard s2
+          WHERE s2.h = s.h AND (s2.epoch < s.epoch
+                OR (s2.epoch = s.epoch AND s2.doc_id < s.doc_id)))
+    """,
+)
+def stream_ingest_exact_dedup_sequential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ORDER-DEPENDENT continuous gate — the one semantics no other
+    streaming query in the registry has: later micro-batches must see
+    EARLIER batches' admissions, because first-contact wins. Exact
+    dedup over the duped corpus (every ``doc_id % 10 == 0`` doc has an
+    exact copy at ``+1,000,000``, itself also ``% 10 == 0`` — so the
+    duplicate pairs live INSIDE the stream): a doc is admitted iff its
+    content hash is not in the lake AND no same-hash doc arrived in an
+    earlier epoch (or earlier doc_id within its own epoch). The
+    foreachBatch body APPENDS each epoch's admitted hashes to a
+    seen-state parquet directory and anti-joins the next batch against
+    it — the in-stream version of the write-once/append artifact
+    lifecycle, where the stream maintains its OWN artifact.
+
+    Determinism + replay safety: epochs are staged as one file per
+    ``(doc_id % 7) % 4`` value (files utime'd in epoch order, so the
+    file source's oldest-first ordering equals the oracle's epoch
+    numbering — ``1,000,000 % 7 == 1`` splits each original from its
+    copy into different epochs, exercising the cross-epoch path ~75%
+    of the time and the within-batch min the rest). Seen-state rows
+    are keyed ``(h, epoch)`` and each batch reads only rows with
+    ``epoch < epoch_id``: a replayed epoch cannot be rejected by its
+    own previous append, so the epoch-keyed output overwrite stays
+    idempotent even though the state dir is append-only (duplicate
+    appends from replays are filtered the same way). The oracle states
+    the sequential fold declaratively as a pure function of
+    (hash, epoch, doc_id) — DuckDB never streams, yet verifies the
+    order-dependent answer exactly.
+
+    Scale: per-batch cost = hash(batch) + two anti-joins (lake hashes,
+    seen hashes — both broadcastable digests) + a per-hash min window
+    over the batch; the seen state grows by exactly the admitted
+    hashes, 32 bytes each. This is the production shape of a streaming
+    exactly-once admission ledger."""
+    configure(spark)
+    base = session_tmp_dir(spark, "quty_stream_seq_dedup", sf_dir)
+    indir = os.path.join(base, "in")
+    outdir = os.path.join(base, "out")
+    seendir = os.path.join(base, "seen")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+
+    corpus = duped_corpus(spark, sf_dir)
+    shard = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text", F.expr("(doc_id % 7) % 4").alias("epoch")
+    )
+    lake_h = (
+        corpus.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Stage one file per epoch, utime'd in epoch order so the file
+    # source's oldest-first ordering IS the oracle's epoch numbering.
+    # Empty epochs still stage a (schema-only) file so trigger indices
+    # never shift.
+    import glob as _glob
+    import time as _time
+
+    t0 = _time.time()
+    for k in range(4):
+        stage = os.path.join(base, f"stage{k}")
+        shard.filter(F.col("epoch") == k).select(
+            "doc_id", "text"
+        ).coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"e{k}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (t0 + k, t0 + k))
+        shutil.rmtree(stage, ignore_errors=True)
+    # Seen-state init: empty (h, epoch) ledger.
+    spark.createDataFrame([], "h string, epoch long").write.parquet(seendir)
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        b = batch_df.select("doc_id", F.md5("text").alias("h"))
+        seen = (
+            spark.read.schema("h string, epoch long")
+            .parquet(seendir)
+            .filter(F.col("epoch") < epoch_id)
+            .select("h")
+        )
+        survivors = b.join(lake_h, "h", "left_anti").join(
+            seen, "h", "left_anti"
+        )
+        w = Window.partitionBy("h").orderBy("doc_id")
+        admitted = (
+            survivors.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("doc_id").alias("admitted_doc_id"),
+                F.lit(epoch_id).cast("bigint").alias("epoch"),
+                F.col("h").alias("text_md5"),
+            )
+            .localCheckpoint(eager=True)  # one computation for 2 writes
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"e{epoch_id}")
+        )
+        admitted.select(
+            F.col("text_md5").alias("h"), F.col("epoch")
+        ).write.mode("append").parquet(seendir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(outdir, "e*"))
+        .select("admitted_doc_id", "epoch", "text_md5")
+        .localCheckpoint(eager=True)
     )

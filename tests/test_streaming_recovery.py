@@ -252,3 +252,49 @@ def test_stream_ingest_gate_embedding_matches_batch_gate(spark):
     )
     epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
     assert len(epochs) >= 2
+
+
+def test_sequential_gate_rejects_cross_epoch_duplicates(spark):
+    """The order-dependent gate's defining property: a duplicate whose
+    copy arrived in an EARLIER epoch is rejected by the seen-state
+    ledger, not by within-batch dedup — so for every (original, +1M
+    copy) pair landing in different epochs, exactly the earlier-epoch
+    member is admitted. Non-vacuity: the (doc_id % 7) % 4 epoch split
+    must actually separate some pairs."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.dedup import duped_corpus
+    from quty_server_spark.streaming.ops import (
+        stream_ingest_exact_dedup_sequential,
+    )
+
+    out = stream_ingest_exact_dedup_sequential(spark, SF_DIR)
+    admitted = {r.admitted_doc_id: r.epoch for r in out.collect()}
+    # Each content admitted exactly once.
+    md5s = [r.text_md5 for r in out.collect()]
+    assert len(md5s) == len(set(md5s))
+
+    shard = (
+        duped_corpus(spark, SF_DIR)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.expr("(doc_id % 7) % 4").alias("epoch"))
+    )
+    epochs = {r.doc_id: r.epoch for r in shard.collect()}
+    originals = [d for d in epochs if d + 1000000 in epochs]
+    cross = [d for d in originals if epochs[d] != epochs[d + 1000000]]
+    same = [d for d in originals if epochs[d] == epochs[d + 1000000]]
+    assert cross, "epoch split no longer separates any duplicate pair"
+    for d in cross:
+        first, second = (
+            (d, d + 1000000)
+            if epochs[d] < epochs[d + 1000000]
+            else (d + 1000000, d)
+        )
+        assert first in admitted and second not in admitted, (
+            f"cross-epoch pair ({d}, {d + 1000000}): expected only the "
+            f"earlier-epoch member admitted"
+        )
+        assert admitted[first] == epochs[first]
+    # Within-batch path: same-epoch pairs keep the min doc_id.
+    for d in same:
+        assert d in admitted and d + 1000000 not in admitted
