@@ -123,6 +123,11 @@ def main() -> None:
                 # the shared-label consumer path — together they are the
                 # composed-pipeline cost, each stated once.
                 spark._quty_cluster_labels = {}
+            if name == "dedup_cluster_incremental":
+                # Same convention for the contracted-graph BSP memo
+                # (shared with the relabel queue): the headline number
+                # is the COLD nightly assignment, artifacts warm.
+                spark._quty_incremental_cluster_labels = {}
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -2314,11 +2314,35 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture corpus contains real bridge docs (a shard doc whose
     gate pairs touch >= 2 distinct lake clusters), and the equality +
     bridge non-vacuity are pinned in tests/test_dedup_semantics.py."""
-    pairs = _incremental_cluster_pairs(spark, sf_dir)
-    labels, _ = min_label_components(spark, pairs)
+    labels = _incremental_cluster_labels(spark, sf_dir)
     return labels.filter(F.col("node") % 10 == 0).select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def _incremental_cluster_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The contracted-graph min-label BSP result ``(node, lbl)``,
+    memoized per (session, sf_dir) — shared by
+    :func:`dedup_cluster_incremental` (reads the shard-node side) and
+    :func:`dedup_cluster_relabel_queue` (reads the lake-label-node
+    side), so a composed nightly run (or the driver head, which runs
+    both) pays the shard signing + gate join + BSP once, not twice
+    (r12 review). Same memo device as
+    :func:`simhash_component_labels`; a fresh session rebuilds, so
+    correctness never depends on the cache."""
+    cache = getattr(spark, "_quty_incremental_cluster_labels", None)
+    if cache is None:
+        cache = {}
+        spark._quty_incremental_cluster_labels = cache
+    labels = cache.get(sf_dir)
+    if labels is None:
+        pairs = _incremental_cluster_pairs(spark, sf_dir)
+        labels, _ = min_label_components(spark, pairs)
+        labels = labels.localCheckpoint(eager=True)
+        cache[sf_dir] = labels
+    return labels
 
 
 def _incremental_cluster_pairs(
@@ -2408,26 +2432,54 @@ def _incremental_cluster_pairs(
 PASSAGE_W = 16
 PASSAGE_STRIDE = 8
 
+# The (doc_id, passage_md5) window table — ONE definition shared by the
+# corpus-level report and the per-doc scrub plan, on both engines (r12
+# review: four independent copies of the fence-post arithmetic would
+# let the two ops' window contracts drift apart without any oracle
+# going red).
+SQL_PASSAGE_WINDOWS = f"""passage_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    passage_windows AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i:i+{PASSAGE_W - 1}], ' '))
+                   AS passage_md5
+        FROM passage_docs, unnest(range(1, len(toks) - {PASSAGE_W - 2},
+                             {PASSAGE_STRIDE})) AS u(i)
+        WHERE len(toks) >= {PASSAGE_W}
+    )"""
+
+
+def _passage_windows(d: DataFrame) -> DataFrame:
+    """(doc_id, passage_md5) — PASSAGE_W-token windows at
+    PASSAGE_STRIDE over a documents frame; the Spark twin of
+    SQL_PASSAGE_WINDOWS."""
+    toks = F.split("text", " ")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= PASSAGE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {PASSAGE_W - 1}, "
+                    f"{PASSAGE_STRIDE}), "
+                    f"i -> md5(array_join(slice(toks, i, {PASSAGE_W}), ' ')))"
+                )
+            ).alias("passage_md5"),
+        )
+    )
+
 
 @registry.query(
     "dedup_repeated_passages",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    w AS (
-        SELECT doc_id,
-               md5(array_to_string(toks[i:i+{PASSAGE_W - 1}], ' '))
-                   AS passage_md5
-        FROM t, unnest(range(1, len(toks) - {PASSAGE_W - 2},
-                             {PASSAGE_STRIDE})) AS u(i)
-        WHERE len(toks) >= {PASSAGE_W}
-    )
+    WITH {SQL_PASSAGE_WINDOWS}
     SELECT passage_md5,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
-    FROM w GROUP BY passage_md5
+    FROM passage_windows GROUP BY passage_md5
     HAVING COUNT(DISTINCT doc_id) >= 2
     """,
 )
@@ -2452,22 +2504,7 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row, not C(10^6, 2) join rows. The deliberate contrast:
     this REPORTS repeated text linearly; expanding to occurrence
     PAIRS would be the quadratic trap."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    w = (
-        d.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= PASSAGE_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {PASSAGE_W - 1}, "
-                    f"{PASSAGE_STRIDE}), "
-                    f"i -> md5(array_join(slice(toks, i, {PASSAGE_W}), ' ')))"
-                )
-            ).alias("passage_md5"),
-        )
-    )
+    w = _passage_windows(load_table(spark, sf_dir, "documents"))
     return (
         w.groupBy("passage_md5")
         .agg(
@@ -2566,8 +2603,7 @@ def dedup_cluster_relabel_queue(
     is tests/test_dedup_semantics.py's crafted-merge corpus (two
     standing 2-doc clusters at signature distance 6, a bridge shard
     doc at distance 3 from each — queue pinned exactly)."""
-    pairs = _incremental_cluster_pairs(spark, sf_dir)
-    labels, _ = min_label_components(spark, pairs)
+    labels = _incremental_cluster_labels(spark, sf_dir)
     queue = labels.filter(
         (F.col("node") % 10 != 0) & (F.col("lbl") != F.col("node"))
     ).select(
@@ -2586,19 +2622,9 @@ def dedup_cluster_relabel_queue(
 @registry.query(
     "doc_passage_dup_ratio",
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    w AS (
-        SELECT doc_id,
-               md5(array_to_string(toks[i:i+{PASSAGE_W - 1}], ' '))
-                   AS passage_md5
-        FROM t, unnest(range(1, len(toks) - {PASSAGE_W - 2},
-                             {PASSAGE_STRIDE})) AS u(i)
-        WHERE len(toks) >= {PASSAGE_W}
-    ),
+    WITH {SQL_PASSAGE_WINDOWS},
     dup AS (
-        SELECT passage_md5 FROM w GROUP BY passage_md5
+        SELECT passage_md5 FROM passage_windows GROUP BY passage_md5
         HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     per_doc AS (
@@ -2606,7 +2632,8 @@ def dedup_cluster_relabel_queue(
                COUNT(*) AS n_windows,
                COUNT(*) FILTER (WHERE dup.passage_md5 IS NOT NULL)
                    AS n_dup_windows
-        FROM w LEFT JOIN dup ON w.passage_md5 = dup.passage_md5
+        FROM passage_windows w
+        LEFT JOIN dup ON w.passage_md5 = dup.passage_md5
         GROUP BY w.doc_id
     )
     SELECT doc_id,
@@ -2634,23 +2661,9 @@ def doc_passage_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest. All shuffles are keyed on the 16-byte digest or doc_id;
     no self-join of occurrence pairs exists (same structural guarantee
     as the report op). Integer floor-division ppm on both engines."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    w = (
-        d.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= PASSAGE_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {PASSAGE_W - 1}, "
-                    f"{PASSAGE_STRIDE}), "
-                    f"i -> md5(array_join(slice(toks, i, {PASSAGE_W}), ' ')))"
-                )
-            ).alias("passage_md5"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    w = _passage_windows(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     dup = (
         w.groupBy("passage_md5")
         .agg(F.count_distinct("doc_id").alias("pd"))

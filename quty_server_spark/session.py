@@ -100,7 +100,14 @@ def get_spark(
 # paths are never revisited, so crashed/killed runs leaked parquet under
 # $TMPDIR forever).
 _CREATED_TMP_DIRS: set[str] = set()
-_STALE_SIBLING_SECONDS = 24 * 3600
+# Crash-leftover window. Deliberately LONG (7 days, not hours): a
+# sibling app-id dir belongs to another PROCESS whose liveness this one
+# cannot check, and artifact paths are memoized per session without
+# existence re-checks — deleting a live session's dir breaks its
+# readers mid-run rather than "forcing a rebuild". Normal exits are
+# reclaimed by atexit; this sweep only exists for crashed/killed runs,
+# and a 7-day-old live local[] session is implausible (r12 review).
+_STALE_SIBLING_SECONDS = 7 * 24 * 3600
 
 
 def _cleanup_session_tmp_dirs() -> None:
@@ -111,12 +118,14 @@ def _cleanup_session_tmp_dirs() -> None:
 
 
 def _prune_stale_siblings(kind_root: str, own_app_dir: str) -> None:
-    """Delete sibling application-id directories whose mtime is older
-    than _STALE_SIBLING_SECONDS. Safe by the same reasoning as tmpwatch:
-    a LIVE session's artifact dirs carry mtimes from its own (recent)
-    builds, so only sessions dead for a day — or pathological >24h-old
-    live builds, which would simply rebuild — are reclaimed. Never
-    touches this session's own directory."""
+    """Delete sibling application-id directories older than
+    _STALE_SIBLING_SECONDS — crash leftovers only (normal exits clean
+    up via atexit). The window is a week, not hours, because a sibling
+    belongs to another process whose liveness cannot be checked here
+    and whose memoized artifact readers would NOT rebuild on deletion
+    (paths are cached per session) — deleting a live session's dir is
+    cross-process breakage, not a cheap rebuild. Never touches this
+    session's own directory."""
     import shutil
     import time
 
@@ -151,9 +160,10 @@ def session_tmp_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     /tmp state.
 
     Reclamation (r11 ADVICE): the per-session app-id dir is registered
-    for atexit removal, and >24h-stale sibling app-id dirs are pruned
-    at creation time, so repeated bench/test runs do not accumulate
-    unbounded parquet under $TMPDIR."""
+    for atexit removal (covers every normal exit — the accumulation
+    case), and week-stale sibling app-id dirs are pruned at creation
+    time (covers crashed runs; see _prune_stale_siblings for why the
+    window is deliberately long)."""
     import atexit
 
     kind_root = os.path.join(tempfile.gettempdir(), kind)

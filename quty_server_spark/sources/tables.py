@@ -58,16 +58,22 @@ _SCHEMA_CACHE: dict = {}
 _SCHEMA_CACHE_MAX = 256
 
 
-def _path_mtime(path: str) -> float | None:
+def _path_mtime(path: str) -> int | None:
     import os
 
     try:
         # For a directory the mtime changes when files are added or
         # removed (the Spark rewrite patterns: overwrite, append) —
         # exactly the invalidation signal needed; for a single file it
-        # changes on rewrite. In-place content mutation without a
-        # metadata change is not a Spark write pattern.
-        return os.stat(path).st_mtime
+        # changes on rewrite. Nanosecond precision so two rewrites in
+        # the same second still produce distinct keys (r12 review).
+        # Known limits, documented not defended: in-place content
+        # mutation without a metadata change, and rewrites confined to
+        # key=value/ SUBdirectories of a partitioned layout (top-level
+        # mtime unchanged), are not Spark write patterns for these
+        # single-directory fixture tables; a catalog with real table
+        # versions is the production answer.
+        return os.stat(path).st_mtime_ns
     except OSError:
         return None  # non-local path: cache under a constant tag
 

@@ -49,6 +49,9 @@ for name in names:
             # (checkouts with the per-session label memo would otherwise
             # serve cached labels here, unlike pre-memo checkouts).
             getattr(spark, "_quty_cluster_labels", {}).clear()
+        if name == "dedup_cluster_incremental":
+            # r12 convention: COLD contracted-graph BSP per timing.
+            getattr(spark, "_quty_incremental_cluster_labels", {}).clear()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
