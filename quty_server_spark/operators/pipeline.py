@@ -687,3 +687,160 @@ def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oversize"),
     )
+
+
+def _snapshot_oracle() -> str:
+    """Composed-snapshot oracle — assembled from the SAME fragments the
+    constituent ops' oracles use (SQL_SIMHASH reach CTE for the keeper,
+    SQL_PASSAGE_WINDOWS for the scrub ratio), so the composition cannot
+    drift from its parts."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SQL_PASSAGE_WINDOWS,
+        SQL_SIMHASH,
+    )
+
+    return f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    {SQL_PASSAGE_WINDOWS},
+    dup AS (
+        SELECT passage_md5 FROM passage_windows GROUP BY passage_md5
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    scrub AS (
+        SELECT w.doc_id,
+               (1000000 * COUNT(*) FILTER (
+                    WHERE dup.passage_md5 IS NOT NULL))
+                   // COUNT(*) AS dup_ppm
+        FROM passage_windows w
+        LEFT JOIN dup ON w.passage_md5 = dup.passage_md5
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.dup_ppm, 0) AS BIGINT) AS dup_ppm
+    FROM documents d
+    LEFT JOIN lab l ON d.doc_id = l.doc_id
+    LEFT JOIN scrub s ON d.doc_id = s.doc_id
+    WHERE len(string_split(d.text, ' ')) >= 40
+      AND d.lang IN ('en', 'de', 'fr')
+      AND len(list_distinct(string_split(d.text, ' '))) * 3
+          >= len(string_split(d.text, ' '))
+      AND COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+      AND COALESCE(s.dup_ppm, 0) < 500000
+    """
+
+
+@registry.query("corpus_training_snapshot", oracle=_snapshot_oracle())
+def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCT — the corpus a trainer actually reads, as one
+    declarative plan composing the pipeline's gates: a document enters
+    the training snapshot iff it (1) passes the quality gate
+    (:func:`doc_quality_gate`: length floor, language allowlist,
+    repetition ceiling), (2) is its near-dup cluster's canonical keeper
+    (:func:`~quty_server_spark.operators.dedup.dedup_keep_canonical`'s
+    min-doc_id policy over the SimHash component labels), and (3) is
+    not majority-boilerplate
+    (:func:`~quty_server_spark.operators.dedup.doc_passage_dup_ratio`'s
+    duplicated-window ppm < 500000). Output carries the audit columns
+    (cluster_id, dup_ppm, n_tokens) so every admission is attributable
+    to the gates it passed — the provenance a curation report needs.
+
+    The oracle is assembled from the constituent ops' own SQL
+    fragments, so the composed definition provably matches its parts;
+    each gate is additionally oracle-verified standalone.
+
+    Scale: the three gates reuse what the pipeline already amortizes —
+    the quality predicates are narrow scan-side expressions, the keeper
+    joins the session-memoized component labels (one BSP pass feeds
+    four consumers now), and the scrub ratio is the digest-keyed
+    aggregate pair. One corpus scan per gate family, no new shuffles
+    beyond what the standalone ops pay; WHERE keep composition happens
+    in the same plan, so Catalyst prunes rejected rows before the
+    output projection."""
+    from quty_server_spark.operators.dedup import (
+        _passage_windows,
+        simhash_component_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    quality_keep = (
+        (n_tok >= 40)
+        & F.col("lang").isin("en", "de", "fr")
+        & (F.size(F.array_distinct(toks)) * 3 >= n_tok)
+    )
+    labels = simhash_component_labels(spark, sf_dir)
+    lab = labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    w = _passage_windows(d).localCheckpoint(eager=False)
+    dup = (
+        w.groupBy("passage_md5")
+        .agg(F.count_distinct("doc_id").alias("pd"))
+        .filter(F.col("pd") >= 2)
+        .select("passage_md5", F.lit(1).alias("is_dup"))
+    )
+    scrub = (
+        w.join(dup, "passage_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(1000000 * count(is_dup)) DIV count(*)"
+            ).alias("dup_ppm")
+        )
+    )
+    out = (
+        d.select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
+        .join(broadcast(lab), "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("dup_ppm", F.lit(0)).cast("bigint").alias("dup_ppm"),
+        )
+    )
+    quality = d.select("doc_id", quality_keep.alias("qk"))
+    return (
+        out.join(quality, "doc_id")
+        .filter(
+            F.col("qk")
+            & (F.col("cluster_id") == F.col("doc_id"))
+            & (F.col("dup_ppm") < 500000)
+        )
+        .drop("qk")
+    )
