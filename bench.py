@@ -87,6 +87,11 @@ HEADLINE = [
     # aggregate-only repeated-passage report).
     "dedup_cluster_incremental",
     "dedup_repeated_passages",
+    # The composed snapshot rides the warm component-label memo (same
+    # shared-label consumer convention as dedup_cluster_stats): its
+    # number is the marginal cost of composing the three gates, the
+    # labeling cost having been stated once by dedup_cluster above.
+    "corpus_training_snapshot",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo
@@ -95,6 +100,9 @@ HEADLINE = [
 # a future HEADLINE reorder cannot flip dedup_cluster_stats back to
 # cold timing without a loud failure (r09 ADVICE).
 assert HEADLINE.index("dedup_cluster") < HEADLINE.index("dedup_cluster_stats")
+assert HEADLINE.index("dedup_cluster") < HEADLINE.index(
+    "corpus_training_snapshot"
+)
 
 
 def main() -> None:
