@@ -30,7 +30,7 @@ SF0001 = "/root/testdata/sf0.001"
 # row re-verified by the judge in r11 but its newest DRIVER row is
 # still r05, so the 7-query r05 tail leads the stale class, followed
 # by the 44-query r06 vintage. The window is spent on:
-# (1) the 12 queries NEW this round — rotation DEBT (no cumulative
+# (1) the 13 queries NEW this round — rotation DEBT (no cumulative
 # green row), mandatory per tests/test_rotation_debt: the three
 # oracle-verified artifact APPEND sinks (append ≡ rebuild through
 # oracle SQL shared byte-for-byte with the write-once sinks), the
@@ -46,7 +46,9 @@ SF0001 = "/root/testdata/sf0.001"
 # see earlier epochs' admissions through an in-stream state ledger),
 # and the composed training snapshot (quality gate AND canonical keeper
 # AND passage scrub in one declarative plan — THE corpus a trainer
-# reads, oracled from the constituent ops' own SQL fragments);
+# reads, oracled from the constituent ops' own SQL fragments), plus
+# semantic benchmark decontamination (the embedding twin of the n-gram
+# decontamination op — paraphrased eval leakage);
 # (2) the 8 queries whose own code changed this round (discipline: a
 # changed query re-earns its external green row): the MinHash artifact
 # gate + its streaming twin (convention-free verify shingle side — the
@@ -56,11 +58,11 @@ SF0001 = "/root/testdata/sf0.001"
 # (3) one long-green canary (flagship, green since r01) so a comparator
 # regression on the old surface stays externally detectable;
 # (4) the 7-query r05 tail, then the r06 class alphabetically up to
-# the window: 22 of 44 fit; the 22-query r06 tail
-# (sink_partitioned_parquet .. udf_iter_model_score) leads the r13
-# head. 12+8+1+7+22 = 50 — exactly the driver's sample window. Queries
-# not listed keep their import order after these; nothing is removed —
-# the full local gate (tools/check_oracle.py) still checks all 253.
+# the window: 21 of 44 fit; the 23-query r06 tail
+# (sink_merge_upsert .. udf_iter_model_score) leads the r13 head.
+# 13+8+1+7+21 = 50 — exactly the driver's sample window. Queries not
+# listed keep their import order after these; nothing is removed — the
+# full local gate (tools/check_oracle.py) still checks all 254.
 DRIVER_PRIORITY = [
     # (1) NEW this round — the artifact APPEND lifecycle, oracle-
     # verified, + the post-append drift guard
@@ -76,6 +78,7 @@ DRIVER_PRIORITY = [
     "dedup_cluster_relabel_queue",
     "stream_ingest_exact_dedup_sequential",
     "corpus_training_snapshot",
+    "dedup_decontaminate_embedding",
     # (2) CHANGED this round — convention-free MinHash verify + path
     # params + shared summary helpers
     "dedup_incremental_minhash_artifact",
@@ -96,7 +99,7 @@ DRIVER_PRIORITY = [
     "window_percent_rank_cume",
     "window_range_interval",
     "window_running_distinct",
-    # (4b) stale: newest green row r06 (alphabetical, first 22 of 44)
+    # (4b) stale: newest green row r06 (alphabetical, first 21 of 44)
     "agg_histogram_mode",
     "agg_skew_profile",
     "audit_referential_integrity",
@@ -118,7 +121,6 @@ DRIVER_PRIORITY = [
     "sim_ann_lsh_multiprobe",
     "sim_label_cohesion",
     "sink_compacted_parquet",
-    "sink_merge_upsert",
 ]
 
 

@@ -1144,6 +1144,64 @@ def dedup_incremental_embedding_artifact(
     )
 
 
+@registry.query(
+    "dedup_decontaminate_embedding",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    bench AS (SELECT vec_id, v FROM c WHERE vec_id % 5 = 0),
+    train AS (SELECT vec_id, v FROM c WHERE vec_id % 5 <> 0),
+    m AS (
+        SELECT t.vec_id, MAX(list_cosine_similarity(t.v, b.v)) AS max_cos
+        FROM train t CROSS JOIN bench b GROUP BY t.vec_id
+    )
+    SELECT vec_id, max_cos, max_cos >= {EMB_GATE_COS} AS contaminated
+    FROM m
+    """,
+)
+def dedup_decontaminate_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-family twin
+    of :func:`~quty_server_spark.operators.dedup.dedup_decontaminate_ngram`,
+    completing the decontamination pair: n-gram overlap catches
+    verbatim eval leakage, this op catches PARAPHRASED leakage the
+    text filter cannot see (a reworded benchmark question shares few
+    3-grams but sits close in embedding space). Every training vector
+    (``vec_id % 5 != 0``; the % 5 == 0 slice plays the benchmark)
+    reports its maximum cosine against the benchmark set and a
+    contaminated flag at the family's shared EMB_GATE_COS threshold,
+    so the two ops' flags compose into the standard both-modality
+    decontamination gate.
+
+    Scale: the same shape argument as the n-gram twin — eval suites
+    are SMALL by construction, so the benchmark side broadcasts and
+    the corpus is scanned once, never shuffled; the per-vector MAX
+    map-side combines (one row per training vector reaches the
+    exchange). |train| x |bench| cosines is the exact answer's price;
+    if a benchmark ever outgrew broadcast, the IVF-celled probe
+    (:func:`dedup_incremental_embedding_artifact`'s shape) is the
+    approximate fallback. The broadcast cross join is allowlisted in
+    test_plan_audit with this justification."""
+    c = _corpus(spark, sf_dir)
+    bench = c.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+    )
+    train = c.filter(F.col("vec_id") % 5 != 0)
+    return (
+        train.join(broadcast(bench))
+        .select(
+            "vec_id", cosine(F.col("v"), F.col("bv")).alias("cos_sim")
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= EMB_GATE_COS).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-verified posting-list APPEND + growth drift guard (round 12)
 # ---------------------------------------------------------------------------

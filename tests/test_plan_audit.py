@@ -49,6 +49,9 @@ BNLJ_JUSTIFIED = {
     "text_tfidf_keywords": "1-row corpus-doc-count build side",
     "sim_cosine_topk": "documented brute-force baseline over a bounded "
     "query set (ANN variants are the scale path)",
+    "dedup_decontaminate_embedding": "benchmark side is an eval suite — "
+    "small by construction, broadcast; the corpus scans once unshuffled "
+    "(same shape argument as the n-gram decontamination twin)",
     "sim_ann_ivf_nprobe2": "probe set x 256-centroid broadcast table "
     "(bounded tiny side by construction)",
     "embed_norm_outliers": "1-row corpus-median build side (scalar-"
