@@ -789,6 +789,7 @@ def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same plan, so Catalyst prunes rejected rows before the
     output projection."""
     from quty_server_spark.operators.dedup import (
+        BROADCAST_NODES_MAX,
         _passage_windows,
         simhash_component_labels,
     )
@@ -821,9 +822,21 @@ def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm")
         )
     )
-    out = (
-        d.select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
-        .join(broadcast(lab), "doc_id", "left")
+    # The label table is the near-dup doc set — unbounded at corpus
+    # scale, so the broadcast must be gated exactly like every other
+    # simhash_component_labels consumer (dedup.py BROADCAST_NODES_MAX
+    # pattern); labels are already materialized by the BSP loop, so the
+    # count is a cheap memoized scan. A bare broadcast() hint has no
+    # size-based fallback and would OOM at 100 TB.
+    small = lab.count() <= BROADCAST_NODES_MAX
+    # quality_keep filters the same projection that feeds the output —
+    # scan-side predicate, no self-join. The scrub/dup windows above
+    # still run over the FULL corpus (a low-quality doc's passages
+    # still mark duplicates), matching the oracle's CTE scoping.
+    return (
+        d.filter(quality_keep)
+        .select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
+        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
         .join(scrub, "doc_id", "left")
         .select(
             "doc_id",
@@ -833,14 +846,8 @@ def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
             F.coalesce("dup_ppm", F.lit(0)).cast("bigint").alias("dup_ppm"),
         )
-    )
-    quality = d.select("doc_id", quality_keep.alias("qk"))
-    return (
-        out.join(quality, "doc_id")
         .filter(
-            F.col("qk")
-            & (F.col("cluster_id") == F.col("doc_id"))
+            (F.col("cluster_id") == F.col("doc_id"))
             & (F.col("dup_ppm") < 500000)
         )
-        .drop("qk")
     )

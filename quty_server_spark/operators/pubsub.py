@@ -378,16 +378,22 @@ def _events_rows_upper_bound(sf_dir: str) -> int | None:
     path = os.path.join(sf_dir, "events.parquet")
     try:
         if os.path.isdir(path):
-            parts = [
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            ]
+            entries = os.listdir(path)
+            if any(
+                os.path.isdir(os.path.join(path, e)) for e in entries
+            ):
+                # ANY subdirectory (key=value partition dirs, nested
+                # layouts, even a MIXED layout with some top-level part
+                # files) means the top-level part list under-counts the
+                # table — and an UNDER-bound flips the gate to
+                # broadcast for arbitrarily large state, violating the
+                # "can only err toward the salted plan" invariant
+                # (r11 ADVICE; mixed-layout case r12 ADVICE). Unknown,
+                # never a partial sum.
+                return None
+            parts = [f for f in entries if f.endswith(".parquet")]
             if not parts:
-                # A directory with no TOP-LEVEL part files (e.g. a
-                # partitioned layout nesting them under key=value/
-                # subdirectories) must read as UNKNOWN, not 0: a zero
-                # here would flip the gate to broadcast for arbitrarily
-                # large state — an UNDER-bound, violating the "can only
-                # err toward the salted plan" invariant (r11 ADVICE).
+                # No part files at all: unknown, not 0, same rationale.
                 return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows

@@ -173,6 +173,16 @@ def session_tmp_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
             atexit.register(_cleanup_session_tmp_dirs)
         _CREATED_TMP_DIRS.add(app_dir)
         _prune_stale_siblings(kind_root, app_dir)
+    else:
+        # Heartbeat (r12 ADVICE): writes land nested under per-sf
+        # subdirectories and never refresh app_dir's own mtime, so a
+        # genuinely live week-old session could look stale to a newer
+        # sibling's prune sweep. Touching our own dir on each call
+        # keeps a live session's artifacts safe from siblings.
+        try:
+            os.utime(app_dir)
+        except OSError:
+            pass
     return os.path.join(
         app_dir,
         os.path.basename(sf_dir.rstrip("/")),

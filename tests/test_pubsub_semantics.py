@@ -442,3 +442,30 @@ def test_changelog_rows_estimate_bounds_state(spark):
         with open(os.path.join(nested, "part-0.parquet"), "wb") as f:
             f.write(b"PAR1")  # content irrelevant: top level has no parts
         assert _events_rows_upper_bound(d) is None
+
+
+def test_changelog_rows_estimate_mixed_layout_unknown():
+    # MIXED layout (some top-level part files PLUS key=value subdirs):
+    # summing only the top-level files would UNDER-bound and flip the
+    # gate to broadcast — the exact invariant violation the nested-
+    # layout fix targets (r12 ADVICE). Any subdirectory => unknown.
+    import os
+    import shutil
+    import tempfile
+
+    from quty_server_spark.operators.pubsub import _events_rows_upper_bound
+    from tests.conftest import SF_DIR
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "events.parquet")
+        nested = os.path.join(root, "day=2026-01-01")
+        os.makedirs(nested)
+        # A REAL top-level part file (copied from the fixture) so the
+        # old code path would have returned its (partial) row count.
+        shutil.copy(
+            os.path.join(SF_DIR, "events.parquet"),
+            os.path.join(root, "part-0.parquet"),
+        )
+        with open(os.path.join(nested, "part-1.parquet"), "wb") as f:
+            f.write(b"PAR1")
+        assert _events_rows_upper_bound(d) is None

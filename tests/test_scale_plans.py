@@ -1207,3 +1207,32 @@ def test_artifact_files_sorted_by_probe_key(spark):
                 ), f"{f} not sorted by {key}"
                 checked += 1
         assert checked >= 1, "no multi-row file to check sortedness on"
+
+
+def test_snapshot_label_broadcast_gated(spark, monkeypatch):
+    # corpus_training_snapshot joins the near-dup cluster-label table —
+    # unbounded at corpus scale (potentially billions of rows at 100 TB).
+    # Past BROADCAST_NODES_MAX the forced broadcast must be dropped so
+    # the join degrades to a shuffle instead of OOMing the executors
+    # (r12 VERDICT #1). Same gate every dedup.py consumer of
+    # simhash_component_labels already carries.
+    from quty_server_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "BROADCAST_NODES_MAX", 0)
+    plan = plan_of(spark, "corpus_training_snapshot")
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_quality_gate_is_scan_side(spark):
+    # The quality predicate is applied inline on the projection that
+    # feeds the output (r12 ADVICE #3) — no documents self-join. The
+    # documents table appears as exactly ONE parquet scan: the output
+    # projection (the corpus-wide passage windows sit behind a
+    # localCheckpoint, so they surface as an RDD scan, not a second
+    # parquet read). Before the fix the quality self-join added a
+    # second parquet scan plus a shuffle join.
+    plan = plan_of(spark, "corpus_training_snapshot")
+    assert plan.count("documents.parquet") == 1, plan.count(
+        "documents.parquet"
+    )
