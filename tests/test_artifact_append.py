@@ -181,3 +181,22 @@ def test_append_adds_files_never_rewrites(spark):
         assert after[f] == meta, f"append rewrote base file {f}"
     assert len(after) > len(before), "append added no files"
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_passage_gate_after_append_equals_after_rebuild(spark):
+    from quty_server_spark.operators.dedup import (
+        appended_passage_artifact,
+        dedup_incremental_passages,
+        lake_passage_artifact,
+    )
+
+    app = appended_passage_artifact(spark, SF_DIR, rebuild=True)
+    full = lake_passage_artifact(spark, SF_DIR, rebuild=True)
+    cols = ["doc_id", "n_windows", "n_lake_dup_windows", "dup_ppm"]
+    got = _rows(dedup_incremental_passages(spark, SF_DIR, app), cols)
+    want = _rows(dedup_incremental_passages(spark, SF_DIR, full), cols)
+    assert got == want
+    art_cols = ["doc_id", "passage_md5", "pfx"]
+    assert _rows(spark.read.parquet(app), art_cols) == _rows(
+        spark.read.parquet(full), art_cols
+    )

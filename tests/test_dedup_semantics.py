@@ -482,3 +482,150 @@ def test_relabel_queue_on_crafted_bridge_merge(spark, tmp_path):
         for r in D.dedup_cluster_relabel_queue(spark, sf).collect()
     }
     assert queue == {(1003, 1001, 2)}
+
+
+def test_relabel_apply_maintained_equals_rebuilt_and_touches_only_queued(
+    spark, tmp_path
+):
+    """The relabel APPLY on the crafted bridge-merge corpus: after one
+    night of maintenance the artifact's content equals a full-corpus
+    recompute (maintained == rebuilt), the rewrite physically touched
+    ONLY the queued cluster's home bucket (every other pre-existing
+    file is byte-identical), and the append added files without
+    rewriting any."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    wa, wb, filler = "tok326", "tok8533", "tok42"
+    ta = " ".join([wa] * 10)
+    tb = " ".join([wb] * 10)
+    tx = " ".join([wa] * 10 + [wb] * 10 + [filler])
+    rows = [(1001, ta), (1011, ta), (1003, tb), (1013, tb), (2000, tx)]
+    sf = str(tmp_path / "day1")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    # Yesterday's state in home-bucket layout, built by hand so the
+    # maintenance step can be snapshotted in between.
+    D.lake_signature_artifact(spark, sf, rebuild=True)
+    art0 = spark.read.parquet(
+        D.lake_cluster_labels_artifact(spark, sf, rebuild=True)
+    )
+    path = str(tmp_path / "maintained")
+    (
+        art0.withColumn(
+            "lbl_bucket",
+            F.pmod(F.col("lbl"), F.lit(D.LABEL_HOME_BUCKETS)).cast("int"),
+        )
+        .sortWithinPartitions("lbl_bucket", "node")
+        .write.partitionBy("lbl_bucket")
+        .parquet(path)
+    )
+
+    def snap():
+        return {
+            f: (os.path.getsize(f), os.path.getmtime(f))
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        }
+
+    before = snap()
+    D.apply_cluster_label_maintenance(spark, sf, path, staged=False)
+    after = snap()
+
+    # Maintained content == full-corpus recompute (components >= 2).
+    maintained = {
+        (r.node, r.lbl)
+        for r in spark.read.parquet(path).select("node", "lbl").collect()
+    }
+    assert maintained == {
+        (1001, 1001), (1011, 1001), (1003, 1001), (1013, 1001),
+        (2000, 1001),
+    }
+
+    # Physical locality: queued cluster B (lbl 1003) lives in home
+    # bucket 1003 % 32 = 11 — the ONLY bucket whose files were
+    # rewritten. Appends (2000 -> lbl 1001) land as NEW files in bucket
+    # 1001 % 32 = 9; every pre-existing file outside bucket 11 is
+    # byte-identical (same size AND mtime).
+    affected_dir = f"lbl_bucket={1003 % D.LABEL_HOME_BUCKETS}"
+    for f, stat in before.items():
+        if affected_dir not in f:
+            assert f in after, f"maintenance deleted untouched file {f}"
+            assert after[f] == stat, f"maintenance rewrote untouched {f}"
+    assert any(f not in before for f in after), "append added no files"
+    # The rewrite replaced bucket 11's content (old files gone or new
+    # files present there).
+    b11_before = {f for f in before if affected_dir in f}
+    b11_after = {f for f in after if affected_dir in f}
+    assert b11_before and b11_after and b11_before != b11_after
+
+
+def test_tomorrow_gate_against_maintained_artifact_equals_full_recompute(
+    spark, tmp_path
+):
+    """The day-2 contract the maintenance exists for: after day-1's
+    bridge merge is APPLIED, a new day-2 doc near cluster B must get
+    the MERGED component's label (1001) — which equals a full
+    recompute over the complete corpus history — while the same gate
+    against the STALE (un-maintained) artifact would answer B's old
+    label (1003). Proves the maintained artifact is load-bearing, not
+    decorative."""
+    wa, wb, filler = "tok326", "tok8533", "tok42"
+    ta = " ".join([wa] * 10)
+    tb = " ".join([wb] * 10)
+    tx = " ".join([wa] * 10 + [wb] * 10 + [filler])
+    day1 = [(1001, ta), (1011, ta), (1003, tb), (1013, tb), (2000, tx)]
+    # Day 2: 2000 was admitted yesterday (lives only in the artifact);
+    # tonight's shard is 3000, a verbatim copy of cluster B's text.
+    day2 = [(1001, ta), (1011, ta), (1003, tb), (1013, tb), (3000, tb)]
+    full = day1 + [(3000, tb)]
+    dirs = {}
+    for name, rows in (("day1", day1), ("day2", day2), ("full", full)):
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{sf}/documents.parquet")
+        dirs[name] = sf
+
+    # Day-1 maintenance (the bridge merge applied).
+    D.lake_signature_artifact(spark, dirs["day1"], rebuild=True)
+    stale = D.lake_cluster_labels_artifact(
+        spark, dirs["day1"], rebuild=True
+    )
+    maintained = D.maintained_cluster_labels_artifact(
+        spark, dirs["day1"], rebuild=True, staged=False
+    )
+
+    # Day-2 gate, standing labels = the MAINTAINED artifact.
+    D.lake_signature_artifact(spark, dirs["day2"], rebuild=True)
+    got = {
+        (r.node, r.lbl)
+        for r in D._incremental_cluster_labels(
+            spark, dirs["day2"], labels_path=maintained
+        )
+        .filter("node = 3000")
+        .collect()
+    }
+    # Full recompute over the complete corpus history (incl. 2000).
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in D.dedup_cluster(spark, dirs["full"])
+        .filter("doc_id = 3000")
+        .collect()
+    }
+    assert got == want == {(3000, 1001)}
+
+    # Same gate against the STALE artifact: provably wrong (B's old
+    # label) — the maintenance is what makes tomorrow's answer right.
+    stale_got = {
+        (r.node, r.lbl)
+        for r in D._incremental_cluster_labels(
+            spark, dirs["day2"], labels_path=stale
+        )
+        .filter("node = 3000")
+        .collect()
+    }
+    assert stale_got == {(3000, 1003)}

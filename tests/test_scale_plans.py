@@ -1236,3 +1236,149 @@ def test_snapshot_quality_gate_is_scan_side(spark):
     assert plan.count("documents.parquet") == 1, plan.count(
         "documents.parquet"
     )
+
+
+def test_label_maintenance_read_prunes_to_queued_buckets(spark, tmp_path):
+    # The relabel APPLY's artifact read must carry a dynamic-pruning
+    # expression on the home-bucket partition column: at 100 TB the
+    # label artifact is lake-sized, and the nightly rewrite may only
+    # read the |queued clusters| directories, never the lake.
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators import dedup
+
+    rows = [(i, i % 7) for i in range(1, 200)]
+    art = spark.createDataFrame(rows, "node long, lbl long")
+    path = str(tmp_path / "labels")
+    (
+        art.withColumn(
+            "lbl_bucket",
+            F.pmod(F.col("lbl"), F.lit(dedup.LABEL_HOME_BUCKETS)).cast("int"),
+        )
+        .write.partitionBy("lbl_bucket")
+        .parquet(path)
+    )
+    # The affected-bucket set exactly as the apply derives it: a
+    # FILTERED projection of the checkpointed BSP labels — the
+    # selective predicate is what lets Spark insert the DPP subquery
+    # (a bare unfiltered relation would not).
+    labels = spark.createDataFrame(
+        [(5, 3), (9, 3)], "node long, lbl long"
+    ).localCheckpoint()
+    queue = labels.filter(
+        (F.col("node") % 10 != 0) & (F.col("lbl") != F.col("node"))
+    ).select(F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
+    affected = queue.select(
+        F.pmod(F.col("old_lbl"), F.lit(dedup.LABEL_HOME_BUCKETS))
+        .cast("int")
+        .alias("lbl_bucket")
+    ).distinct()
+    df = dedup._maintenance_touched_rows(spark, path, affected)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_staged_corpus_adds_no_plan_weight(spark):
+    # The bridge-staged queue must keep the raw queue's plan shape:
+    # both standing artifacts read, documents scans carry the shard
+    # predicate, no cartesian product — the staging is one 5-row local
+    # relation unioned under the scan, nothing more.
+    from quty_server_spark.operators.dedup import (
+        _incremental_cluster_pairs,
+        lake_cluster_labels_artifact,
+        lake_signature_artifact,
+    )
+
+    lake_signature_artifact(spark, SF_DIR, staged=True)  # declared builds
+    lake_cluster_labels_artifact(spark, SF_DIR, staged=True)
+    df = _incremental_cluster_pairs(
+        spark, SF_DIR, materialize_shard=False, staged=True
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "quty_lake_sig_stg" in plan
+    assert "quty_lake_clabels_stg" in plan
+    assert "CartesianProduct" not in tree
+    assert "% 10) = 0" in plan
+
+
+def test_passage_gate_windows_shard_only_no_lake_aggregation(spark):
+    # The nightly passage gate: every documents scan carries the shard
+    # predicate (the lake is never re-windowed), the artifact feeds a
+    # LEFT SEMI join with no aggregate between its scan and the join
+    # (lake multiplicity absorbed by the semi join, not a DISTINCT),
+    # and the only HashAggregates are the shard-keyed rollups.
+    import re
+
+    from quty_server_spark.operators.dedup import (
+        dedup_incremental_passages,
+        lake_passage_artifact,
+    )
+
+    lake_passage_artifact(spark, SF_DIR)  # declared build
+    df = dedup_incremental_passages(spark, SF_DIR, materialize_shard=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "quty_lake_passages" in plan
+    assert "LeftSemi" in tree
+    assert "% 10) = 0" in plan
+    # No unfiltered documents scan: every documents block carries the
+    # shard predicate in PushedFilters or the adjacent Filter node.
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id in ids and "quty_lake_passages" in block:
+            # the artifact scan reads only the probe columns
+            read = next(
+                l for l in block.splitlines() if "ReadSchema" in l
+            )
+            assert "passage_md5" in read
+            assert "doc_id" not in read, "probe ships lake doc_ids"
+    # Aggregates: totals + hits rollups (+ AQE may show partial/final
+    # pairs) — all keyed on doc_id, none on the artifact subtree.
+    for m in re.finditer(r"\(\d+\) HashAggregate ?\n((?:(?!\(\d+\) ).*\n?)*)", plan):
+        assert "doc_id" in m.group(1)
+
+
+def test_passage_append_job_scans_only_the_batch(spark):
+    # The passage append: its entire read set is the admitted batch —
+    # the batch predicate pushes onto the documents scan; the lake and
+    # the existing artifact files are never read.
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.dedup import (
+        APPEND_BATCH_MOD,
+        _passage_pfx,
+        _passage_windows,
+    )
+    from quty_server_spark.operators._helpers import load_table
+
+    batch = _passage_windows(
+        load_table(spark, SF_DIR, "documents").filter(
+            F.col("doc_id") % 10 == APPEND_BATCH_MOD
+        )
+    ).select("doc_id", "passage_md5", _passage_pfx())
+    plan = batch._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert f"% 10) = {APPEND_BATCH_MOD}" in plan
+    assert "quty_lake_passages" not in plan
