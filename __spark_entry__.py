@@ -25,102 +25,86 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-12 rotation
-# (r11 VERDICT "Next round" #3): every r05-class query got its green
-# row re-verified by the judge in r11 but its newest DRIVER row is
-# still r05, so the 7-query r05 tail leads the stale class, followed
-# by the 44-query r06 vintage. The window is spent on:
-# (1) the 13 queries NEW this round — rotation DEBT (no cumulative
-# green row), mandatory per tests/test_rotation_debt: the three
-# oracle-verified artifact APPEND sinks (append ≡ rebuild through
-# oracle SQL shared byte-for-byte with the write-once sinks), the
-# post-append IVF cell-growth drift guard, the lake cluster-label
-# artifact + the incremental cluster-assignment gate (full-recompute-
-# equivalent labels from a contracted shard-sized graph), and
-# substring-level repeated-passage dedup with its per-doc scrub-plan
-# twin, and the embedding-family continuous ingest gate (completing
-# the continuous tier for all three signature families), and the
-# cluster relabel queue (which standing lake clusters tonight's merges
-# invalidate — the incremental-clustering maintenance contract), and
-# the order-dependent sequential exact-dedup gate (later micro-batches
-# see earlier epochs' admissions through an in-stream state ledger),
-# and the composed training snapshot (quality gate AND canonical keeper
-# AND passage scrub in one declarative plan — THE corpus a trainer
-# reads, oracled from the constituent ops' own SQL fragments), plus
-# semantic benchmark decontamination (the embedding twin of the n-gram
-# decontamination op — paraphrased eval leakage);
+# queries, so registration order IS driver coverage. Round-13 rotation
+# (r12 VERDICT "Next round" #3): the stale class is now the 23-query
+# r06 vintage (newest driver-green row r06 — sink_merge_upsert ..
+# udf_iter_model_score), which fits the head whole. The window is:
+# (1) the 5 queries NEW this round — rotation DEBT (no cumulative green
+# row), mandatory per tests/test_rotation_debt: the relabel APPLY sink
+# (maintained label artifact == full rebuild, through a from-scratch
+# full-corpus oracle), the bridge-staged relabel queue (the r12
+# verdict's non-vacuity ask — always returns real rows), and the
+# passage-family incremental tier (write-once passage-digest artifact
+# sink, its oracle-verified APPEND, and the shard-vs-artifact nightly
+# gate);
 # (2) the 8 queries whose own code changed this round (discipline: a
-# changed query re-earns its external green row): the MinHash artifact
-# gate + its streaming twin (convention-free verify shingle side — the
-# r11 ADVICE false-negative fix), the three gates/probes that gained a
-# tests-only path parameter, and the three write-once sinks refactored
-# onto the shared summary helpers;
-# (3) one long-green canary (flagship, green since r01) so a comparator
-# regression on the old surface stays externally detectable;
-# (4) the 7-query r05 tail, then the r06 class alphabetically up to
-# the window: 21 of 44 fit; the 23-query r06 tail
-# (sink_merge_upsert .. udf_iter_model_score) leads the r13 head.
-# 13+8+1+7+21 = 50 — exactly the driver's sample window. Queries not
+# changed query re-earns its external green row): the snapshot (gated
+# label broadcast + inline quality predicate), route_fanout (the
+# mixed-layout row-bound hardening), and the six incremental-clustering
+# / signature-artifact queries whose builders gained staged/labels_path
+# parameters and tuple cache keys;
+# (3) one long-green canary (flagship, green since r01);
+# (4) the full 23-query r06 stale class, then the next-stalest vintage
+# (r08, alphabetical) up to the window: 13 of 47 fit.
+# 5+8+1+23+13 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 254.
+# full local gate (tools/check_oracle.py) still checks all 259.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — the artifact APPEND lifecycle, oracle-
-    # verified, + the post-append drift guard
-    "sink_lake_signature_artifact_append",
-    "sink_lake_minhash_artifact_append",
-    "sink_ivf_postings_artifact_append",
-    "sim_ivf_cell_growth",
-    "sink_lake_cluster_labels_artifact",
-    "dedup_cluster_incremental",
-    "dedup_repeated_passages",
-    "doc_passage_dup_ratio",
-    "stream_ingest_dedup_gate_embedding",
-    "dedup_cluster_relabel_queue",
-    "stream_ingest_exact_dedup_sequential",
+    # (1) NEW this round — relabel APPLY + staged queue + passage tier
+    "sink_lake_cluster_labels_artifact_relabel",
+    "dedup_cluster_relabel_queue_staged",
+    "sink_lake_passage_artifact",
+    "sink_lake_passage_artifact_append",
+    "dedup_incremental_passages",
+    # (2) CHANGED this round — re-earn the green row
     "corpus_training_snapshot",
-    "dedup_decontaminate_embedding",
-    # (2) CHANGED this round — convention-free MinHash verify + path
-    # params + shared summary helpers
-    "dedup_incremental_minhash_artifact",
-    "stream_ingest_dedup_gate_minhash",
-    "dedup_incremental_simhash_artifact",
-    "sim_ann_ivf_artifact",
-    "dedup_incremental_embedding_artifact",
+    "route_fanout",
+    "dedup_cluster_incremental",
+    "dedup_cluster_relabel_queue",
+    "sink_lake_cluster_labels_artifact",
     "sink_lake_signature_artifact",
-    "sink_lake_minhash_artifact",
-    "sink_ivf_postings_artifact",
+    "sink_lake_signature_artifact_append",
+    "dedup_incremental_simhash_artifact",
     # (3) canary: the long-green batch flagship
     "flagship_delivery_report",
-    # (4a) stale: the r05 tail (newest driver-green row r05)
-    "text_bigram_familiarity",
-    "udf_map_in_arrow",
-    "window_gaps_islands",
-    "window_ignore_nulls",
-    "window_percent_rank_cume",
-    "window_range_interval",
-    "window_running_distinct",
-    # (4b) stale: newest green row r06 (alphabetical, first 21 of 44)
-    "agg_histogram_mode",
-    "agg_skew_profile",
-    "audit_referential_integrity",
-    "auth_admission",
-    "dedup_simhash_capped",
-    "events_ab_test_lift",
-    "events_densified_hourly",
-    "events_sessionize_batch",
-    "graph_pagerank_2iter",
-    "graph_pagerank_converged",
-    "join_bucketed_colocated",
-    "mm_audio_chunks",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_resize_dims",
-    "profile_column_stats",
-    "sample_bernoulli_hash",
-    "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe",
-    "sim_label_cohesion",
-    "sink_compacted_parquet",
+    # (4a) stale: the whole r06 class (newest driver-green row r06)
+    "sink_merge_upsert",
+    "sink_partitioned_parquet",
+    "source_csv_roundtrip",
+    "source_json_corrupt_records",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "split_train_val_test",
+    "text_boilerplate_shingles",
+    "text_bpe_pair_counts",
+    "text_domain_mix",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_pmi_collocations",
+    "text_quality_score",
+    "text_repetition_ngrams",
+    "text_stats",
+    "text_tfidf_keywords",
+    "text_tokenize",
+    "udf_cogrouped_asof",
+    "udf_grouped_zscore",
+    "udf_iter_model_score",
+    # (4b) stale: newest green row r08 (alphabetical, first 13 of 47)
+    "agg_approx_distinct",
+    "agg_unpivot",
+    "dedup_decontaminate_ngram",
+    "dedup_exact_normalized",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash_error_eval",
+    "doc_mix_rebalance",
+    "doc_pack_efficiency",
+    "doc_quality_gate",
+    "doc_seqlen_histogram",
+    "embed_norm_outliers",
+    "embed_quantize_int8",
+    "events_bot_regularity",
 ]
 
 
