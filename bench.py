@@ -92,6 +92,11 @@ HEADLINE = [
     # number is the marginal cost of composing the three gates, the
     # labeling cost having been stated once by dedup_cluster above.
     "corpus_training_snapshot",
+    # round-13 addition: the passage-family nightly gate probing the
+    # write-once digest artifact — shard windowing + left-semi probe.
+    # Best-of-3 makes this the warm-probe number (run 1 pays the
+    # memoized artifact build), same convention as the other gates.
+    "dedup_incremental_passages",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

@@ -286,6 +286,32 @@ def measure_fixed_shard(spark, sf_dir: str, shard_n: int) -> dict[str, int]:
             .distinct()
             .count()
         )
+    # r13: the passage-family gate (dedup_incremental_passages). Two
+    # columns tell the story: the INNER candidate multiplicity a naive
+    # digest join would pay (grows with the lake — recurring boilerplate
+    # digests match ever more lake rows) versus the LEFT SEMI hit count
+    # the gate actually pays, bounded by |shard windows| regardless of
+    # lake size. fixed_shard_passage_windows is that bound (constant by
+    # construction — the shard text is byte-identical across rungs).
+    from quty_server_spark.operators._helpers import load_table
+    from quty_server_spark.operators.dedup import _passage_windows
+
+    w = _passage_windows(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    sw = w.filter(F.col("doc_id") < shard_n)
+    lw = w.filter(F.col("doc_id") >= shard_n)
+    out["fixed_shard_passage_windows"] = sw.count()
+    out["fixed_shard_passage_hits"] = sw.join(
+        lw, "passage_md5", "leftsemi"
+    ).count()
+    out["fixed_shard_passage_pairs"] = (
+        sw.alias("n")
+        .join(lw.alias("o"), "passage_md5")
+        .select("n.doc_id", "o.doc_id")
+        .distinct()
+        .count()
+    )
     return out
 
 
@@ -333,6 +359,7 @@ def main() -> None:
             **{
                 k.replace("_pairs", "_per_doc"): round(v / n, 3)
                 for k, v in counts.items()
+                if k.endswith("_pairs")
             },
             "gen_s": round(gen_s, 1),
             "measure_s": round(time.time() - t0, 1),
@@ -393,6 +420,13 @@ def main() -> None:
             / max(prev["fixed_shard_minhash_capped_pairs"], 1),
             2,
         )
+        # Passage columns exist only on rows measured from r13 on —
+        # steps are computed where both rungs carry them.
+        for k in ("fixed_shard_passage_pairs", "fixed_shard_passage_hits"):
+            if k in prev and k in cur:
+                cur[k.replace("_pairs", "").replace("_hits", "_hit") + "_step"] = round(
+                    cur[k] / max(prev[k], 1), 2
+                )
     out = json.dumps({"seed": SEED, "sizes": rows})
     print(out)
     if args.json:
