@@ -3241,9 +3241,10 @@ def sink_lake_passage_artifact_append(
     return _passage_artifact_summary(spark.read.parquet(path))
 
 
-@registry.query(
-    "dedup_incremental_passages",
-    oracle=f"""
+# The passage gate's oracle — shared byte-for-byte with the streaming
+# twin (stream_ingest_passage_gate), the same device as
+# SQL_INCREMENTAL_GATE / SQL_MINHASH_GATE / SQL_EMB_GATE.
+SQL_PASSAGE_GATE = f"""
     WITH {SQL_PASSAGE_WINDOWS},
     shard AS (
         SELECT doc_id, passage_md5 FROM passage_windows WHERE doc_id % 10 = 0
@@ -3261,7 +3262,12 @@ def sink_lake_passage_artifact_append(
                 AS BIGINT) AS dup_ppm
     FROM shard s LEFT JOIN lake l ON s.passage_md5 = l.passage_md5
     GROUP BY s.doc_id
-    """,
+    """
+
+
+@registry.query(
+    "dedup_incremental_passages",
+    oracle=SQL_PASSAGE_GATE,
 )
 def dedup_incremental_passages(
     spark: SparkSession, sf_dir: str, path: str | None = None,

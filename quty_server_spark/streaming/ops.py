@@ -49,6 +49,7 @@ from quty_server_spark.operators.dedup import (
     SQL_DUPED,
     SQL_INCREMENTAL_GATE,
     SQL_MINHASH_GATE,
+    SQL_PASSAGE_GATE,
     duped_corpus,
 )
 from quty_server_spark.operators._helpers import load_table
@@ -1980,6 +1981,81 @@ def stream_ingest_dedup_gate_embedding(
         ["incoming_vec_id", "lake_vec_id", "cos_sim"],
         table="embeddings",
         id_col="vec_id",
+    )
+
+
+@registry.query(
+    "stream_ingest_passage_gate",
+    oracle=SQL_PASSAGE_GATE,
+)
+def stream_ingest_passage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PASSAGE-family continuous ingest gate — the streaming twin of
+    :func:`~quty_server_spark.operators.dedup.dedup_incremental_passages`,
+    extending the continuous tier to the fourth artifact family:
+    incoming documents arrive as a file stream in micro-batches; each
+    batch is windowed (16-token windows at stride 8) and its digests
+    LEFT-SEMI probed against the write-once lake passage artifact
+    inside ``foreachBatch``, reporting per-doc window totals, lake-dup
+    hits, and the scrub ratio, with the epoch-keyed idempotent parquet
+    sink. Shares the batch gate's oracle SQL byte-for-byte; epoch union
+    equals the one-shot gate exactly (each doc lands in one micro-batch,
+    its windows are a pure function of its own text, and hits come only
+    from static lake state — nothing crosses epochs; set-equality
+    tested in tests/test_streaming_recovery.py).
+
+    Scale: per micro-batch cost is window(batch) + one (pfx, digest)
+    semi-join against the prefix-partitioned artifact — no lake-side
+    aggregation (multiplicity absorbed by the semi join), no
+    re-windowing of the lake on any trigger."""
+    from quty_server_spark.operators.dedup import (
+        _passage_pfx,
+        _passage_windows,
+        lake_passage_artifact,
+    )
+
+    configure(spark)
+    art = spark.read.parquet(lake_passage_artifact(spark, sf_dir)).select(
+        "pfx", "passage_md5"
+    )
+
+    def gate_batch_of(outdir: str):
+        def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            w = _passage_windows(batch_df).select(
+                "doc_id", "passage_md5", _passage_pfx()
+            ).localCheckpoint(eager=False)
+            hits = (
+                w.join(art, ["pfx", "passage_md5"], "leftsemi")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_lake_dup_windows"))
+            )
+            res = (
+                w.groupBy("doc_id")
+                .agg(F.count("*").alias("n_windows"))
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "n_windows",
+                    F.coalesce("n_lake_dup_windows", F.lit(0)).alias(
+                        "n_lake_dup_windows"
+                    ),
+                )
+                .withColumn(
+                    "dup_ppm",
+                    F.expr("(1000000 * n_lake_dup_windows) DIV n_windows"),
+                )
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
+            )
+
+        return gate_batch
+
+    return _run_ingest_gate_stream(
+        spark,
+        sf_dir,
+        "quty_stream_gate_passages",
+        gate_batch_of,
+        ["doc_id", "n_windows", "n_lake_dup_windows", "dup_ppm"],
     )
 
 

@@ -298,3 +298,28 @@ def test_sequential_gate_rejects_cross_epoch_duplicates(spark):
     # Within-batch path: same-epoch pairs keep the min doc_id.
     for d in same:
         assert d in admitted and d + 1000000 not in admitted
+
+
+def test_stream_ingest_passage_gate_matches_batch_gate(spark):
+    # The passage-family continuous gate (round 13, the fourth family):
+    # epoch union == the one-shot artifact-backed gate (per-doc window
+    # totals, lake hits, AND ppm), run multi-batch.
+    from quty_server_spark.operators.dedup import dedup_incremental_passages
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import stream_ingest_passage_gate
+
+    streamed = {
+        (r.doc_id, r.n_windows, r.n_lake_dup_windows, r.dup_ppm)
+        for r in stream_ingest_passage_gate(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_windows, r.n_lake_dup_windows, r.dup_ppm)
+        for r in dedup_incremental_passages(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    outdir = os.path.join(
+        session_tmp_dir(spark, "quty_stream_gate_passages", SF_DIR), "out"
+    )
+    epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
