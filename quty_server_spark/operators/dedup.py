@@ -18,6 +18,7 @@ UDFs — so whole-stage codegen applies end-to-end.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2831,15 +2832,23 @@ def maintained_cluster_labels_artifact(
         shutil.rmtree(path, ignore_errors=True)
         art0 = spark.read.parquet(
             lake_cluster_labels_artifact(spark, sf_dir, staged=staged)
+        ).withColumn(
+            "lbl_bucket",
+            F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
         )
         (
-            art0.withColumn(
-                "lbl_bucket",
-                F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
-            )
-            .sortWithinPartitions("lbl_bucket", "node")
+            art0.sortWithinPartitions("lbl_bucket", "node")
             .write.partitionBy("lbl_bucket")
             .parquet(path)
+        )
+        # The label-homes sidecar (underscore-prefixed: invisible to
+        # plain parquet readers of `path`, like the IVF _centroids):
+        # which home buckets currently hold rows of each label. At base
+        # time that is one bucket per label; rewrites fan labels out
+        # across their merged-in clusters' home buckets, and the
+        # sidecar is what keeps round-N maintenance reads exact.
+        art0.select("lbl", "lbl_bucket").distinct().write.parquet(
+            os.path.join(path, "_label_homes")
         )
         apply_cluster_label_maintenance(spark, sf_dir, path, staged=staged)
         cache[key] = path
@@ -2867,23 +2876,49 @@ def apply_cluster_label_maintenance(
        zero read-modify-write.
 
     Cost follows the night, not the lake: the rewrite reads/writes
-    |queued clusters| buckets, the append writes |tonight's labels|
-    rows, and the label discovery is the same shard-sized contracted
-    BSP every other incremental consumer shares. Multi-round caveat
-    (documented, not hidden): after a rewrite, a row's home bucket is
-    its INSERT-time label's bucket, so a later rewrite of the same
-    cluster must read the union of its historical home buckets — the
-    deployment contract is to compact (rebuild via
-    :func:`lake_cluster_labels_artifact`) when the queue's cumulative
-    n_docs crosses a threshold, exactly the signal
-    :func:`dedup_cluster_relabel_queue` prices."""
+    |queued clusters' home buckets|, the append writes |tonight's
+    labels| rows, and the label discovery is the same shard-sized
+    contracted BSP every other incremental consumer shares.
+
+    MULTI-ROUND correctness comes from two devices. (a) The gate's
+    contraction reads its standing labels from ``path`` ITSELF (the
+    maintained artifact), so each night folds against the current
+    state, not the base build. (b) After a rewrite, a row's home
+    bucket is its INSERT-time label's bucket — cluster F's rows fan
+    out across the home buckets of every cluster it absorbed — so the
+    ``_label_homes`` sidecar tracks, per current label, the bucket set
+    holding its rows; round-N's affected-bucket discovery is a sidecar
+    lookup, never a lake scan and never an id-arithmetic guess (which
+    would silently miss absorbed buckets from round 2 on, and would
+    misclassify a standing label that happens to be a prior shard
+    doc's id). The sidecar is cluster-count-sized metadata, rewritten
+    whole each night like a parquet footer. Two-round equivalence to a
+    fresh rebuild is pinned in tests/test_dedup_semantics.py;
+    compaction (a base rebuild) remains the long-run hygiene the
+    relabel queue's cumulative n_docs prices."""
     labels, singles = _incremental_cluster_state(
-        spark, sf_dir, staged=staged
+        spark, sf_dir, staged=staged, labels_path=path
     )
-    queue = labels.filter(
-        (F.col("node") % 10 != 0) & (F.col("lbl") != F.col("node"))
-    ).select(F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
-    _run_cluster_label_maintenance(spark, path, labels, singles, queue)
+    homes = spark.read.parquet(os.path.join(path, "_label_homes"))
+    standing = homes.select(F.col("lbl").alias("old_lbl")).distinct()
+    # Queued = standing labels whose contracted-BSP label moved. Joined
+    # by membership in the sidecar's label set — NOT by node % 10 —
+    # so a standing label that is a prior shard doc's id still queues.
+    queue = (
+        labels.join(
+            F.broadcast(standing),
+            labels.node == F.col("old_lbl"),
+            "inner",
+        )
+        .filter(F.col("lbl") != F.col("node"))
+        .select("old_lbl", F.col("lbl").alias("new_lbl"))
+        # Materialized (|queued clusters| rows) so no write below can
+        # race a concurrent read of the artifact it came from.
+        .localCheckpoint(eager=True)
+    )
+    _run_cluster_label_maintenance(
+        spark, path, labels, singles, queue, homes, standing
+    )
 
 
 def _maintenance_touched_rows(
@@ -2901,17 +2936,31 @@ def _maintenance_touched_rows(
 
 def _run_cluster_label_maintenance(
     spark: SparkSession, path: str, labels: DataFrame,
-    singles: DataFrame, queue: DataFrame,
+    singles: DataFrame, queue: DataFrame, homes: DataFrame,
+    standing: DataFrame,
 ) -> None:
-    """The two physical maintenance writes, given the night's BSP
-    state (see :func:`apply_cluster_label_maintenance` for the
-    contract)."""
+    """The physical maintenance writes, given the night's BSP state
+    (see :func:`apply_cluster_label_maintenance` for the contract):
+    rewrite, append, and the sidecar update."""
     # -- 1. rewrite queued clusters in their home buckets ---------------
-    affected = queue.select(
-        F.pmod(F.col("old_lbl"), F.lit(LABEL_HOME_BUCKETS))
-        .cast("int")
-        .alias("lbl_bucket")
-    ).distinct()
+    # The queued labels' CURRENT bucket sets come from the sidecar —
+    # after round 1 a label's rows span every absorbed cluster's home
+    # bucket, so pmod(old_lbl) alone would under-read.
+    affected = (
+        homes.join(
+            F.broadcast(queue.select("old_lbl")),
+            homes.lbl == F.col("old_lbl"),
+            "leftsemi",
+        )
+        .select("lbl_bucket")
+        .distinct()
+        # Semantically vacuous (pmod is never negative) but load-
+        # bearing: Spark inserts the DPP subquery on the partitioned
+        # scan only when the build side carries a selective Filter —
+        # the checkpointed queue leaf has none, so without this the
+        # rewrite read degrades to scanning every bucket directory.
+        .filter(F.col("lbl_bucket") >= 0)
+    )
     # Materialize BEFORE overwriting: Spark (correctly) refuses a
     # plan that overwrites a path it is also reading; the eager
     # checkpoint bounds this to the affected buckets' rows.
@@ -2935,22 +2984,61 @@ def _run_cluster_label_maintenance(
         .parquet(path)
     )
     # -- 2. append tonight's new labels ---------------------------------
-    new_nodes = labels.filter(F.col("node") % 10 == 0).unionByName(
-        labels.join(
-            F.broadcast(singles.select(F.col("lake_doc_id").alias("node"))),
-            "node",
-            "leftsemi",
+    # Tonight's shard = % 10 == 0 BSP nodes MINUS standing labels (from
+    # round 2 on, a standing label can be a prior shard doc's id — its
+    # rows are already stored and were handled by the rewrite).
+    new_nodes = (
+        labels.filter(F.col("node") % 10 == 0)
+        .join(
+            F.broadcast(standing),
+            labels.node == F.col("old_lbl"),
+            "left_anti",
         )
-    )
-    (
-        new_nodes.withColumn(
+        .unionByName(
+            labels.join(
+                F.broadcast(
+                    singles.select(F.col("lake_doc_id").alias("node"))
+                ),
+                "node",
+                "leftsemi",
+            )
+        )
+        .withColumn(
             "lbl_bucket",
             F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
         )
-        .sortWithinPartitions("lbl_bucket", "node")
+        # Materialized (tiny: tonight's labels) so the sidecar update
+        # below can reuse it without re-running the BSP consumers.
+        .localCheckpoint(eager=True)
+    )
+    (
+        new_nodes.sortWithinPartitions("lbl_bucket", "node")
         .write.partitionBy("lbl_bucket")
         .mode("append")
         .parquet(path)
+    )
+    # -- 3. sidecar update ----------------------------------------------
+    # Queued labels' home buckets now hold the NEW label's rows; the
+    # appends add their own (lbl, home-bucket) rows. Cluster-count-
+    # sized; checkpointed before the overwrite (it reads the old
+    # sidecar), then rewritten whole.
+    new_homes = (
+        homes.alias("h")
+        .join(
+            F.broadcast(queue).alias("q"),
+            F.col("h.lbl") == F.col("q.old_lbl"),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("q.new_lbl"), F.col("h.lbl")).alias("lbl"),
+            F.col("h.lbl_bucket").alias("lbl_bucket"),
+        )
+        .unionByName(new_nodes.select("lbl", "lbl_bucket"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_homes.write.mode("overwrite").parquet(
+        os.path.join(path, "_label_homes")
     )
 
 

@@ -515,20 +515,25 @@ def test_relabel_apply_maintained_equals_rebuilt_and_touches_only_queued(
         D.lake_cluster_labels_artifact(spark, sf, rebuild=True)
     )
     path = str(tmp_path / "maintained")
+    art0b = art0.withColumn(
+        "lbl_bucket",
+        F.pmod(F.col("lbl"), F.lit(D.LABEL_HOME_BUCKETS)).cast("int"),
+    )
     (
-        art0.withColumn(
-            "lbl_bucket",
-            F.pmod(F.col("lbl"), F.lit(D.LABEL_HOME_BUCKETS)).cast("int"),
-        )
-        .sortWithinPartitions("lbl_bucket", "node")
+        art0b.sortWithinPartitions("lbl_bucket", "node")
         .write.partitionBy("lbl_bucket")
         .parquet(path)
+    )
+    art0b.select("lbl", "lbl_bucket").distinct().write.parquet(
+        f"{path}/_label_homes"
     )
 
     def snap():
         return {
             f: (os.path.getsize(f), os.path.getmtime(f))
             for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+            # the _label_homes sidecar is metadata, rewritten nightly
+            if "_label_homes" not in f
         }
 
     before = snap()
@@ -629,3 +634,75 @@ def test_tomorrow_gate_against_maintained_artifact_equals_full_recompute(
         .collect()
     }
     assert stale_got == {(3000, 1003)}
+
+
+def test_two_round_maintenance_equals_rebuild_via_sidecar(spark, tmp_path):
+    """Round-N correctness of the relabel APPLY: after round 1 merges
+    B into A (label 1001 now owns rows in BOTH home buckets 9 and 11),
+    a round-2 shard doc 200 absorbs the whole merged cluster (min id
+    200 < 1001). The _label_homes sidecar is what lets round 2 find
+    label 1001's rows in bucket 11 — a pmod(1001) guess would rewrite
+    bucket 9 only and leave B's rows stale. Also exercises the
+    standing-label-is-a-shard-id case: the round-2 queue must contain
+    1001 -> 200 even though... (1001 is lake-shaped here; the shard-id
+    case is 200 itself becoming standing, checked at the end)."""
+    from pyspark.sql import functions as F
+
+    wa, wb, filler = "tok326", "tok8533", "tok42"
+    ta = " ".join([wa] * 10)
+    tb = " ".join([wb] * 10)
+    tx = " ".join([wa] * 10 + [wb] * 10 + [filler])
+    lake = [(1001, ta), (1011, ta), (1003, tb), (1013, tb)]
+    day1 = lake + [(2000, tx)]          # bridge merges A and B
+    day2 = lake + [(200, ta)]           # absorbs the merged cluster
+    day3 = lake + [(40, ta)]            # absorbs again (standing=200)
+    dirs = {}
+    for name, rows in (("day1", day1), ("day2", day2), ("day3", day3)):
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{sf}/documents.parquet")
+        dirs[name] = sf
+
+    # Round 1: base build + bridge merge applied.
+    D.lake_signature_artifact(spark, dirs["day1"], rebuild=True)
+    path = D.maintained_cluster_labels_artifact(
+        spark, dirs["day1"], rebuild=True, staged=False
+    )
+    content = lambda: {
+        (r.node, r.lbl)
+        for r in spark.read.parquet(path).select("node", "lbl").collect()
+    }
+    assert content() == {
+        (1001, 1001), (1011, 1001), (1003, 1001), (1013, 1001),
+        (2000, 1001),
+    }
+    homes = lambda: {
+        (r.lbl, r.lbl_bucket)
+        for r in spark.read.parquet(f"{path}/_label_homes").collect()
+    }
+    nb = D.LABEL_HOME_BUCKETS
+    assert homes() == {(1001, 1001 % nb), (1001, 1003 % nb)}
+
+    # Round 2: doc 200 near A -> min of the merged component is 200.
+    # The sidecar must route the rewrite to BOTH buckets 9 and 11.
+    D.lake_signature_artifact(spark, dirs["day2"], rebuild=True)
+    D.apply_cluster_label_maintenance(spark, dirs["day2"], path)
+    assert content() == {
+        (1001, 200), (1011, 200), (1003, 200), (1013, 200),
+        (2000, 200), (200, 200),
+    }
+    assert homes() == {
+        (200, 1001 % nb), (200, 1003 % nb), (200, 200 % nb),
+    }
+
+    # Round 3: the standing label is now a SHARD-id doc (200). The
+    # membership-based queue must still rewrite it (id arithmetic
+    # would filter it out), and 200 must NOT be re-appended.
+    D.lake_signature_artifact(spark, dirs["day3"], rebuild=True)
+    D.apply_cluster_label_maintenance(spark, dirs["day3"], path)
+    got = content()
+    assert got == {
+        (1001, 40), (1011, 40), (1003, 40), (1013, 40),
+        (2000, 40), (200, 40), (40, 40),
+    }, got

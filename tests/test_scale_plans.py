@@ -1258,21 +1258,28 @@ def test_label_maintenance_read_prunes_to_queued_buckets(spark, tmp_path):
         .write.partitionBy("lbl_bucket")
         .parquet(path)
     )
-    # The affected-bucket set exactly as the apply derives it: a
-    # FILTERED projection of the checkpointed BSP labels — the
-    # selective predicate is what lets Spark insert the DPP subquery
-    # (a bare unfiltered relation would not).
-    labels = spark.createDataFrame(
-        [(5, 3), (9, 3)], "node long, lbl long"
+    # The affected-bucket set exactly as the apply derives it: the
+    # _label_homes sidecar semi-joined to the (checkpointed) queue,
+    # with the vacuous-but-selective filter that lets Spark insert the
+    # DPP subquery (the checkpointed queue leaf carries no Filter of
+    # its own).
+    homes = spark.createDataFrame(
+        [(3, 3 % dedup.LABEL_HOME_BUCKETS), (5, 5 % dedup.LABEL_HOME_BUCKETS)],
+        "lbl long, lbl_bucket int",
+    )
+    queue = spark.createDataFrame(
+        [(3, 1)], "old_lbl long, new_lbl long"
     ).localCheckpoint()
-    queue = labels.filter(
-        (F.col("node") % 10 != 0) & (F.col("lbl") != F.col("node"))
-    ).select(F.col("node").alias("old_lbl"), F.col("lbl").alias("new_lbl"))
-    affected = queue.select(
-        F.pmod(F.col("old_lbl"), F.lit(dedup.LABEL_HOME_BUCKETS))
-        .cast("int")
-        .alias("lbl_bucket")
-    ).distinct()
+    affected = (
+        homes.join(
+            F.broadcast(queue.select("old_lbl")),
+            homes.lbl == F.col("old_lbl"),
+            "leftsemi",
+        )
+        .select("lbl_bucket")
+        .distinct()
+        .filter(F.col("lbl_bucket") >= 0)
+    )
     df = dedup._maintenance_touched_rows(spark, path, affected)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

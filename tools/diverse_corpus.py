@@ -293,12 +293,28 @@ def measure_fixed_shard(spark, sf_dir: str, shard_n: int) -> dict[str, int]:
     # the gate actually pays, bounded by |shard windows| regardless of
     # lake size. fixed_shard_passage_windows is that bound (constant by
     # construction — the shard text is byte-identical across rungs).
+    #
+    # The generator's near-dups copy only the IMMEDIATELY previous doc,
+    # so cross-boundary passage repeats never occur naturally (hits
+    # would be a vacuous 0). The measurement therefore prepends a fixed
+    # 32-token boilerplate passage to every 10th doc — the license-
+    # header/navbox case passage dedup exists for — INSIDE this
+    # measurement only, leaving every other ladder column byte-
+    # comparable with rows measured before r13. Prepending keeps the
+    # boilerplate windows stride-aligned across docs, so each
+    # boilerplate carrier contributes the same 3 digests.
     from quty_server_spark.operators._helpers import load_table
     from quty_server_spark.operators.dedup import _passage_windows
 
-    w = _passage_windows(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    boiler = " ".join(f"boilertok{j}" for j in range(32))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    w = _passage_windows(docs).localCheckpoint(eager=False)
     sw = w.filter(F.col("doc_id") < shard_n)
     lw = w.filter(F.col("doc_id") >= shard_n)
     out["fixed_shard_passage_windows"] = sw.count()
