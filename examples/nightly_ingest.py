@@ -136,6 +136,41 @@ def main() -> None:
           f"or shard-internal clusters ({time.time() - t0:.1f}s — "
           f"contracted-graph BSP, cost follows the shard)")
 
+    # 4c. passage gate (round 13): which admitted docs are mostly
+    # boilerplate already in the lake — the substring-level question the
+    # whole-doc gates above cannot ask. Probes the write-once passage-
+    # digest artifact with a LEFT SEMI join (no lake re-windowing, no
+    # lake-side aggregation); a deployment scrubs or drops docs past a
+    # dup_ppm ceiling rather than quarantining them.
+    t0 = time.time()
+    pw = q["dedup_incremental_passages"](spark, sf_dir)
+    n_scrub = pw.filter("dup_ppm >= 500000").count()
+    print(f"passage gate: {n_scrub} incoming docs are >=50% passages "
+          f"already in the lake ({time.time() - t0:.1f}s incl. the "
+          f"amortized digest-artifact build — scrub-or-drop input)")
+
+    # 4d. label-artifact maintenance (round 13): APPLY the relabel
+    # queue — rewrite the standing clusters tonight's merges invalidate
+    # (their home buckets only, found via the _label_homes sidecar) and
+    # append tonight's labels, so tomorrow's contraction folds against
+    # tonight's truth. sink_lake_cluster_labels_artifact_relabel proves
+    # maintained == rebuilt through a full-corpus oracle.
+    t0 = time.time()
+    from quty_server_spark.operators.dedup import (
+        apply_cluster_label_maintenance,
+        maintained_cluster_labels_artifact,
+    )
+
+    lbl_path = maintained_cluster_labels_artifact(
+        spark, sf_dir, rebuild=True, staged=False
+    )
+    n_lbl = spark.read.parquet(lbl_path).count()
+    print(f"label maintenance: maintained artifact holds {n_lbl} "
+          f"(node, lbl) rows at {lbl_path} "
+          f"({time.time() - t0:.1f}s incl. the amortized base labeling; "
+          f"the nightly half is apply_cluster_label_maintenance alone)")
+    assert apply_cluster_label_maintenance  # the nightly-only entrypoint
+
     # 5. packing impact on the corpus the trainer will actually read
     pack = q["doc_pack_efficiency"](spark, sf_dir)
     p = pack.agg(
