@@ -2439,7 +2439,9 @@ def _incremental_cluster_state(
         labels, _ = min_label_components(spark, pairs)
         state = (
             labels.localCheckpoint(eager=True),
-            singles.localCheckpoint(eager=True),
+            # Lazy: only the maintenance APPLY reads the singles frame —
+            # the assignment/queue consumers must not pay its action.
+            singles.localCheckpoint(eager=False),
         )
         cache[key] = state
     return state
