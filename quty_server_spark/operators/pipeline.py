@@ -851,3 +851,176 @@ def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_ppm") < 500000)
         )
     )
+
+
+def _incremental_snapshot_oracle() -> str:
+    """Oracle for the nightly snapshot: full-corpus component labels
+    (the same recursive CTE dedup_cluster_incremental's oracle uses —
+    tonight's truth, recomputed from scratch) + lake-presence passage
+    scrub (SQL_PASSAGE_GATE's shape) + the quality predicates, all
+    restricted to tonight's shard."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SQL_PASSAGE_WINDOWS,
+        SQL_SIMHASH,
+    )
+
+    return f"""
+    WITH RECURSIVE {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    near AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN simhash sa ON p.doc_a = sa.doc_id
+        JOIN simhash sb ON p.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    flabels AS (
+        SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node
+    ),
+    {SQL_PASSAGE_WINDOWS},
+    lake_pw AS (
+        SELECT DISTINCT passage_md5 FROM passage_windows
+        WHERE doc_id % 10 <> 0
+    ),
+    scrub AS (
+        SELECT w.doc_id,
+               (1000000 * COUNT(*) FILTER (
+                    WHERE l.passage_md5 IS NOT NULL)) // COUNT(*) AS dup_ppm
+        FROM passage_windows w
+        LEFT JOIN lake_pw l ON w.passage_md5 = l.passage_md5
+        WHERE w.doc_id % 10 = 0
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(f.lbl, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.dup_ppm, 0) AS BIGINT) AS dup_ppm
+    FROM documents d
+    LEFT JOIN flabels f ON d.doc_id = f.node
+    LEFT JOIN scrub s ON d.doc_id = s.doc_id
+    WHERE d.doc_id % 10 = 0
+      AND len(string_split(d.text, ' ')) >= 40
+      AND d.lang IN ('en', 'de', 'fr')
+      AND len(list_distinct(string_split(d.text, ' '))) * 3
+          >= len(string_split(d.text, ' '))
+      AND COALESCE(f.lbl, d.doc_id) = d.doc_id
+      AND COALESCE(s.dup_ppm, 0) < 500000
+    """
+
+
+@registry.query(
+    "corpus_training_snapshot_incremental",
+    oracle=_incremental_snapshot_oracle(),
+)
+def corpus_training_snapshot_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE NIGHTLY PRODUCT — tonight's additions to the training
+    snapshot, composed entirely from the incremental tier: a shard doc
+    enters iff it (1) passes the quality gate (same predicates as
+    :func:`corpus_training_snapshot`), (2) is the canonical keeper of
+    its FULL-corpus near-dup component — computed from the contracted
+    shard-sized BSP (:func:`~quty_server_spark.operators.dedup._incremental_cluster_labels`:
+    provably full-recompute-equivalent labels, so "keeper" here means
+    exactly what the batch snapshot means by it, including losing to a
+    lake doc with a smaller id), and (3) is not majority lake
+    boilerplate (the passage gate's lake-presence dup_ppm < 500000 —
+    the NIGHTLY scrub question; unlike the batch snapshot's corpus-wide
+    dup windows, shard-vs-shard passage repeats are next snapshot
+    compaction's business, not tonight's).
+
+    The oracle recomputes full-corpus components and lake passage
+    presence from scratch and restricts to the shard, so a green row
+    proves the incremental composition equals tonight's truth — the
+    composed analog of dedup_cluster_incremental's contract.
+
+    Scale: zero lake-sized compute per night. Documents is scanned
+    shard-only (the batch predicate pushes to the reader); component
+    labels come from the memoized contracted BSP (shared with the
+    assignment, queue, and maintenance consumers — one signing + gate
+    join per night feeds all four); passage hits are a LEFT SEMI probe
+    of the write-once digest artifact. The shard-label join is
+    broadcast-gated at BROADCAST_NODES_MAX with shuffle fallback."""
+    from quty_server_spark.operators.dedup import (
+        BROADCAST_NODES_MAX,
+        _incremental_cluster_labels,
+        _passage_pfx,
+        _passage_windows,
+        lake_passage_artifact,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    quality_keep = (
+        (n_tok >= 40)
+        & F.col("lang").isin("en", "de", "fr")
+        & (F.size(F.array_distinct(toks)) * 3 >= n_tok)
+    )
+    lab = (
+        _incremental_cluster_labels(spark, sf_dir)
+        .filter(F.col("node") % 10 == 0)
+        .select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    )
+    # Shard-bounded but not small-bounded: gate like every other label
+    # consumer (the labels are already materialized, the count is cheap).
+    small = lab.count() <= BROADCAST_NODES_MAX
+    w = _passage_windows(d).select(
+        "doc_id", "passage_md5", _passage_pfx()
+    ).localCheckpoint(eager=False)
+    art = spark.read.parquet(lake_passage_artifact(spark, sf_dir)).select(
+        "pfx", "passage_md5"
+    )
+    hits = (
+        w.join(art, ["pfx", "passage_md5"], "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nh"))
+    )
+    scrub = (
+        w.groupBy("doc_id")
+        .agg(F.count("*").alias("nw"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("(1000000 * coalesce(nh, 0)) DIV nw").alias("dup_ppm"),
+        )
+    )
+    return (
+        d.filter(quality_keep)
+        .select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
+        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("dup_ppm", F.lit(0)).cast("bigint").alias("dup_ppm"),
+        )
+        .filter(
+            (F.col("cluster_id") == F.col("doc_id"))
+            & (F.col("dup_ppm") < 500000)
+        )
+    )

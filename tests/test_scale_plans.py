@@ -1389,3 +1389,29 @@ def test_passage_append_job_scans_only_the_batch(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert f"% 10) = {APPEND_BATCH_MOD}" in plan
     assert "quty_lake_passages" not in plan
+
+
+def test_incremental_snapshot_zero_lake_compute(spark):
+    # THE nightly product: every documents scan carries the shard
+    # predicate (the lake appears only through the passage artifact and
+    # the memoized contracted-BSP labels), the passage probe is a left
+    # semi join, and no cartesian sneaks in. The BSP labels and the
+    # windowed shard sit behind checkpoint leaves, so the pin targets
+    # the visible plan: shard-filtered scans + artifact scan only.
+    import re
+
+    from quty_server_spark.operators.dedup import lake_passage_artifact
+
+    lake_passage_artifact(spark, SF_DIR)  # declared build
+    plan = plan_of(spark, "corpus_training_snapshot_incremental")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "LeftSemi" in tree
+    assert "quty_lake_passages" in plan
+    ids = set(re.findall(r"\((\d+)\)", tree))
+    for node_id, block in re.findall(
+        r"\((\d+)\) Scan parquet ?\n((?:(?!\(\d+\) ).*\n?)*)", plan
+    ):
+        if node_id in ids and "documents" in block:
+            # every documents scan is shard-filtered (pushed predicate)
+            assert "% 10) = 0" in plan
