@@ -1,0 +1,123 @@
+"""Hypothesis property tests for the dedup arithmetic that is easiest to
+get silently wrong: the SIMD-packed SimHash vote (lane packing must be
+bit-for-bit the naive per-bit majority), the passage-window fencepost
+arithmetic (Spark's 1-based sequence/slice must enumerate exactly the
+reference windows), and the min-label BSP (pointer doubling must equal
+plain union-find on arbitrary graphs). Each property is checked against
+an independent pure-Python reference, batched per example so one Spark
+job covers many random documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quty_server_spark.operators import dedup as D
+
+_ALPHABET = ["a", "bb", "ccc", "tok1", "tok2", "zz9", "q", "longtoken"]
+
+_doc = st.lists(st.sampled_from(_ALPHABET), min_size=0, max_size=40)
+_docs = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _h60(token: str) -> int:
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+
+
+def _naive_simhash(tokens: list[str]) -> int:
+    distinct = sorted(set(tokens))
+    n = len(distinct)
+    sig = 0
+    for j in range(D.SIMHASH_BITS):
+        votes = sum((_h60(t) >> j) & 1 for t in distinct)
+        if votes * 2 > n:
+            sig |= 1 << j
+    return sig
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_packed_simhash_equals_naive_majority(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.sig for r in D.simhash_sigs_docs(df).collect()}
+    # split(text, ' ') on an empty string yields [''], so the reference
+    # tokenization of an empty doc is the single empty token.
+    want = {
+        i: _naive_simhash(toks if toks else [""])
+        for i, toks in enumerate(docs)
+    }
+    assert got == want
+
+
+def _naive_windows(tokens: list[str]) -> set[str]:
+    w, s = D.PASSAGE_W, D.PASSAGE_STRIDE
+    if len(tokens) < w:
+        return set()
+    return {
+        hashlib.md5(" ".join(tokens[i : i + w]).encode()).hexdigest()
+        for i in range(0, len(tokens) - w + 1, s)
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(_ALPHABET), min_size=0, max_size=60), min_size=1, max_size=10))
+def test_passage_windows_match_reference_fenceposts(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[str]] = {}
+    for r in D._passage_windows(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.passage_md5)
+    want = {
+        i: _naive_windows(toks if toks else [""])
+        for i, toks in enumerate(docs)
+        if _naive_windows(toks if toks else [""])
+    }
+    assert got == want
+
+
+def _union_find_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_min_label_components_equal_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    labels, _ = D.min_label_components(spark, pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == _union_find_min_labels(edges)
