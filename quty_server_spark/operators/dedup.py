@@ -3013,6 +3013,22 @@ def _run_cluster_label_maintenance(
         # below can reuse it without re-running the BSP consumers.
         .localCheckpoint(eager=True)
     )
+    # Idempotence: a re-run of the same night (operator retry, replayed
+    # job) must not re-append rows already stored — anti-join against
+    # the artifact restricted to the append rows' OWN home buckets (a
+    # DPP-pruned read bounded by tonight's labels, never the lake),
+    # mirroring the epoch-keyed idempotent sinks on the streaming side.
+    app_buckets = (
+        new_nodes.select("lbl_bucket")
+        .distinct()
+        .filter(F.col("lbl_bucket") >= 0)  # selective Filter => DPP
+    )
+    existing = _maintenance_touched_rows(spark, path, app_buckets).select(
+        "node"
+    )
+    new_nodes = new_nodes.join(
+        existing, "node", "left_anti"
+    ).localCheckpoint(eager=True)
     (
         new_nodes.sortWithinPartitions("lbl_bucket", "node")
         .write.partitionBy("lbl_bucket")

@@ -706,3 +706,40 @@ def test_two_round_maintenance_equals_rebuild_via_sidecar(spark, tmp_path):
         (1001, 40), (1011, 40), (1003, 40), (1013, 40),
         (2000, 40), (200, 40), (40, 40),
     }, got
+
+
+def test_maintenance_apply_is_idempotent(spark, tmp_path):
+    """Re-running the same night's APPLY (operator retry, replayed job)
+    must leave the artifact AND the sidecar byte-for-byte unchanged in
+    content: the rewrite re-matches nothing (labels already moved) and
+    the append's bucket-pruned anti-join drops every already-stored
+    row. Covers both memo states — the second call here hits the
+    session memo; the fresh-session case reduces to an empty queue plus
+    the same anti-join."""
+    wa, wb, filler = "tok326", "tok8533", "tok42"
+    ta = " ".join([wa] * 10)
+    tb = " ".join([wb] * 10)
+    tx = " ".join([wa] * 10 + [wb] * 10 + [filler])
+    rows = [(1001, ta), (1011, ta), (1003, tb), (1013, tb), (2000, tx)]
+    sf = str(tmp_path / "day1")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    D.lake_signature_artifact(spark, sf, rebuild=True)
+    path = D.maintained_cluster_labels_artifact(
+        spark, sf, rebuild=True, staged=False
+    )
+    content = lambda: sorted(
+        (r.node, r.lbl)
+        for r in spark.read.parquet(path).select("node", "lbl").collect()
+    )
+    homes = lambda: sorted(
+        (r.lbl, r.lbl_bucket)
+        for r in spark.read.parquet(f"{path}/_label_homes").collect()
+    )
+    c1, h1 = content(), homes()
+    # Second apply of the SAME night against the already-maintained
+    # artifact.
+    D.apply_cluster_label_maintenance(spark, sf, path)
+    assert content() == c1
+    assert homes() == h1
