@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quty_server_spark.functions.hashing import (
-    MERSENNE31,
-    MINHASH_PARAMS,
     hash28,
     hash60,
     minhash_expr,
