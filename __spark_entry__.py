@@ -29,7 +29,7 @@ SF0001 = "/root/testdata/sf0.001"
 # (r12 VERDICT "Next round" #3): the stale class is now the 23-query
 # r06 vintage (newest driver-green row r06 — sink_merge_upsert ..
 # udf_iter_model_score), which fits the head whole. The window is:
-# (1) the 7 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 8 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the relabel APPLY sink
 # (maintained label artifact == full rebuild, through a from-scratch
 # full-corpus oracle), the bridge-staged relabel queue (the r12
@@ -46,10 +46,10 @@ SF0001 = "/root/testdata/sf0.001"
 # parameters and tuple cache keys;
 # (3) one long-green canary (flagship, green since r01);
 # (4) the full 23-query r06 stale class, then the next-stalest vintage
-# (r08, alphabetical) up to the window: 11 of 47 fit.
-# 7+8+1+23+11 = 50 — exactly the driver's sample window. Queries not
+# (r08, alphabetical) up to the window: 10 of 47 fit.
+# 8+8+1+23+10 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 261.
+# full local gate (tools/check_oracle.py) still checks all 262.
 DRIVER_PRIORITY = [
     # (1) NEW this round — relabel APPLY + staged queue + passage tier
     "sink_lake_cluster_labels_artifact_relabel",
@@ -59,6 +59,7 @@ DRIVER_PRIORITY = [
     "dedup_incremental_passages",
     "stream_ingest_passage_gate",
     "corpus_training_snapshot_incremental",
+    "stream_cluster_maintenance",
     # (2) CHANGED this round — re-earn the green row
     "corpus_training_snapshot",
     "route_fanout",
@@ -105,7 +106,6 @@ DRIVER_PRIORITY = [
     "doc_pack_efficiency",
     "doc_quality_gate",
     "doc_seqlen_histogram",
-    "embed_norm_outliers",
 ]
 
 

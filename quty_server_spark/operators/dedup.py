@@ -2475,21 +2475,39 @@ def _incremental_cluster_graph(
     ``labels_path`` overrides the standing label artifact — the relabel
     APPLY's "tomorrow" test injects a MAINTAINED artifact here to prove
     a next-day gate against it equals a gate against a fresh rebuild."""
-    # Gate pairs (shard vs lake) off the signature artifact — the
-    # aggregation-free nightly join of dedup_incremental_simhash_artifact.
-    lake_sig = (
-        spark.read.parquet(
-            lake_signature_artifact(spark, sf_dir, staged=staged)
-        )
-        .select("doc_id", "sig", "band_id", "band_val")
-        .alias("o")
-    )
     shard_bands = (
         simhash_bands(simhash_sigs(spark, sf_dir, staged=staged))
         .filter(F.col("doc_id") % 10 == 0)
     )
     if materialize_shard:
         shard_bands = shard_bands.localCheckpoint(eager=False)
+    return _cluster_graph_for_bands(
+        spark,
+        shard_bands,
+        lake_signature_artifact(spark, sf_dir, staged=staged),
+        labels_path
+        if labels_path is not None
+        else lake_cluster_labels_artifact(spark, sf_dir, staged=staged),
+        materialize=materialize_shard,
+    )
+
+
+def _cluster_graph_for_bands(
+    spark: SparkSession, shard_bands: DataFrame, sig_path: str,
+    labels_path: str, materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`_incremental_cluster_graph` with the three inputs explicit
+    — tonight's banded signatures plus the two standing-artifact paths —
+    so a per-micro-batch caller (the continuous clustering maintenance
+    stream) can build the contracted graph for an arbitrary batch
+    against arbitrary (mutable-copy) artifact state."""
+    # Gate pairs (shard vs lake) off the signature artifact — the
+    # aggregation-free nightly join of dedup_incremental_simhash_artifact.
+    lake_sig = (
+        spark.read.parquet(sig_path)
+        .select("doc_id", "sig", "band_id", "band_val")
+        .alias("o")
+    )
     gate = (
         shard_bands.alias("n")
         .join(
@@ -2528,17 +2546,15 @@ def _incremental_cluster_graph(
     )
     # Contract: lake doc -> its standing cluster label (itself if the
     # doc was a lake singleton and is absent from the label table).
-    lab = spark.read.parquet(
-        labels_path
-        if labels_path is not None
-        else lake_cluster_labels_artifact(spark, sf_dir, staged=staged)
-    ).select(F.col("node").alias("lake_doc_id"), "lbl")
+    lab = spark.read.parquet(labels_path).select(
+        F.col("node").alias("lake_doc_id"), "lbl"
+    )
     # Lazily checkpointed so the pair consumer and the singleton
     # consumer share ONE gate join + artifact lookup. Tied to
-    # materialize_shard (checkpoints are RDD leaves, opaque to explain)
+    # ``materialize`` (checkpoints are RDD leaves, opaque to explain)
     # so plan tests can keep the whole tree visible.
     contracted = gate.join(lab, "lake_doc_id", "left")
-    if materialize_shard:
+    if materialize:
         contracted = contracted.localCheckpoint(eager=False)
     pairs = (
         contracted.select(
@@ -2830,29 +2846,38 @@ def maintained_cluster_labels_artifact(
         kind = "quty_maint_clabels_stg" if staged else "quty_maint_clabels"
         path = session_tmp_dir(spark, kind, sf_dir)
         shutil.rmtree(path, ignore_errors=True)
-        art0 = spark.read.parquet(
-            lake_cluster_labels_artifact(spark, sf_dir, staged=staged)
-        ).withColumn(
-            "lbl_bucket",
-            F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
-        )
-        (
-            art0.sortWithinPartitions("lbl_bucket", "node")
-            .write.partitionBy("lbl_bucket")
-            .parquet(path)
-        )
-        # The label-homes sidecar (underscore-prefixed: invisible to
-        # plain parquet readers of `path`, like the IVF _centroids):
-        # which home buckets currently hold rows of each label. At base
-        # time that is one bucket per label; rewrites fan labels out
-        # across their merged-in clusters' home buckets, and the
-        # sidecar is what keeps round-N maintenance reads exact.
-        art0.select("lbl", "lbl_bucket").distinct().write.parquet(
-            os.path.join(path, "_label_homes")
+        _write_home_bucket_layout(
+            spark.read.parquet(
+                lake_cluster_labels_artifact(spark, sf_dir, staged=staged)
+            ),
+            path,
         )
         apply_cluster_label_maintenance(spark, sf_dir, path, staged=staged)
         cache[key] = path
     return path
+
+
+def _write_home_bucket_layout(labels: DataFrame, path: str) -> None:
+    """Write a ``(node, lbl)`` frame as the maintained artifact's base
+    state: home-bucket-partitioned data plus the label-homes sidecar.
+    The sidecar (underscore-prefixed: invisible to plain parquet readers
+    of ``path``, like the IVF _centroids) records which home buckets
+    currently hold rows of each label — one bucket per label at base
+    time; rewrites fan labels out across their merged-in clusters' home
+    buckets, and the sidecar is what keeps round-N maintenance reads
+    exact."""
+    art0 = labels.withColumn(
+        "lbl_bucket",
+        F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
+    )
+    (
+        art0.sortWithinPartitions("lbl_bucket", "node")
+        .write.partitionBy("lbl_bucket")
+        .parquet(path)
+    )
+    art0.select("lbl", "lbl_bucket").distinct().write.parquet(
+        os.path.join(path, "_label_homes")
+    )
 
 
 def apply_cluster_label_maintenance(
@@ -2899,6 +2924,16 @@ def apply_cluster_label_maintenance(
     labels, singles = _incremental_cluster_state(
         spark, sf_dir, staged=staged, labels_path=path
     )
+    _apply_maintenance_for_state(spark, path, labels, singles)
+
+
+def _apply_maintenance_for_state(
+    spark: SparkSession, path: str, labels: DataFrame, singles: DataFrame,
+) -> None:
+    """One maintenance night given an already-computed contracted-BSP
+    state — shared by the nightly apply (whose state comes from the
+    session memo) and the continuous maintenance stream (whose state is
+    per micro-batch)."""
     homes = spark.read.parquet(os.path.join(path, "_label_homes"))
     standing = homes.select(F.col("lbl").alias("old_lbl")).distinct()
     # Queued = standing labels whose contracted-BSP label moved. Joined
@@ -3058,13 +3093,15 @@ def _run_cluster_label_maintenance(
     )
 
 
-# Full-corpus component summary over the staged corpus — byte-for-byte
-# the write-once sink's oracle with (a) the simhash CTE swapped to the
-# staged corpus and (b) the lake restriction dropped: the maintained
-# artifact must hold ALL of tonight's truth (lake rewrites + shard and
-# singleton appends), i.e. exactly what a full rebuild would hold.
-SQL_MAINTAINED_LABELS_SUMMARY = f"""
-    WITH RECURSIVE {SQL_SIMHASH_STAGED},
+# Full-corpus component summary over a pluggable simhash CTE ({sim}) —
+# byte-for-byte the write-once sink's oracle with (a) the corpus CTE
+# swappable and (b) the lake restriction dropped: a maintained artifact
+# must hold ALL of tonight's truth (lake rewrites + shard and singleton
+# appends), i.e. exactly what a full rebuild would hold. The relabel
+# sink binds the bridge-staged corpus; the continuous maintenance
+# stream binds the raw corpus.
+SQL_FULL_LABELS_SUMMARY_TMPL = f"""
+    WITH RECURSIVE {{sim}},
     bands AS (
         SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
         FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
@@ -3099,6 +3136,10 @@ SQL_MAINTAINED_LABELS_SUMMARY = f"""
            CAST(MAX(node) AS BIGINT) AS max_doc_id
     FROM labels GROUP BY lbl
     """
+
+SQL_MAINTAINED_LABELS_SUMMARY = SQL_FULL_LABELS_SUMMARY_TMPL.format(
+    sim=SQL_SIMHASH_STAGED
+)
 
 
 @registry.query(

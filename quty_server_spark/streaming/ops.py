@@ -47,9 +47,11 @@ from pyspark.sql.types import (
 from quty_server_spark.operators import pubsub
 from quty_server_spark.operators.dedup import (
     SQL_DUPED,
+    SQL_FULL_LABELS_SUMMARY_TMPL,
     SQL_INCREMENTAL_GATE,
     SQL_MINHASH_GATE,
     SQL_PASSAGE_GATE,
+    SQL_SIMHASH,
     duped_corpus,
 )
 from quty_server_spark.operators._helpers import load_table
@@ -2056,6 +2058,116 @@ def stream_ingest_passage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quty_stream_gate_passages",
         gate_batch_of,
         ["doc_id", "n_windows", "n_lake_dup_windows", "dup_ppm"],
+    )
+
+
+@registry.query(
+    "stream_cluster_maintenance",
+    oracle=SQL_FULL_LABELS_SUMMARY_TMPL.format(sim=SQL_SIMHASH.lstrip()),
+)
+def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS clustering maintenance — the full label lifecycle run
+    per micro-batch, composing three families in one stream: incoming
+    documents arrive in epochs; each epoch is signed and banded, gated
+    against a PRIVATE mutable copy of the signature artifact, contracted
+    against the maintained label artifact's CURRENT state, min-label
+    BSP'd, APPLIED (rewrite queued stale clusters + append the epoch's
+    labels, sidecar-routed — :func:`~quty_server_spark.operators.dedup._apply_maintenance_for_state`),
+    and finally the epoch's bands are APPENDED to the signature copy so
+    LATER epochs can pair with earlier epochs' documents, not just the
+    lake.
+
+    Exactness is inductive and ORDER-INDEPENDENT at the close: after
+    each epoch the maintained state equals a full recompute over
+    lake ∪ processed epochs (the same contraction argument as
+    :func:`~quty_server_spark.operators.dedup.dedup_cluster_incremental`,
+    applied with the epoch as the shard), so after ALL epochs the
+    artifact holds exactly the full-corpus components — which is what
+    the oracle recomputes from scratch (the write-once sink's summary
+    SQL over the raw corpus, lake restriction dropped). A cross-epoch
+    merge (epoch-2 doc near an epoch-1 doc, neither near the lake) is
+    representable ONLY because of the per-epoch signature append — the
+    measurable difference between this stream and four independent
+    nightly runs.
+
+    Scale: per-trigger cost = sign(epoch) + gate join against the
+    artifact + |epoch|-sized BSP + bucket-scoped apply + a 4-file band
+    append. The artifacts are session-private copies (built from the
+    memoized lake artifacts), so concurrent consumers of the standing
+    artifacts never observe this stream's mutations."""
+    from quty_server_spark.operators.dedup import (
+        _apply_maintenance_for_state,
+        _cluster_graph_for_bands,
+        _write_home_bucket_layout,
+        append_to_band_artifact,
+        lake_cluster_labels_artifact,
+        lake_signature_artifact,
+        min_label_components,
+        simhash_bands,
+        simhash_sigs_docs,
+    )
+    from quty_server_spark.session import session_tmp_dir
+
+    configure(spark)
+    base = session_tmp_dir(spark, "quty_stream_clabels", sf_dir)
+    indir = os.path.join(base, "in")
+    sig_path = os.path.join(base, "sig")
+    lbl_path = os.path.join(base, "labels")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # Private mutable copies of the two standing artifacts: the lake's
+    # banded signatures (grown by each epoch's append) and the lake-only
+    # labels in home-bucket layout (maintained by each epoch's apply).
+    spark.read.parquet(
+        lake_signature_artifact(spark, sf_dir)
+    ).sortWithinPartitions("band_id", "band_val").write.partitionBy(
+        "band_id"
+    ).parquet(sig_path)
+    _write_home_bucket_layout(
+        spark.read.parquet(lake_cluster_labels_artifact(spark, sf_dir)),
+        lbl_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    docs.repartition(4, "doc_id").write.parquet(indir)
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = simhash_bands(
+            simhash_sigs_docs(batch_df.select("doc_id", "text"))
+        ).localCheckpoint(eager=False)
+        pairs, singles = _cluster_graph_for_bands(
+            spark, bands, sig_path, lbl_path
+        )
+        labels, _ = min_label_components(spark, pairs)
+        _apply_maintenance_for_state(
+            spark,
+            lbl_path,
+            labels.localCheckpoint(eager=True),
+            singles.localCheckpoint(eager=False),
+        )
+        append_to_band_artifact(bands, sig_path, "band_val")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(lbl_path)
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .localCheckpoint(eager=True)
     )
 
 

@@ -323,3 +323,35 @@ def test_stream_ingest_passage_gate_matches_batch_gate(spark):
     )
     epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
     assert len(epochs) >= 2
+
+
+def test_stream_cluster_maintenance_state_equals_full_recompute(spark):
+    # Continuous clustering maintenance (round 13): after all epochs,
+    # the maintained label artifact's CONTENT (not just its summary)
+    # equals the from-scratch full-corpus component labels — the
+    # strongest form of the order-independence claim. Also checks the
+    # stream actually ran multi-epoch and grew the signature copy.
+    from quty_server_spark.operators.dedup import dedup_cluster
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import stream_cluster_maintenance
+
+    stream_cluster_maintenance(spark, SF_DIR).collect()
+    base = session_tmp_dir(spark, "quty_stream_clabels", SF_DIR)
+    got = {
+        (r.node, r.lbl)
+        for r in spark.read.parquet(os.path.join(base, "labels"))
+        .select("node", "lbl")
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_cluster(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    epochs = [
+        f
+        for f in os.listdir(os.path.join(base, "ckpt", "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(epochs) >= 2
