@@ -167,9 +167,16 @@ def main() -> None:
     n_lbl = spark.read.parquet(lbl_path).count()
     print(f"label maintenance: maintained artifact holds {n_lbl} "
           f"(node, lbl) rows at {lbl_path} "
-          f"({time.time() - t0:.1f}s incl. the amortized base labeling; "
-          f"the nightly half is apply_cluster_label_maintenance alone)")
-    assert apply_cluster_label_maintenance  # the nightly-only entrypoint
+          f"({time.time() - t0:.1f}s incl. the amortized base labeling)")
+    # The nightly-only entrypoint, run for real: a replay of the same
+    # night (operator retry) must leave the artifact unchanged — the
+    # idempotence contract tests/test_dedup_semantics.py pins.
+    t0 = time.time()
+    apply_cluster_label_maintenance(spark, sf_dir, lbl_path, staged=False)
+    n_lbl2 = spark.read.parquet(lbl_path).count()
+    assert n_lbl2 == n_lbl, (n_lbl, n_lbl2)
+    print(f"label maintenance replay: nightly apply alone took "
+          f"{time.time() - t0:.1f}s, artifact unchanged at {n_lbl2} rows")
 
     # 5. packing impact on the corpus the trainer will actually read
     pack = q["doc_pack_efficiency"](spark, sf_dir)

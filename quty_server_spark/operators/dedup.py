@@ -3038,6 +3038,15 @@ def _run_cluster_label_maintenance(
                 "leftsemi",
             )
         )
+        # The two branches are disjoint on the FIRST night (singles are
+        # lake docs, % 10 != 0) but not across epochs: the streaming
+        # maintenance appends prior epochs' shard bands to its private
+        # signature copy, so a gate-touched null-label doc can itself be
+        # a % 10 == 0 prior-epoch doc and land in BOTH branches. Rows
+        # are identical (min_label_components emits one row per node),
+        # so a distinct on tonight's tiny label set restores the
+        # maintained == rebuilt contract for the cross-epoch merge case.
+        .distinct()
         .withColumn(
             "lbl_bucket",
             F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),

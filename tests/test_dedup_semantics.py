@@ -743,3 +743,31 @@ def test_maintenance_apply_is_idempotent(spark, tmp_path):
     D.apply_cluster_label_maintenance(spark, sf, path)
     assert content() == c1
     assert homes() == h1
+
+
+def test_maintenance_cross_epoch_shard_singleton_no_duplicate_append(
+    spark, tmp_path
+):
+    """Pins the r13-advice duplicate-append case: a gate-touched
+    null-label doc that is ITSELF a ``% 10 == 0`` prior-epoch shard doc
+    lands in BOTH append branches (shard anti-join AND singles
+    semi-join). The branches' rows are identical, so the maintained
+    artifact must hold exactly one row per node — the COUNT-based
+    n_docs oracle contract. Drives the physical write path directly
+    with the crafted state the fixtures cannot produce."""
+    base = spark.createDataFrame([(1, 1)], "node long, lbl long")
+    path = str(tmp_path / "labels")
+    D._write_home_bucket_layout(base, path)
+    # Tonight's BSP: node 20 (shard-shaped, % 10 == 0, never stored)
+    # joined component 1 — and the gate ALSO surfaced it as a touched
+    # lake singleton (the cross-epoch overlap).
+    labels = spark.createDataFrame(
+        [(1, 1), (20, 1)], "node long, lbl long"
+    )
+    singles = spark.createDataFrame([(20,)], "lake_doc_id long")
+    D._apply_maintenance_for_state(spark, path, labels, singles)
+    got = sorted(
+        (r.node, r.lbl)
+        for r in spark.read.parquet(path).select("node", "lbl").collect()
+    )
+    assert got == [(1, 1), (20, 1)]

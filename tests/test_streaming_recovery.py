@@ -337,16 +337,19 @@ def test_stream_cluster_maintenance_state_equals_full_recompute(spark):
 
     stream_cluster_maintenance(spark, SF_DIR).collect()
     base = session_tmp_dir(spark, "quty_stream_clabels", SF_DIR)
-    got = {
+    # Sorted LISTS, not sets: a doc appended twice (the cross-epoch
+    # shard+singleton overlap the r13 advice flagged) must fail here
+    # even though its (node, lbl) pair is set-equal.
+    got = sorted(
         (r.node, r.lbl)
         for r in spark.read.parquet(os.path.join(base, "labels"))
         .select("node", "lbl")
         .collect()
-    }
-    want = {
+    )
+    want = sorted(
         (r.doc_id, r.cluster_id)
         for r in dedup_cluster(spark, SF_DIR).collect()
-    }
+    )
     assert got == want
     assert len(got) > 0
     epochs = [
