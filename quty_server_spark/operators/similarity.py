@@ -43,6 +43,37 @@ HYPERPLANES: list[list[int]] = [
 SQL_QUERY_SET = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 20 = 0)"
 SQL_CORPUS = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
+# --- IVF coarse-quantizer constants (see _ivf_centroids) -------------------
+# Hard ceiling on the centroid count: K = min(IVF_K_MAX, ceil(sqrt(n))).
+# Keeps the index-build assignment pass linear in n (n x K, K bounded)
+# and the centroid broadcast bounded by construction — IVF_K_MAX is
+# ~250x under dedup.BROADCAST_NODES_MAX (ordering pinned in
+# tests/test_similarity_semantics.py).
+IVF_K_MAX = 4096
+# Same fixture convention as the dedup families' append exercise
+# (operators/dedup.py APPEND_BATCH_MOD): yesterday's admitted batch is
+# vec_id % 10 == 5 — disjoint from tonight's shard (% 10 == 0). The
+# coarse quantizer trains on the complementary STABLE STRATUM
+# (vec_id % 10 != 5, see _ivf_centroids), so assigning the batch against
+# the base build's centroid sidecar yields byte-identical cells to a
+# full rebuild's, and the append sink can share the write-once sink's
+# oracle SQL.
+IVF_APPEND_BATCH_MOD = 5
+
+# The quantizer's DuckDB twin, shared by every IVF-family oracle: the
+# stable stratum's count n_q picks K_target = min(IVF_K_MAX, ceil(sqrt(
+# n_q))) and the stride m = max(1, floor(n_q / K_target)); centroids are
+# the stratum rows with vec_id ≡ 7 (mod m). Float division + FLOOR/CEIL
+# on both engines (Spark `/` on bigints and DuckDB `/` are both double
+# division), so the selected set is bit-identical.
+SQL_IVF_CENT = f"""(
+        SELECT vec_id AS cid, v AS cv
+        FROM c, (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / LEAST({IVF_K_MAX},
+                     CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS BIGINT)) AS m
+                 FROM c WHERE vec_id % 10 <> {IVF_APPEND_BATCH_MOD}) AS qz
+        WHERE vec_id % 10 <> {IVF_APPEND_BATCH_MOD}
+          AND vec_id % qz.m = 7 % qz.m)"""
+
 # Fixed-count query sample for recall evaluation: the exact brute-force
 # arm costs |queries| x |corpus| cosines, so the query set must be a
 # CONSTANT, not a fraction of the corpus (r07 verdict, perf_weak #1).
@@ -303,9 +334,49 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_centroids(c: DataFrame) -> DataFrame:
-    """Deterministic coarse quantizer: every 50th vector is a centroid."""
-    return c.filter(F.col("vec_id") % 50 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    """Deterministic coarse quantizer, DECOUPLED from corpus size (r13
+    verdict "Next round" #1 — the old ``vec_id % 50`` rule made K = n/50,
+    turning the index build into n²/50 compute with an unbounded centroid
+    broadcast). K_target = min(IVF_K_MAX, ceil(sqrt(n_q))) — ⌈√n⌉ cells
+    while small (the classic IVF balance point: probe cost ≈ n/K ≈ √n),
+    a FIXED 4096 once the corpus outgrows it, so at 100 TB the assignment
+    pass is n × 4096 (linear in n) and ``broadcast(cent)`` is bounded by
+    construction at IVF_K_MAX rows ≪ BROADCAST_NODES_MAX
+    (tests/test_similarity_semantics.py pins both the bound and the
+    constant ordering).
+
+    Selection is a stride sample: ``vec_id % m == 7 % m`` with
+    m = max(1, floor(n_q / K_target)) — deterministic, reproducible in
+    the DuckDB oracle (SQL_IVF_CENT), and uniform for the dense ingest-
+    assigned ids the fixtures and any ingest pipeline produce. (If ids
+    were ever adversarially clustered on a residue class, a portable
+    mixing hash slots in here; the cap logic is unchanged.)
+
+    Candidates come from the STABLE STRATUM only
+    (``vec_id % 10 != IVF_APPEND_BATCH_MOD``): the nightly admitted
+    batch is excluded from quantizer training by construction, so
+    yesterday's base build and a fresh full-corpus build select the
+    byte-identical centroid set — the property that lets the append
+    sink share the write-once sink's oracle SQL (append ≡ rebuild holds
+    by design, not fixture luck). n_q is computed INSIDE the plan (a
+    1-row count aggregate cross-joined back, the allowlisted scalar-
+    subquery shape) — no driver-side count."""
+    u = c.filter(F.col("vec_id") % 10 != IVF_APPEND_BATCH_MOD)
+    stats = u.agg(F.count("*").alias("n_q"))
+    m = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(
+            F.col("n_q")
+            / F.least(
+                F.lit(IVF_K_MAX).cast("bigint"),
+                F.ceil(F.sqrt(F.col("n_q"))),
+            )
+        ).cast("bigint"),
+    )
+    return (
+        u.crossJoin(broadcast(stats))
+        .filter(F.pmod(F.col("vec_id"), m) == F.pmod(F.lit(7), m))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
 
 
@@ -352,7 +423,7 @@ def _ivf_cells_plan(c: DataFrame, cent: DataFrame) -> DataFrame:
 # operators/dedup.py.
 SQL_IVF_TOPK = f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, v, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -377,9 +448,10 @@ SQL_IVF_TOPK = f"""
     oracle=SQL_IVF_TOPK,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a deterministic coarse quantizer — every
-    50th vector is a centroid (~sqrt(n) cells as n grows) — assigns each
-    vector to its nearest centroid by cosine (argmax via a min_by
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer —
+    K = min(IVF_K_MAX, ⌈√n⌉) stride-sampled centroids (√n cells while
+    small, a fixed 4096 at scale; see :func:`_ivf_centroids`) — assigns
+    each vector to its nearest centroid by cosine (argmax via a min_by
     aggregate over struct(-cos, cid) — unique because cid tiebreaks);
     queries probe only their own cell (nprobe=1) and take window top-3.
     Complements sim_ann_lsh: data-dependent cells follow the corpus
@@ -416,7 +488,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf_nprobe2",
     oracle=f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, v, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -846,7 +918,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_cell_balance",
     oracle=f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -946,8 +1018,8 @@ def ivf_postings_artifact(
         # to the postings under an underscore-prefixed name, which
         # parquet readers of the artifact root ignore (the _SUCCESS /
         # _metadata convention). A nightly probe assigns its shard
-        # against THIS tiny table instead of filtering the lake-sized
-        # posting scan for vec_id % 50 rows (r11 review finding).
+        # against THIS tiny table instead of re-deriving the stride
+        # sample from a lake-sized posting scan (r11 review finding).
         _ivf_centroids(c).write.parquet(os.path.join(path, "_centroids"))
         cache[sf_dir] = path
     return path
@@ -959,7 +1031,7 @@ def ivf_postings_artifact(
 # append ≡ rebuild device as the dedup families' artifact summaries.
 SQL_IVF_ARTIFACT_SUMMARY = f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1071,7 +1143,7 @@ EMB_GATE_COS = 0.35
 # operators/dedup.py.
 SQL_EMB_GATE = f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, v, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1206,15 +1278,10 @@ def dedup_decontaminate_embedding(
 # Oracle-verified posting-list APPEND + growth drift guard (round 12)
 # ---------------------------------------------------------------------------
 
-# Same fixture convention as the dedup families' append exercise
-# (operators/dedup.py APPEND_BATCH_MOD): yesterday's admitted batch is
-# vec_id % 10 == 5 — disjoint from tonight's shard (% 10 == 0). The
-# coarse quantizer is UNAFFECTED by the split: centroids are
-# vec_id % 50 == 7, hence vec_id % 10 == 7, never in the batch — so
-# assigning the batch against the base build's centroid sidecar yields
-# byte-identical cells to a full rebuild's, and the append sink can
-# share the write-once sink's oracle SQL.
-IVF_APPEND_BATCH_MOD = 5
+# IVF_APPEND_BATCH_MOD (defined with the quantizer constants at the top
+# of this module): the admitted batch is vec_id % 10 == 5, and the
+# quantizer trains on the complementary stable stratum, so the append
+# path provably shares the write-once build's centroid set.
 
 
 def admitted_ivf_postings(
@@ -1302,7 +1369,7 @@ def sink_ivf_postings_artifact_append(
     "sim_ivf_cell_growth",
     oracle=f"""
     WITH c AS {SQL_CORPUS},
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 7),
+    cent AS {SQL_IVF_CENT},
     assigned AS (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id

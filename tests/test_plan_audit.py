@@ -52,8 +52,8 @@ BNLJ_JUSTIFIED = {
     "dedup_decontaminate_embedding": "benchmark side is an eval suite — "
     "small by construction, broadcast; the corpus scans once unshuffled "
     "(same shape argument as the n-gram decontamination twin)",
-    "sim_ann_ivf_nprobe2": "probe set x 256-centroid broadcast table "
-    "(bounded tiny side by construction)",
+    "sim_ann_ivf_nprobe2": "probe set x capped-K centroid broadcast "
+    "table (bounded at IVF_K_MAX by construction)",
     "embed_norm_outliers": "1-row corpus-median build side (scalar-"
     "subquery shape)",
     "sim_ann_recall_eval": "the exact arm IS the documented brute-force "
@@ -63,9 +63,8 @@ BNLJ_JUSTIFIED = {
     "doc_mix_rebalance": "1-row corpus-totals build side",
     "doc_ingest_mix_drift": "1-row shard/lake-totals build side",
     "dedup_incremental_embedding_artifact": "the shard x coarse-quantizer "
-    "assignment (fixture: every-50th-vector centroids standing in for a "
-    "fixed-K codebook) — the standard IVF assign step, build side bounded "
-    "by K, not by the corpus; the probe join itself is a cell hash join",
+    "assignment — the standard IVF assign step, build side capped at "
+    "IVF_K_MAX by construction; the probe join itself is a cell hash join",
 }
 
 

@@ -268,3 +268,41 @@ def test_embedding_gate_matches_direct_assignment_path(spark):
     }
     assert got == ref
     assert got  # fixture sanity: semantic near-dups exist in the slice
+
+
+def test_ivf_quantizer_k_is_capped_and_sqrt_scaled(spark):
+    # The r13 verdict's scale fix: K must NOT grow linearly with the
+    # corpus. Synthetic dense-id corpora at three sizes — below the cap
+    # K tracks ceil(sqrt(n_q)); a 17M+-stratum corpus must engage the
+    # IVF_K_MAX ceiling, bounding broadcast(cent) by construction.
+    import math
+
+    from pyspark.sql import functions as F
+
+    def k_for(n):
+        c = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0)).alias("v"),
+        )
+        return S._ivf_centroids(c).count()
+
+    for n in (500, 200_000):
+        n_q = int(spark.range(n).filter(F.col("id") % 10 != 5).count())
+        k_target = min(S.IVF_K_MAX, math.ceil(math.sqrt(n_q)))
+        k = k_for(n)
+        assert k <= S.IVF_K_MAX
+        # Stride sampling over dense ids lands within ~15% of target.
+        assert 0.85 * k_target <= k <= 1.25 * k_target, (n, k, k_target)
+    # Cap engagement: stratum n_q = 0.9 * 20M > IVF_K_MAX^2.
+    k_big = k_for(20_000_000)
+    assert 0.8 * S.IVF_K_MAX <= k_big <= 1.25 * S.IVF_K_MAX, k_big
+
+
+def test_ivf_k_max_is_far_under_broadcast_gate(spark):
+    # broadcast(cent) is gated BY CONSTRUCTION: the quantizer can never
+    # emit more than ~IVF_K_MAX rows on dense ids, and the ceiling sits
+    # two orders of magnitude under the engine-wide broadcast bound the
+    # dedup consumers gate on at runtime.
+    from quty_server_spark.operators.dedup import BROADCAST_NODES_MAX
+
+    assert S.IVF_K_MAX * 100 <= BROADCAST_NODES_MAX
