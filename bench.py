@@ -97,6 +97,13 @@ HEADLINE = [
     # Best-of-3 makes this the warm-probe number (run 1 pays the
     # memoized artifact build), same convention as the other gates.
     "dedup_incremental_passages",
+    # round-14 addition: the retraction verb — victims physically
+    # removed from all four standing artifact families (DPP-scoped
+    # rewrites + the band families' columnar anti-join floor). Forced
+    # rebuild each run: the number IS the takedown job, copies + four
+    # rewrites (the private-copy cost is the fixture device; production
+    # retracts in place).
+    "sink_lake_artifacts_retract",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

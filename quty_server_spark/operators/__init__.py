@@ -14,6 +14,7 @@ from quty_server_spark.operators import (  # noqa: F401
     sampling,
     pipeline,
     graph,
+    retract,
 )
 from quty_server_spark import streaming  # noqa: F401
 from quty_server_spark.sources import formats  # noqa: F401

@@ -2180,6 +2180,55 @@ def sink_lake_minhash_artifact_append(
 # ---------------------------------------------------------------------------
 
 
+def _labels_from_sigs(spark: SparkSession, sigs: DataFrame) -> DataFrame:
+    """Near-dup component labels ``(node, lbl)`` from a ``(doc_id,
+    sig)`` signature frame — the signature-grain pre-collapse, banded
+    rep-pair mining, min-label BSP, and clique expansion that every
+    labeling consumer shares (:func:`simhash_component_labels` at full
+    grain, :func:`lake_cluster_labels_artifact` for the standing lake,
+    and the retraction re-cluster in operators/retract.py, which feeds
+    it ONLY the affected clusters' surviving members). Identical-sig
+    groups of >= 2 docs are clusters even without a banded rep pair."""
+    grp = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
+    )
+    ub = simhash_bands(grp.select(F.col("rep").alias("doc_id"), "sig"))
+    a, b = ub.alias("a"), ub.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    rep_lbl, _ = min_label_components(spark, rep_pairs)
+    rl = rep_lbl.select(
+        F.col("node").alias("rep"), F.col("lbl").alias("rlbl")
+    )
+    if rep_lbl.count() <= BROADCAST_NODES_MAX:
+        rl = F.broadcast(rl)
+    return (
+        sigs.join(grp, "sig")
+        .join(rl, "rep", "left")
+        .filter(F.col("rlbl").isNotNull() | (F.col("gsz") >= 2))
+        .select(
+            F.col("doc_id").alias("node"),
+            F.coalesce(F.col("rlbl"), F.col("rep")).alias("lbl"),
+        )
+    )
+
+
 def lake_cluster_labels_artifact(
     spark: SparkSession, sf_dir: str, rebuild: bool = False,
     staged: bool = False,
@@ -2210,44 +2259,7 @@ def lake_cluster_labels_artifact(
             .filter(F.col("doc_id") % 10 != 0)
             .localCheckpoint(eager=False)
         )
-        grp = sigs.groupBy("sig").agg(
-            F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
-        )
-        ub = simhash_bands(grp.select(F.col("rep").alias("doc_id"), "sig"))
-        a, b = ub.alias("a"), ub.alias("b")
-        rep_pairs = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
-                    "hamming"
-                ),
-            )
-            .filter(F.col("hamming") <= HAMMING_MAX)
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        rep_lbl, _ = min_label_components(spark, rep_pairs)
-        rl = rep_lbl.select(
-            F.col("node").alias("rep"), F.col("lbl").alias("rlbl")
-        )
-        if rep_lbl.count() <= BROADCAST_NODES_MAX:
-            rl = F.broadcast(rl)
-        labels = (
-            sigs.join(grp, "sig")
-            .join(rl, "rep", "left")
-            .filter(F.col("rlbl").isNotNull() | (F.col("gsz") >= 2))
-            .select(
-                F.col("doc_id").alias("node"),
-                F.coalesce(F.col("rlbl"), F.col("rep")).alias("lbl"),
-            )
-        )
+        labels = _labels_from_sigs(spark, sigs)
         labels.sortWithinPartitions("node").write.parquet(path)
         cache[key] = path
     return path

@@ -689,6 +689,22 @@ def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_quality_keep():
+    """The snapshot family's shared quality predicate (length >= 40
+    tokens, whitelisted language, type-token ratio >= 1/3) as a Column
+    over a (text, lang) projection — one definition for the batch
+    snapshot, the incremental nightly twin, and the continuous stream
+    (streaming/ops.py stream_corpus_snapshot), so the three surfaces
+    can never drift on what "quality" means."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    return (
+        (n_tok >= 40)
+        & F.col("lang").isin("en", "de", "fr")
+        & (F.size(F.array_distinct(toks)) * 3 >= n_tok)
+    )
+
+
 def _snapshot_oracle() -> str:
     """Composed-snapshot oracle — assembled from the SAME fragments the
     constituent ops' oracles use (SQL_SIMHASH reach CTE for the keeper,
@@ -795,13 +811,8 @@ def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    quality_keep = (
-        (n_tok >= 40)
-        & F.col("lang").isin("en", "de", "fr")
-        & (F.size(F.array_distinct(toks)) * 3 >= n_tok)
-    )
+    n_tok = F.size(F.split("text", " "))
+    quality_keep = snapshot_quality_keep()
     labels = simhash_component_labels(spark, sf_dir)
     lab = labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
@@ -971,13 +982,8 @@ def corpus_training_snapshot_incremental(
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    quality_keep = (
-        (n_tok >= 40)
-        & F.col("lang").isin("en", "de", "fr")
-        & (F.size(F.array_distinct(toks)) * 3 >= n_tok)
-    )
+    n_tok = F.size(F.split("text", " "))
+    quality_keep = snapshot_quality_keep()
     lab = (
         _incremental_cluster_labels(spark, sf_dir)
         .filter(F.col("node") % 10 == 0)

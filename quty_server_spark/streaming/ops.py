@@ -2171,6 +2171,182 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_corpus_snapshot_oracle() -> str:
+    from quty_server_spark.operators.pipeline import (
+        _incremental_snapshot_oracle,
+    )
+
+    return _incremental_snapshot_oracle()
+
+
+@registry.query(
+    "stream_corpus_snapshot",
+    oracle=_stream_corpus_snapshot_oracle(),
+)
+def stream_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CONTINUOUS PRODUCT — the streaming twin of
+    :func:`~quty_server_spark.operators.pipeline.corpus_training_snapshot_incremental`,
+    making the top-level training-snapshot product continuous end to
+    end (r13 VERDICT "Next round" #6). Incoming documents arrive in
+    micro-batches; each epoch runs the full composition:
+
+    1. QUALITY gate — the family's shared predicate
+       (pipeline.snapshot_quality_keep), per-doc, order-independent.
+    2. PASSAGE scrub — the epoch's windows LEFT-SEMI probed against the
+       write-once lake digest artifact (static lake state, per-doc,
+       order-independent); dup_ppm computed per doc.
+    3. LABEL lifecycle — the epoch is signed, gated against the private
+       signature copy (lake ∪ earlier epochs), contracted-BSP'd, and
+       APPLIED to the private maintained label artifact; the epoch's
+       bands are appended so later epochs can pair with this one — the
+       exact :func:`stream_cluster_maintenance` composition, whose
+       close-state ≡ full-recompute contract is what makes step 4
+       exact.
+
+    Steps 1–2 are emitted per epoch into the idempotent epoch-keyed
+    sink (the PROVISIONAL admissions). Step 4, at stream close,
+    reconciles keepers against the FINAL maintained labels: a
+    provisional doc survives iff its full-corpus cluster label is its
+    own id. Reconciliation must be close-time because admission is
+    retroactive by nature — a later epoch can deliver a smaller-id
+    member of an earlier doc's cluster and evict it (a production
+    stream would emit a tombstone; the snapshot semantics here are
+    "admit provisionally, settle at snapshot close"). The oracle is
+    the batch twin's SQL byte-for-byte, and the epoch-union +
+    final-equality pins live in tests/test_streaming_recovery.py.
+
+    Scale: per-trigger cost = quality(epoch) + window(epoch) + pruned
+    digest probe + the maintenance stream's epoch-sized label work;
+    close-time cost = one join of the provisional rows against the
+    maintained artifact. Zero lake-sized compute on any trigger."""
+    from quty_server_spark.operators.dedup import (
+        _apply_maintenance_for_state,
+        _cluster_graph_for_bands,
+        _passage_pfx,
+        _passage_windows,
+        _write_home_bucket_layout,
+        append_to_band_artifact,
+        lake_cluster_labels_artifact,
+        lake_passage_artifact,
+        lake_signature_artifact,
+        min_label_components,
+        simhash_bands,
+        simhash_sigs_docs,
+    )
+    from quty_server_spark.operators.pipeline import snapshot_quality_keep
+    from quty_server_spark.session import session_tmp_dir
+
+    configure(spark)
+    base = session_tmp_dir(spark, "quty_stream_snapshot", sf_dir)
+    indir = os.path.join(base, "in")
+    outdir = os.path.join(base, "out")
+    sig_path = os.path.join(base, "sig")
+    lbl_path = os.path.join(base, "labels")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    spark.read.parquet(
+        lake_signature_artifact(spark, sf_dir)
+    ).sortWithinPartitions("band_id", "band_val").write.partitionBy(
+        "band_id"
+    ).parquet(sig_path)
+    _write_home_bucket_layout(
+        spark.read.parquet(lake_cluster_labels_artifact(spark, sf_dir)),
+        lbl_path,
+    )
+    pw_art = spark.read.parquet(lake_passage_artifact(spark, sf_dir)).select(
+        "pfx", "passage_md5"
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id") % 10 == 0)
+    docs.repartition(4, "doc_id").write.parquet(indir)
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # label lifecycle (the stream_cluster_maintenance composition)
+        bands = simhash_bands(
+            simhash_sigs_docs(batch_df.select("doc_id", "text"))
+        ).localCheckpoint(eager=False)
+        pairs, singles = _cluster_graph_for_bands(
+            spark, bands, sig_path, lbl_path
+        )
+        labels, _ = min_label_components(spark, pairs)
+        _apply_maintenance_for_state(
+            spark,
+            lbl_path,
+            labels.localCheckpoint(eager=True),
+            singles.localCheckpoint(eager=False),
+        )
+        append_to_band_artifact(bands, sig_path, "band_val")
+        # provisional admission: quality + lake-passage scrub
+        w = _passage_windows(batch_df).select(
+            "doc_id", "passage_md5", _passage_pfx()
+        ).localCheckpoint(eager=False)
+        hits = (
+            w.join(pw_art, ["pfx", "passage_md5"], "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("nh"))
+        )
+        scrub = (
+            w.groupBy("doc_id")
+            .agg(F.count("*").alias("nw"))
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr("(1000000 * coalesce(nh, 0)) DIV nw").alias(
+                    "dup_ppm"
+                ),
+            )
+        )
+        n_tok = F.size(F.split("text", " "))
+        res = (
+            batch_df.filter(snapshot_quality_keep())
+            .select(
+                "doc_id", "lang", "source",
+                n_tok.cast("bigint").alias("n_tokens"),
+            )
+            .join(scrub, "doc_id", "left")
+            .withColumn(
+                "dup_ppm",
+                F.coalesce("dup_ppm", F.lit(0)).cast("bigint"),
+            )
+            .filter(F.col("dup_ppm") < 500000)
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prov = spark.read.parquet(outdir).select(
+        "doc_id", "lang", "source", "n_tokens", "dup_ppm"
+    )
+    lbl = spark.read.parquet(lbl_path).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("final_lbl")
+    )
+    return (
+        prov.join(lbl, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce("final_lbl", F.col("doc_id"))
+        )
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "cluster_id", "dup_ppm"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @registry.query(
     "stream_ingest_exact_dedup_sequential",
     oracle=f"""

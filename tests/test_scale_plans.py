@@ -1415,3 +1415,32 @@ def test_incremental_snapshot_zero_lake_compute(spark):
         if node_id in ids and "documents" in block:
             # every documents scan is shard-filtered (pushed predicate)
             assert "% 10) = 0" in plan
+
+
+def test_retract_read_prunes_to_affected_partitions(spark, tmp_path):
+    # The retraction's artifact read must carry a dynamic-pruning
+    # expression on the partition column: at 100 TB the passage / IVF
+    # artifacts are lake-sized and a takedown may only read the
+    # directories its victims' windows / cells name, never the lake.
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators import retract
+
+    rows = [(i, format(i % 16, "x")) for i in range(1, 300)]
+    path = str(tmp_path / "pw")
+    spark.createDataFrame(rows, "doc_id long, pfx string").write.partitionBy(
+        "pfx"
+    ).parquet(path)
+    affected = (
+        spark.createDataFrame([("a",), ("3",)], "pfx string")
+        .distinct()
+        .filter(F.col("pfx") >= "0")
+    )
+    df = retract._retract_touched_rows(spark, path, "pfx", affected)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan

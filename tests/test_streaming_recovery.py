@@ -358,3 +358,35 @@ def test_stream_cluster_maintenance_state_equals_full_recompute(spark):
         if not f.startswith(".")
     ]
     assert len(epochs) >= 2
+
+
+def test_stream_corpus_snapshot_equals_incremental_batch(spark):
+    # The continuous product's close-state equals the nightly batch
+    # twin exactly (sorted LISTS — duplicates must fail), the stream
+    # actually ran multi-epoch, and reconciliation only ever REMOVES
+    # provisional admissions (quality+scrub are order-independent; the
+    # keeper filter is the close-time step).
+    from quty_server_spark.operators.pipeline import (
+        corpus_training_snapshot_incremental,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import stream_corpus_snapshot
+
+    got = sorted(
+        tuple(r) for r in stream_corpus_snapshot(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in corpus_training_snapshot_incremental(
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want and got
+    base = session_tmp_dir(spark, "quty_stream_snapshot", SF_DIR)
+    epochs = [
+        d for d in os.listdir(os.path.join(base, "out"))
+        if d.startswith("epoch=")
+    ]
+    assert len(epochs) >= 2
+    prov = spark.read.parquet(os.path.join(base, "out")).count()
+    assert prov >= len(got)
