@@ -25,87 +25,82 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-13 rotation
-# (r12 VERDICT "Next round" #3): the stale class is now the 23-query
-# r06 vintage (newest driver-green row r06 — sink_merge_upsert ..
-# udf_iter_model_score), which fits the head whole. The window is:
-# (1) the 8 queries NEW this round — rotation DEBT (no cumulative green
-# row), mandatory per tests/test_rotation_debt: the relabel APPLY sink
-# (maintained label artifact == full rebuild, through a from-scratch
-# full-corpus oracle), the bridge-staged relabel queue (the r12
-# verdict's non-vacuity ask — always returns real rows), and the
-# passage-family incremental tier (write-once passage-digest artifact
-# sink, its oracle-verified APPEND, and the shard-vs-artifact nightly
-# gate, plus its continuous streaming twin — the fourth family's
-# continuous tier);
-# (2) the 8 queries whose own code changed this round (discipline: a
-# changed query re-earns its external green row): the snapshot (gated
-# label broadcast + inline quality predicate), route_fanout (the
-# mixed-layout row-bound hardening), and the six incremental-clustering
-# / signature-artifact queries whose builders gained staged/labels_path
-# parameters and tuple cache keys;
-# (3) one long-green canary (flagship, green since r01);
-# (4) the full 23-query r06 stale class, then the next-stalest vintage
-# (r08, alphabetical) up to the window: 10 of 47 fit.
-# 8+8+1+23+10 = 50 — exactly the driver's sample window. Queries not
+# queries, so registration order IS driver coverage. Round-14 rotation
+# (r13 VERDICT "Next round" #3): the stale class is the 37-query r08
+# vintage (newest driver-green row r08, per the judge's merged
+# histogram). The window is:
+# (1) the 3 queries NEW this round — rotation DEBT (no cumulative green
+# row), mandatory per tests/test_rotation_debt: the four-family
+# retraction sink, the label-artifact retraction (the SPLIT case), and
+# the continuous snapshot product;
+# (2) the 15 queries whose code changed this round and must re-earn
+# their external green rows: the 10-query IVF/embedding family (the
+# coarse-quantizer decoupling), the two maintenance queries (the
+# cross-epoch duplicate-append fix), and the three label/snapshot
+# queries over the refactored shared labeling core and quality
+# predicate (semantics-identical extracts, re-verified locally at both
+# SFs — listed anyway per the discipline);
+# (3) the canary: q1_pricing_summary, long-green AND itself r08 class;
+# (4) the r08 vintage (alphabetical): 32 of the remaining 35 fit the
+# window; text_lexicon_sentiment / text_winnow_fingerprint /
+# window_rolling_median roll to the r15 head.
+# 3+15+32 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 262.
+# full local gate (tools/check_oracle.py) still checks all 265.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — relabel APPLY + staged queue + passage tier
-    "sink_lake_cluster_labels_artifact_relabel",
-    "dedup_cluster_relabel_queue_staged",
-    "sink_lake_passage_artifact",
-    "sink_lake_passage_artifact_append",
-    "dedup_incremental_passages",
-    "stream_ingest_passage_gate",
-    "corpus_training_snapshot_incremental",
-    "stream_cluster_maintenance",
+    # (1) NEW this round — retraction + the continuous product
+    "sink_lake_artifacts_retract",
+    "sink_lake_cluster_labels_artifact_retract",
+    "stream_corpus_snapshot",
     # (2) CHANGED this round — re-earn the green row
-    "corpus_training_snapshot",
-    "route_fanout",
-    "dedup_cluster_incremental",
-    "dedup_cluster_relabel_queue",
+    "sim_ann_ivf",
+    "sim_ann_ivf_nprobe2",
+    "sim_ann_ivf_artifact",
+    "sim_ivf_cell_balance",
+    "sim_ivf_cell_growth",
+    "sink_ivf_postings_artifact",
+    "sink_ivf_postings_artifact_append",
+    "dedup_incremental_embedding_artifact",
+    "stream_ingest_dedup_gate_embedding",
+    "sim_ann_recall_eval",
+    "sink_lake_cluster_labels_artifact_relabel",
+    "stream_cluster_maintenance",
     "sink_lake_cluster_labels_artifact",
-    "sink_lake_signature_artifact",
-    "sink_lake_signature_artifact_append",
-    "dedup_incremental_simhash_artifact",
-    # (3) canary: the long-green batch flagship
-    "flagship_delivery_report",
-    # (4a) stale: the whole r06 class (newest driver-green row r06)
-    "sink_merge_upsert",
-    "sink_partitioned_parquet",
-    "source_csv_roundtrip",
-    "source_json_corrupt_records",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "split_train_val_test",
-    "text_boilerplate_shingles",
-    "text_bpe_pair_counts",
-    "text_domain_mix",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_pmi_collocations",
-    "text_quality_score",
-    "text_repetition_ngrams",
-    "text_stats",
-    "text_tfidf_keywords",
-    "text_tokenize",
-    "udf_cogrouped_asof",
-    "udf_grouped_zscore",
-    "udf_iter_model_score",
-    # (4b) stale: newest green row r08 (alphabetical, first 13 of 47)
-    "agg_approx_distinct",
-    "agg_unpivot",
-    "dedup_decontaminate_ngram",
-    "dedup_exact_normalized",
-    "dedup_fuzzy_levenshtein",
-    "dedup_minhash_error_eval",
-    "doc_mix_rebalance",
-    "doc_pack_efficiency",
-    "doc_quality_gate",
-    "doc_seqlen_histogram",
+    "corpus_training_snapshot",
+    "corpus_training_snapshot_incremental",
+    # (3)+(4) canary (q1, inside its vintage) + the r08 stale class
+    "embed_norm_outliers",
+    "embed_quantize_int8",
+    "events_bot_regularity",
+    "events_dau_wau",
+    "events_funnel_time_to_convert",
+    "events_top_paths",
+    "events_watermark_lag_audit",
+    "graph_bipartite_butterflies",
+    "graph_degree_distribution",
+    "join_bloom_runtime_filtered",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "min_cost_supplier",
+    "mm_modality_mix",
+    "orders_supplier_herfindahl",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "sample_stratified_hash",
+    "scalar_variant_json",
+    "sink_python_datasource_writer",
+    "source_python_datasource",
+    "sql_recursive_cte_hierarchy",
+    "stream_python_datasource",
 ]
 
 
