@@ -49,6 +49,17 @@ EXEMPT: set[tuple[str, str, str]] = {
     # aggregate whose action also materializes the iteration's lazy
     # checkpoint; only that scalar crosses to the driver.
     ("quty_server_spark/operators/graph.py", "pagerank_converged", "first"),
+    # Retraction cleanup of partitions a dynamic overwrite cannot
+    # empty: both collects pull DISTINCT partition-key values of the
+    # AFFECTED partition set — bounded by the artifact's partition
+    # count (metadata grain: <= 16 passage prefixes, <= IVF_K_MAX
+    # cells, <= LABEL_HOME_BUCKETS buckets), never row-scale.
+    ("quty_server_spark/operators/retract.py", "_retract_rows", "collect"),
+    (
+        "quty_server_spark/operators/retract.py",
+        "apply_cluster_label_retraction",
+        "collect",
+    ),
 }
 
 
