@@ -369,8 +369,18 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite of any unaffected passage prefix or IVF cell directory
     (untouched files byte-identical, pinned)."""
     paths = retracted_artifact_paths(spark, sf_dir, rebuild=True)
+    return _tagged_retract_summary(
+        {k: spark.read.parquet(p) for k, p in paths.items()}
+    )
+
+
+def _tagged_retract_summary(frames: dict[str, DataFrame]) -> DataFrame:
+    """The four families' per-partition summaries in one unified tagged
+    frame — shared by the physical retract sink (plain artifact reads)
+    and the tombstone sink (tombstone-aware live views), so both report
+    under the identical oracle contract."""
     nul = F.lit(None).cast("bigint")
-    sig = _sig_artifact_summary(spark.read.parquet(paths["sig"])).select(
+    sig = _sig_artifact_summary(frames["sig"]).select(
         F.lit("sig").alias("family"),
         F.col("band_id").cast("string").alias("part_key"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
@@ -378,9 +388,7 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         nul.alias("extra"),
     )
-    mh = _minhash_artifact_summary(
-        spark.read.parquet(paths["minhash"])
-    ).select(
+    mh = _minhash_artifact_summary(frames["minhash"]).select(
         F.lit("minhash").alias("family"),
         F.col("band_id").cast("string").alias("part_key"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
@@ -388,9 +396,7 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("sum_nsh").cast("bigint").alias("extra"),
     )
-    pa = _passage_artifact_summary(
-        spark.read.parquet(paths["passage"])
-    ).select(
+    pa = _passage_artifact_summary(frames["passage"]).select(
         F.lit("passage").alias("family"),
         F.col("pfx").alias("part_key"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
@@ -398,7 +404,7 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         nul.alias("extra"),
     )
-    iv = _ivf_artifact_summary(spark.read.parquet(paths["ivf"])).select(
+    iv = _ivf_artifact_summary(frames["ivf"]).select(
         F.lit("ivf").alias("family"),
         F.col("cell").cast("string").alias("part_key"),
         F.col("n_vecs").cast("bigint").alias("n_rows"),
@@ -407,6 +413,171 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_queries").cast("bigint").alias("extra"),
     )
     return sig.unionByName(mh).unionByName(pa).unionByName(iv)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone tier: O(victims) instant retraction, compacted later
+# ---------------------------------------------------------------------------
+
+# The deletion-vector device (Delta/Iceberg's): a takedown must take
+# effect IMMEDIATELY, but the physical rewrite above costs at least the
+# affected partitions. The tombstone path writes ONLY the victim id
+# list (an underscore-prefixed sidecar, invisible to plain partition
+# readers like _label_homes and _centroids); every consumer reads the
+# artifact through the live view (artifact ANTI-JOIN broadcast
+# tombstones — a map-side filter, no shuffle, no extra scan), and a
+# scheduled COMPACTION applies the tombstones physically with the exact
+# rewrite device above and clears the sidecar. Write cost: O(victims),
+# zero artifact files touched (byte-identity of EVERY data file pinned
+# in tests/test_retract_semantics.py); read cost: one broadcast hash
+# probe per row until compaction.
+
+_TOMBSTONES = "_tombstones"
+
+
+def read_artifact_live(
+    spark: SparkSession, path: str, id_col: str
+) -> DataFrame:
+    """The tombstone-aware view of an artifact: all rows whose id is
+    not tombstoned. Plain read when no sidecar exists, so consumers can
+    adopt this reader unconditionally."""
+    art = spark.read.parquet(path)
+    tp = os.path.join(path, _TOMBSTONES)
+    if not os.path.isdir(tp):
+        return art
+    tomb = spark.read.parquet(tp).select(
+        F.col("victim_id").alias(id_col)
+    )
+    return art.join(broadcast(tomb), id_col, "left_anti")
+
+
+def _write_tombstones(
+    spark: SparkSession, path: str, victims: DataFrame
+) -> None:
+    """Idempotent O(victims) tombstone write: union with any standing
+    sidecar, distinct, rewrite whole (the sidecar is victim-list-sized
+    metadata, like _label_homes)."""
+    tp = os.path.join(path, _TOMBSTONES)
+    new = victims.select(
+        F.col(victims.columns[0]).cast("long").alias("victim_id")
+    )
+    if os.path.isdir(tp):
+        new = (
+            new.unionByName(spark.read.parquet(tp))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    shutil.rmtree(tp, ignore_errors=True)
+    new.write.parquet(tp)
+
+
+def compact_tombstones(
+    spark: SparkSession, path: str, part_col: str, id_col: str,
+    sort_key: str,
+) -> None:
+    """Scheduled compaction: apply the standing tombstones physically
+    (the exact :func:`_retract_rows` device) and clear the sidecar.
+    The affected-partition set comes from one narrow columnar pass of
+    (id, partition) semi-joined against the broadcast tombstones — the
+    compaction job reads those partitions to rewrite them anyway. The
+    live view is invariant across compaction (pinned)."""
+    tp = os.path.join(path, _TOMBSTONES)
+    if not os.path.isdir(tp):
+        return
+    tomb = spark.read.parquet(tp).localCheckpoint(eager=True)
+    vic = tomb.select(F.col("victim_id").alias(id_col))
+    affected = (
+        spark.read.parquet(path)
+        .select(id_col, part_col)
+        .join(broadcast(vic), id_col, "leftsemi")
+        .select(part_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _retract_rows(spark, path, part_col, affected, vic, id_col, sort_key)
+    shutil.rmtree(tp, ignore_errors=True)
+
+
+# (family -> (partition column, id column, within-file sort key));
+# shared by the tombstone sink's compaction pin and any scheduled
+# compactor.
+ARTIFACT_LAYOUTS: dict[str, tuple[str, str, str]] = {
+    "sig": ("band_id", "doc_id", "band_val"),
+    "minhash": ("band_id", "doc_id", "sig"),
+    "passage": ("pfx", "doc_id", "passage_md5"),
+    "ivf": ("cell", "vec_id", "vec_id"),
+}
+
+
+def tombstoned_artifact_paths(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> dict[str, str]:
+    """Private copies of the four standing artifacts with the victim
+    set TOMBSTONED (sidecar only — every data file byte-identical to
+    the base build's). Memoized per (session, sf_dir)."""
+    cache = getattr(spark, "_quty_tombstone_artifacts", None)
+    if cache is None:
+        cache = {}
+        spark._quty_tombstone_artifacts = cache
+    paths = cache.get(sf_dir)
+    if paths is None or rebuild:
+        vic = _doc_victims(spark, sf_dir).localCheckpoint(eager=True)
+        vvic = (
+            _corpus(spark, sf_dir)
+            .filter(F.col("vec_id") % 10 == RETRACT_MOD)
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+        builders = {
+            "sig": lake_signature_artifact,
+            "minhash": lake_minhash_artifact,
+            "passage": lake_passage_artifact,
+            "ivf": ivf_postings_artifact,
+        }
+        paths = {}
+        for fam, build in builders.items():
+            p = session_tmp_dir(spark, f"quty_tomb_{fam}", sf_dir)
+            _copy_artifact(build(spark, sf_dir), p)
+            _write_tombstones(
+                spark, p, vvic if fam == "ivf" else vic
+            )
+            paths[fam] = p
+        cache[sf_dir] = paths
+    return paths
+
+
+@registry.query(
+    "sink_lake_artifacts_retract_tombstone",
+    oracle=SQL_RETRACT_SUMMARY,
+)
+def sink_lake_artifacts_retract_tombstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INSTANT half of the retraction lifecycle: tombstone the
+    victim set in all four standing artifact families (an O(victims)
+    sidecar write — zero data files touched, byte-identity of every
+    file pinned), then report the four per-partition summaries read
+    through the tombstone-aware live view. The oracle is byte-identical
+    to :func:`sink_lake_artifacts_retract`'s survivors recompute, so a
+    green row proves the live view ≡ physical retract ≡ rebuilt — the
+    deletion-vector contract: takedown effect is immediate, the
+    partition rewrites are deferred to scheduled compaction
+    (:func:`compact_tombstones`, whose live-view invariance and
+    sidecar clearing are pinned in tests/test_retract_semantics.py).
+
+    Scale: the write is the victim list; the read tax is one broadcast
+    anti-join per consumer until compaction — the standard
+    merge-on-read trade, priced against the physical sink's
+    rewrite-now cost."""
+    paths = tombstoned_artifact_paths(spark, sf_dir, rebuild=True)
+    return _tagged_retract_summary(
+        {
+            fam: read_artifact_live(
+                spark, p, ARTIFACT_LAYOUTS[fam][1]
+            )
+            for fam, p in paths.items()
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,75 @@ def test_label_retract_idempotent(spark):
     )
     R.apply_cluster_label_retraction(spark, path, victims, docs)
     assert content() == c1
+
+
+def test_tombstone_touches_no_data_files(spark):
+    # The instant half's whole point: tombstoning writes ONLY the
+    # sidecar — every data file stays byte-identical to the base
+    # build's, in every family.
+    bases = {
+        "sig": D.lake_signature_artifact(spark, SF_DIR),
+        "minhash": D.lake_minhash_artifact(spark, SF_DIR),
+        "passage": D.lake_passage_artifact(spark, SF_DIR),
+        "ivf": S.ivf_postings_artifact(spark, SF_DIR),
+    }
+    paths = R.tombstoned_artifact_paths(spark, SF_DIR, rebuild=True)
+    for fam, p in paths.items():
+        b = {
+            k: v for k, v in _file_md5s(bases[fam]).items()
+            if "_tombstones" not in k
+        }
+        a = {
+            k: v for k, v in _file_md5s(p).items()
+            if "_tombstones" not in k
+        }
+        assert a == b and a, fam
+        assert os.path.isdir(os.path.join(p, "_tombstones")), fam
+
+
+def test_tombstone_live_view_equals_physical_retract(spark):
+    # merge-on-read == copy-on-write: the tombstone-aware live view of
+    # each family equals the physically retracted artifact row-for-row.
+    tomb = R.tombstoned_artifact_paths(spark, SF_DIR)
+    phys = R.retracted_artifact_paths(spark, SF_DIR)
+    for fam, (part, id_col, _) in R.ARTIFACT_LAYOUTS.items():
+        got = sorted(
+            tuple(r)
+            for r in R.read_artifact_live(spark, tomb[fam], id_col)
+            .select(id_col, part)
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(phys[fam])
+            .select(id_col, part)
+            .collect()
+        )
+        assert got == want and got, fam
+
+
+def test_compaction_preserves_live_view_and_clears_sidecar(spark, tmp_path):
+    # Scheduled compaction applies the tombstones physically: the live
+    # view is INVARIANT across it, the sidecar is gone afterwards (the
+    # post-compaction live view is a plain read), and a second
+    # compaction is a no-op.
+    import shutil as sh
+
+    src = R.tombstoned_artifact_paths(spark, SF_DIR)["passage"]
+    p = str(tmp_path / "pw")
+    sh.copytree(src, p)
+    part, id_col, sort_key = R.ARTIFACT_LAYOUTS["passage"]
+    before = sorted(
+        tuple(r)
+        for r in R.read_artifact_live(spark, p, id_col).collect()
+    )
+    R.compact_tombstones(spark, p, part, id_col, sort_key)
+    assert not os.path.isdir(os.path.join(p, "_tombstones"))
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(p).collect()
+    )
+    assert after == before and after
+    R.compact_tombstones(spark, p, part, id_col, sort_key)  # no-op
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(p).collect()
+    ) == before
