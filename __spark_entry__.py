@@ -29,11 +29,13 @@ SF0001 = "/root/testdata/sf0.001"
 # (r13 VERDICT "Next round" #3): the stale class is the 37-query r08
 # vintage (newest driver-green row r08, per the judge's merged
 # histogram). The window is:
-# (1) the 4 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 8 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the four-family
 # retraction sink, its O(victims) TOMBSTONE twin (deletion-vector
 # contract, shared oracle), the label-artifact retraction (the SPLIT
-# case), and the continuous snapshot product;
+# case), the continuous snapshot product, and the four late-round
+# pipeline ops (trainer-shards sink, cross-split leakage report,
+# token-budget sampler, embedding centroid drift);
 # (2) the 15 queries whose code changed this round and must re-earn
 # their external green rows: the 10-query IVF/embedding family (the
 # coarse-quantizer decoupling), the two maintenance queries (the
@@ -42,19 +44,25 @@ SF0001 = "/root/testdata/sf0.001"
 # predicate (semantics-identical extracts, re-verified locally at both
 # SFs — listed anyway per the discipline);
 # (3) the canary: q1_pricing_summary, long-green AND itself r08 class;
-# (4) the r08 vintage (alphabetical): 31 of the remaining 35 fit the
-# window; stream_python_datasource / text_lexicon_sentiment /
+# (4) the r08 vintage (alphabetical): 27 of the remaining 35 fit the
+# window; sink_python_datasource_writer / source_python_datasource /
+# sql_recursive_cte_hierarchy / scalar_variant_json /
+# stream_python_datasource / text_lexicon_sentiment /
 # text_winnow_fingerprint / window_rolling_median roll to the r15 head.
-# 4+15+31 = 50 — exactly the driver's sample window. Queries not
+# 8+15+27 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 266.
+# full local gate (tools/check_oracle.py) still checks all 270.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — retraction (physical + tombstone tiers) +
-    # the continuous product
+    # (1) NEW this round — retraction (physical + tombstone tiers),
+    # the continuous product, and the late-round pipeline ops
     "sink_lake_artifacts_retract",
     "sink_lake_artifacts_retract_tombstone",
     "sink_lake_cluster_labels_artifact_retract",
     "stream_corpus_snapshot",
+    "sink_training_shards",
+    "split_leakage_report",
+    "sample_token_budget",
+    "embed_centroid_drift",
     # (2) CHANGED this round — re-earn the green row
     "sim_ann_ivf",
     "sim_ann_ivf_nprobe2",
@@ -99,10 +107,6 @@ DRIVER_PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "sample_stratified_hash",
-    "scalar_variant_json",
-    "sink_python_datasource_writer",
-    "source_python_datasource",
-    "sql_recursive_cte_hierarchy",
 ]
 
 

@@ -104,6 +104,13 @@ HEADLINE = [
     # rewrites (the private-copy cost is the fixture device; production
     # retracts in place).
     "sink_lake_artifacts_retract",
+    # round-14 late additions: the trainer handoff (snapshot → hashed
+    # shards, write + read-back audit; rides the warm component-label
+    # memo like corpus_training_snapshot, so its number is the marginal
+    # shard write), and the token-budget curriculum fill (one window
+    # cumsum — the sampling family's first windowed member).
+    "sink_training_shards",
+    "sample_token_budget",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

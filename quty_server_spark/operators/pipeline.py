@@ -1030,3 +1030,80 @@ def corpus_training_snapshot_incremental(
             & (F.col("dup_ppm") < 500000)
         )
     )
+
+
+# Number of output shards for the trainer handoff. A real run sizes
+# this to the trainer's data-loader parallelism (hundreds to
+# thousands); the mechanics — hash assignment, partitioned layout,
+# read-back audit — are shard-count-independent.
+N_TRAIN_SHARDS = 8
+
+
+def _training_shards_oracle() -> str:
+    """The snapshot oracle wrapped as a CTE and re-aggregated per
+    shard: the read-back audit must equal the shard-grouped summary of
+    exactly what corpus_training_snapshot admits."""
+    from quty_server_spark.functions.hashing import sql_hash28
+
+    shard = (
+        sql_hash28("'shard|' || CAST(doc_id AS VARCHAR)")
+        + f" % {N_TRAIN_SHARDS}"
+    )
+    return f"""
+    WITH snap AS ({_snapshot_oracle()})
+    SELECT CAST({shard} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM snap
+    GROUP BY 1
+    """
+
+
+@registry.query("sink_training_shards", oracle=_training_shards_oracle())
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer handoff — THE PRODUCT's last mile: the training
+    snapshot (:func:`corpus_training_snapshot`) hashed into
+    N_TRAIN_SHARDS content-keyed shards, WRITTEN as parquet partitioned
+    by shard (each shard sorted by doc_id within its files), then read
+    back and audited per shard (doc count, token total, id range). The
+    oracle re-aggregates the snapshot's own SQL per shard, so a green
+    row proves the written layout holds exactly the snapshot — nothing
+    dropped, duplicated, or mis-sharded in the write → read round trip.
+
+    Scale: shard assignment is a scan-side hash (content-keyed →
+    layout-independent and append-stable: a grown corpus only ADDS
+    files per shard, it never moves an old doc between shards). The
+    write is one exchange on the shard key; the read-back audit prunes
+    to partition directories and aggregates map-side. Balanced by
+    construction (md5 uniformity), and a skewed shard would surface
+    here as an n_docs outlier — this audit is the check a training run
+    gates on before it starts burning accelerator hours.
+    """
+    import shutil
+
+    from quty_server_spark.functions.hashing import hash28
+    from quty_server_spark.session import session_tmp_dir
+
+    out = session_tmp_dir(spark, "quty_train_shards", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    snap = corpus_training_snapshot(spark, sf_dir)
+    shard = (
+        hash28(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+        % N_TRAIN_SHARDS
+    )
+    (
+        snap.withColumn("shard", shard)
+        .repartition(N_TRAIN_SHARDS, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -119,3 +119,191 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat(F.lit("salt4|"), F.col("doc_id").cast("string"))
     rate = F.when(F.col("lang") == "en", 50).otherwise(200)
     return d.filter(hash28(key) % 1000 < rate).select("doc_id", "lang")
+
+
+# Split-band fragment shared by split_train_val_test and the leakage
+# report below — one definition so the two queries can never disagree on
+# what "train" means.
+_SPLIT_BAND_SQL = (
+    sql_hash28("'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
+)
+SQL_SPLIT_CASE = f"""CASE
+             WHEN {_SPLIT_BAND_SQL} < 80 THEN 'train'
+             WHEN {_SPLIT_BAND_SQL} < 90 THEN 'val'
+             ELSE 'test'
+           END"""
+
+
+def split_col() -> "F.Column":
+    """Spark twin of :data:`SQL_SPLIT_CASE` (same salt, same bands)."""
+    band = (
+        hash28(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return (
+        F.when(band < 80, "train").when(band < 90, "val").otherwise("test")
+    )
+
+
+@registry.query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH mangled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               replace(upper(text), ' ', '  ') AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    keyed AS (
+        SELECT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_md5,
+               {SQL_SPLIT_CASE} AS split,
+               doc_id
+        FROM mangled
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           COUNT(DISTINCT a.norm_md5) AS n_leaked_hashes,
+           COUNT(DISTINCT b.doc_id) AS n_leaked_docs_b
+    FROM keyed a JOIN keyed b
+      ON a.norm_md5 = b.norm_md5 AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the check a train/val/test
+    assignment must pass before evaluation numbers mean anything: for
+    every ordered split pair, how many normalized-content hashes (and
+    how many documents on the b side) appear in BOTH splits. Exact
+    leakage only here; the near-dup analog is what
+    ``dedup_decontaminate_ngram`` measures against benchmarks. The
+    fixture corpus has no exact copies at the small SFs, so the query
+    stages the same deterministic mangled twins dedup_exact_normalized
+    stages (id + 2,000,000, upper-cased, double-spaced) — a mangled
+    copy hashes to a DIFFERENT split band than its original with
+    probability ~0.34, so the report always checks real leaked rows.
+
+    Scale: the content key is the md5 of the normalized text (computed
+    scan-side, JVM regexp builtins), so the self-join is an equality
+    join on a 32-char digest — hash-partitioned, combiner-friendly, and
+    its output tracks the duplicate density, never |corpus|². One
+    shuffle on the digest; the split label rides along as a column.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.replace(F.upper("text"), F.lit(" "), F.lit("  ")).alias(
+                "text"
+            ),
+        )
+    )
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    keyed = mangled.select(
+        norm.alias("norm_md5"), split_col().alias("split"), "doc_id"
+    )
+    a = keyed.select(
+        F.col("norm_md5").alias("h"), F.col("split").alias("split_a")
+    )
+    b = keyed.select(
+        F.col("norm_md5").alias("h_b"),
+        F.col("split").alias("split_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("split_a") < F.col("split_b")),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.countDistinct("h").alias("n_leaked_hashes"),
+            F.countDistinct("doc_b").alias("n_leaked_docs_b"),
+        )
+    )
+
+
+# Per-language token budget for sample_token_budget. 1,500 tokens binds
+# at every fixture SF (the smallest per-language corpus is ~3,500
+# tokens), so the cutoff is always exercised.
+TOKEN_BUDGET = 1500
+
+
+@registry.query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               {sql_hash28("'budget|' || CAST(doc_id AS VARCHAR)")} AS hkey
+        FROM documents
+    ),
+    runs AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS tok_before
+        FROM toks
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) * 1000000 // {TOKEN_BUDGET} AS BIGINT)
+               AS fill_ppm
+    FROM runs
+    WHERE COALESCE(tok_before, 0) < {TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling — the curriculum/mixture primitive: each
+    language contributes documents in deterministic hash order until its
+    running token total reaches TOKEN_BUDGET (a document is admitted iff
+    the total BEFORE it is under budget, so the budget is exceeded by at
+    most one document — the standard greedy fill). Reports per-language
+    admitted docs, tokens, and fill ppm (≥ 1,000,000 means the budget
+    bound, < means the stratum ran dry).
+
+    Scale: one shuffle on the stratum key for the window cumsum; the
+    hash order is content-keyed (layout-independent, replayable), and
+    because admission depends only on a prefix of the per-stratum hash
+    order, appending new data can only ever displace documents at the
+    budget frontier — never reshuffle the whole selection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        hash28(
+            F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = toks.withColumn("tok_before", F.sum("n_tokens").over(w))
+    return (
+        runs.filter(F.coalesce(F.col("tok_before"), F.lit(0)) < TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"CAST(sum(n_tokens) * 1000000 div {TOKEN_BUDGET} AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+    )

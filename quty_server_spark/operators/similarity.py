@@ -810,6 +810,119 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH c AS {SQL_CORPUS},
+    cent AS {SQL_IVF_CENT},
+    assigned AS (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS arn
+        FROM c CROSS JOIN cent),
+    sided AS (
+        SELECT vec_id, v, cid AS cell,
+               CASE WHEN vec_id % 10 = {IVF_APPEND_BATCH_MOD}
+                    THEN 'shard' ELSE 'lake' END AS side
+        FROM assigned WHERE arn = 1),
+    counts AS (
+        SELECT cell, side, COUNT(*) AS n FROM sided GROUP BY 1, 2),
+    means AS (
+        SELECT cell, side, CAST(u.i - 1 AS INTEGER) AS dim,
+               ROUND(AVG(v[u.i]), 6) AS mx
+        FROM sided, UNNEST(range(1, len(v) + 1)) AS u(i)
+        GROUP BY 1, 2, 3),
+    drift AS (
+        SELECT l.cell,
+               ROUND(SUM((l.mx - s.mx) * (l.mx - s.mx)), 6) AS drift2
+        FROM means l
+        JOIN means s ON l.cell = s.cell AND l.dim = s.dim
+         AND l.side = 'lake' AND s.side = 'shard'
+        GROUP BY l.cell)
+    SELECT d.cell, cl.n AS n_lake, cs.n AS n_shard, d.drift2
+    FROM drift d
+    JOIN counts cl ON cl.cell = d.cell AND cl.side = 'lake'
+    JOIN counts cs ON cs.cell = d.cell AND cs.side = 'shard'
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-family ingest drift QA — the vector analog of
+    doc_ingest_mix_drift: per IVF cell, the squared L2 distance between
+    the lake stratum's mean vector and the admitted batch's
+    (``vec_id % 10 == IVF_APPEND_BATCH_MOD``) mean vector, under the
+    FROZEN coarse quantizer. ``sim_ivf_cell_growth`` catches a batch
+    that lands in the wrong cells in the wrong amounts; this op catches
+    the fault growth cannot see — a batch whose vectors land in the
+    RIGHT cells but sit systematically off-center (a drifted encoder, a
+    re-normalized feed), which silently degrades ANN recall until the
+    quantizer is retrained. Cells with no batch members report nothing
+    (inner join): no evidence, no verdict.
+
+    Scale: one assignment pass (broadcast centroids, bounded at
+    IVF_K_MAX by construction), one posexplode fan-out aggregated
+    map-side to (cell, side, dim) partial means — the shuffle carries
+    at most 2·K·64 rows regardless of corpus size — then a K-row join.
+    Means are rounded to a fixed scale on both engines (AVG is
+    order-sensitive in floats; the rounding IS the determinism
+    contract, same as embed_dim_variance)."""
+    c = _corpus(spark, sf_dir)
+    cells = _ivf_cells(c, _ivf_centroids(c))
+    sided = cells.select(
+        "vec_id",
+        "v",
+        "cell",
+        F.when(
+            F.col("vec_id") % 10 == IVF_APPEND_BATCH_MOD, "shard"
+        )
+        .otherwise("lake")
+        .alias("side"),
+    )
+    counts = sided.groupBy("cell", "side").agg(F.count("*").alias("n"))
+    means = (
+        sided.select(
+            "cell", "side", F.posexplode("v").alias("dim", "x")
+        )
+        .groupBy("cell", "side", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mx"))
+    )
+    lake = means.filter(F.col("side") == "lake").select(
+        "cell", "dim", F.col("mx").alias("ml")
+    )
+    shard = means.filter(F.col("side") == "shard").select(
+        F.col("cell").alias("cell_s"),
+        F.col("dim").alias("dim_s"),
+        F.col("mx").alias("ms"),
+    )
+    drift = (
+        lake.join(
+            shard,
+            (F.col("cell") == F.col("cell_s"))
+            & (F.col("dim") == F.col("dim_s")),
+        )
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("ml") - F.col("ms"))
+                    * (F.col("ml") - F.col("ms"))
+                ),
+                6,
+            ).alias("drift2")
+        )
+    )
+    cl = counts.filter(F.col("side") == "lake").select(
+        "cell", F.col("n").alias("n_lake")
+    )
+    cs = counts.filter(F.col("side") == "shard").select(
+        F.col("cell").alias("cell_c"), F.col("n").alias("n_shard")
+    )
+    return (
+        drift.join(cl, "cell")
+        .join(cs, F.col("cell") == F.col("cell_c"))
+        .select("cell", "n_lake", "n_shard", "drift2")
+    )
+
+
+@registry.query(
     "sim_ann_recall_eval",
     oracle=f"""
     WITH c AS {SQL_CORPUS},

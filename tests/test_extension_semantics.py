@@ -624,3 +624,104 @@ def test_modality_mix_partition_is_exhaustive(spark):
     assert sum(r.n_items for r in rows) == n_docs
     for r in rows:
         assert r.avg_bytes * r.n_items <= r.total_bytes <= r.max_bytes * r.n_items
+
+
+# --- round-14 late additions: leakage / budget / shards / drift -----------
+
+
+def _md5_28(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:7], 16)
+
+
+def _split_of(doc_id: int) -> str:
+    band = _md5_28(f"split|{doc_id}") % 100
+    return "train" if band < 80 else ("val" if band < 90 else "test")
+
+
+def test_split_leakage_matches_brute_force(spark):
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    keyed = []
+    for r in docs:
+        keyed.append((r.doc_id, r.text))
+        if r.doc_id % 7 == 0:
+            keyed.append((r.doc_id + 2000000, r.text.upper().replace(" ", "  ")))
+    import hashlib
+
+    by_hash = defaultdict(list)
+    for doc_id, text in keyed:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+        by_hash[hashlib.md5(norm.encode()).hexdigest()].append(doc_id)
+    want = defaultdict(lambda: [set(), set()])  # (a,b) -> [hashes, docs_b]
+    for h, ids in by_hash.items():
+        splits = {(i, _split_of(i)) for i in ids}
+        for ia, sa in splits:
+            for ib, sb in splits:
+                if sa < sb:
+                    want[(sa, sb)][0].add(h)
+                    want[(sa, sb)][1].add(ib)
+    got = {
+        (r.split_a, r.split_b): (r.n_leaked_hashes, r.n_leaked_docs_b)
+        for r in _rows(spark, "split_leakage_report")
+    }
+    assert got == {
+        k: (len(v[0]), len(v[1])) for k, v in want.items()
+    }
+    # non-vacuity: the staged mangled twins must actually leak
+    assert sum(n for n, _ in got.values()) > 0
+
+
+def test_token_budget_is_greedy_prefix(spark):
+    from quty_server_spark.operators.sampling import TOKEN_BUDGET
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_lang = defaultdict(list)
+    for r in docs:
+        per_lang[r.lang].append(
+            (_md5_28(f"budget|{r.doc_id}"), r.doc_id, len(r.text.split(" ")))
+        )
+    want = {}
+    for lang, rows in per_lang.items():
+        total = n = 0
+        for _, _, toks in sorted(rows):
+            if total >= TOKEN_BUDGET:
+                break
+            total += toks
+            n += 1
+        want[lang] = (n, total)
+    got = {r.lang: (r.n_docs, r.n_tokens) for r in _rows(spark, "sample_token_budget")}
+    assert got == want
+    for lang, (_, total) in want.items():
+        # greedy fill: budget exceeded by at most one document
+        assert total >= TOKEN_BUDGET  # 1,500 binds at every fixture SF
+
+
+def test_training_shards_partition_the_snapshot(spark):
+    snap = _rows(spark, "corpus_training_snapshot")
+    want = defaultdict(lambda: [0, 0])
+    for r in snap:
+        s = _md5_28(f"shard|{r.doc_id}") % 8
+        want[s][0] += 1
+        want[s][1] += r.n_tokens
+    got = {
+        r.shard: (r.n_docs, r.total_tokens)
+        for r in _rows(spark, "sink_training_shards")
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(n for n, _ in got.values()) == len(snap)
+
+
+def test_centroid_drift_sides_and_bounds(spark):
+    rows = _rows(spark, "embed_centroid_drift")
+    assert rows, "fixture batch stratum must populate at least one cell"
+    balance_cells = {r.cell for r in _rows(spark, "sim_ivf_cell_balance")}
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    for r in rows:
+        assert r.cell in balance_cells
+        assert r.n_lake > 0 and r.n_shard > 0
+        assert r.drift2 >= 0
+    # the two sides never double-count a vector
+    assert sum(r.n_lake + r.n_shard for r in rows) <= n_vecs
