@@ -29,13 +29,13 @@ SF0001 = "/root/testdata/sf0.001"
 # (r13 VERDICT "Next round" #3): the stale class is the 37-query r08
 # vintage (newest driver-green row r08, per the judge's merged
 # histogram). The window is:
-# (1) the 8 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 9 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the four-family
 # retraction sink, its O(victims) TOMBSTONE twin (deletion-vector
 # contract, shared oracle), the label-artifact retraction (the SPLIT
-# case), the continuous snapshot product, and the four late-round
+# case), the continuous snapshot product, and the five late-round
 # pipeline ops (trainer-shards sink, cross-split leakage report,
-# token-budget sampler, embedding centroid drift);
+# token-budget sampler, embedding centroid drift, BPE merge step);
 # (2) the 15 queries whose code changed this round and must re-earn
 # their external green rows: the 10-query IVF/embedding family (the
 # coarse-quantizer decoupling), the two maintenance queries (the
@@ -44,14 +44,15 @@ SF0001 = "/root/testdata/sf0.001"
 # predicate (semantics-identical extracts, re-verified locally at both
 # SFs — listed anyway per the discipline);
 # (3) the canary: q1_pricing_summary, long-green AND itself r08 class;
-# (4) the r08 vintage (alphabetical): 27 of the remaining 35 fit the
-# window; sink_python_datasource_writer / source_python_datasource /
-# sql_recursive_cte_hierarchy / scalar_variant_json /
-# stream_python_datasource / text_lexicon_sentiment /
-# text_winnow_fingerprint / window_rolling_median roll to the r15 head.
-# 8+15+27 = 50 — exactly the driver's sample window. Queries not
+# (4) the r08 vintage (alphabetical): 26 of the remaining 35 fit the
+# window; sample_stratified_hash / sink_python_datasource_writer /
+# source_python_datasource / sql_recursive_cte_hierarchy /
+# scalar_variant_json / stream_python_datasource /
+# text_lexicon_sentiment / text_winnow_fingerprint /
+# window_rolling_median roll to the r15 head.
+# 9+15+26 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 270.
+# full local gate (tools/check_oracle.py) still checks all 271.
 DRIVER_PRIORITY = [
     # (1) NEW this round — retraction (physical + tombstone tiers),
     # the continuous product, and the late-round pipeline ops
@@ -63,6 +64,7 @@ DRIVER_PRIORITY = [
     "split_leakage_report",
     "sample_token_budget",
     "embed_centroid_drift",
+    "text_bpe_merge_step",
     # (2) CHANGED this round — re-earn the green row
     "sim_ann_ivf",
     "sim_ann_ivf_nprobe2",
@@ -106,7 +108,6 @@ DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "q7_nation_volume",
     "q8_market_share",
-    "sample_stratified_hash",
 ]
 
 

@@ -528,6 +528,128 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @registry.query(
+    "text_bpe_merge_step",
+    oracle=r"""
+    WITH words AS (
+        SELECT t.word AS w, COUNT(*) AS cnt
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(word)
+        WHERE t.word <> ''
+        GROUP BY t.word),
+    pc AS (
+        SELECT substr(w, g.i, 1) AS l, substr(w, g.i + 1, 1) AS r,
+               CAST(SUM(cnt) AS BIGINT) AS c
+        FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        WHERE length(w) >= 2
+        GROUP BY 1, 2),
+    top1 AS (SELECT l || r AS mp FROM pc ORDER BY c DESC, l, r LIMIT 1),
+    merged AS (
+        SELECT replace(regexp_replace(replace(w, t.mp, '#'),
+                                      '(.)', '\1|', 'g'),
+                       '#', t.mp) AS s,
+               cnt
+        FROM words, top1 t),
+    syms AS (
+        SELECT list_filter(string_split(s, '|'), x -> x <> '') AS ss, cnt
+        FROM merged),
+    pairs2 AS (
+        SELECT ss[g.i] AS l, ss[g.i + 1] AS r, cnt
+        FROM syms, UNNEST(generate_series(1, len(ss) - 1)) AS g(i)
+        WHERE len(ss) >= 2)
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs2 GROUP BY l, r
+    ORDER BY pair_count DESC, l, r LIMIT 50
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration — the step that closes the loop
+    :func:`text_bpe_pair_counts` opens: take the argmax pair from the
+    character-level counts (ties broken by the pair itself), APPLY the
+    merge to every vocabulary word, and recount adjacent-symbol pairs
+    over the merged symbol sequences (the input to the next round's
+    argmax). Because pre-merge symbols are single characters, greedy
+    left-to-right BPE merging is exactly leftmost non-overlapping
+    substring replacement — both engines' ``replace`` — so the merge is
+    deterministically the textbook semantics, not an approximation
+    ('banana' + merge 'an' → b|an|an|a). The merged symbol is staged
+    through a '#' placeholder (words are [a-z]+ by construction, so the
+    marker cannot collide), then each residual character is delimited
+    and the marker expanded back.
+
+    Scale: the working set is the VOCABULARY weighted by occurrence
+    counts (the classic BPE compression — millions of words, not
+    trillions of tokens); the argmax pair is a 1-row TakeOrdered
+    broadcast back over the vocabulary; merge + re-split + pair explode
+    are narrow string expressions; one map-side-combined aggregation at
+    symbol-pair grain. A full tokenizer training run is this step
+    iterated — each round the same vocabulary-sized job with one more
+    merge in the alphabet."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pc = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS l, "
+                    "substring(w, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    top1 = (
+        pc.orderBy(F.desc("c"), "l", "r")
+        .limit(1)
+        .select(F.concat("l", "r").alias("mp"))
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.regexp_replace(
+                F.replace(F.col("w"), F.col("mp"), F.lit("#")),
+                "(.)",
+                r"$1|",
+            ),
+            F.lit("#"),
+            F.col("mp"),
+        ).alias("s"),
+        "cnt",
+    )
+    syms = merged.select(
+        F.expr("filter(split(s, '\\\\|'), x -> x != '')").alias("ss"), "cnt"
+    )
+    pairs2 = (
+        syms.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ss) - 1), "
+                    "i -> struct(ss[i - 1] AS l, ss[i] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+    )
+    return (
+        pairs2.groupBy("l", "r")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "l", "r")
+        .limit(50)
+    )
+
+
+@registry.query(
     "text_lexicon_sentiment",
     oracle="""
     WITH scored AS (

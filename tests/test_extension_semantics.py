@@ -725,3 +725,41 @@ def test_centroid_drift_sides_and_bounds(spark):
         assert r.drift2 >= 0
     # the two sides never double-count a vector
     assert sum(r.n_lake + r.n_shard for r in rows) <= n_vecs
+
+
+def test_bpe_merge_step_is_true_greedy_bpe(spark):
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    freq = defaultdict(int)
+    for r in docs:
+        for w in re.split("[^a-z]+", r.text.lower()):
+            if w:
+                freq[w] += 1
+    pc = defaultdict(int)
+    for w, c in freq.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] += c
+    (l, r), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merged_sym = l + r
+    pc2 = defaultdict(int)
+    for w, c in freq.items():
+        # true greedy BPE: leftmost non-overlapping merge of (l, r)
+        syms, i = [], 0
+        while i < len(w):
+            if w[i : i + 2] == merged_sym:
+                syms.append(merged_sym)
+                i += 2
+            else:
+                syms.append(w[i])
+                i += 1
+        for a, b in zip(syms, syms[1:]):
+            pc2[(a, b)] += c
+    want = sorted(
+        ((a, b, c) for (a, b), c in pc2.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:50]
+    got = [(x.l, x.r, x.pair_count) for x in _rows(spark, "text_bpe_merge_step")]
+    assert got == want
+    # non-vacuity: the merged symbol must participate in new pairs
+    assert any(merged_sym in (a, b) for a, b, _ in got)

@@ -65,6 +65,8 @@ BNLJ_JUSTIFIED = {
     "dedup_incremental_embedding_artifact": "the shard x coarse-quantizer "
     "assignment — the standard IVF assign step, build side capped at "
     "IVF_K_MAX by construction; the probe join itself is a cell hash join",
+    "text_bpe_merge_step": "1-row argmax-pair build side broadcast back "
+    "over the weighted vocabulary (scalar-subquery shape)",
 }
 
 
