@@ -580,6 +580,43 @@ def sink_lake_artifacts_retract_tombstone(
     )
 
 
+@registry.query(
+    "sink_lake_artifacts_retract_compacted",
+    oracle=SQL_RETRACT_SUMMARY,
+)
+def sink_lake_artifacts_retract_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEFERRED half of the tombstone lifecycle, as its own oracle
+    row: tombstone the victims (O(victims) sidecar, zero files touched),
+    then run the scheduled COMPACTION on all four families
+    (:func:`compact_tombstones` — the physical `_retract_rows` device
+    scoped to the affected partitions, sidecar cleared) and report the
+    four per-partition summaries from PLAIN artifact reads — no
+    tombstone-aware view anywhere in the plan. Sharing
+    :data:`SQL_RETRACT_SUMMARY` with the other two retraction sinks
+    closes the triangle with oracle rows on every edge: live-view
+    (tombstone sink) ≡ compacted-physical (this sink) ≡ physical-now
+    (retract sink) ≡ rebuilt-on-survivors (the oracle itself). Sidecar
+    clearing and live-view invariance across compaction are additionally
+    pinned in tests/test_retract_semantics.py.
+
+    Scale: compaction reads ONLY the affected partitions (one narrow
+    (id, partition) columnar pass semi-joined against the broadcast
+    tombstones derives the set — the compactor rewrites those
+    partitions anyway) and rewrites them with the same DPP-scoped
+    dynamic-overwrite device as the immediate retract; the read tax the
+    tombstone tier charges every consumer disappears at the price of
+    one scheduled job whose cost follows the victims, not the lake."""
+    paths = tombstoned_artifact_paths(spark, sf_dir, rebuild=True)
+    for fam, p in paths.items():
+        part_col, id_col, sort_key = ARTIFACT_LAYOUTS[fam]
+        compact_tombstones(spark, p, part_col, id_col, sort_key)
+    return _tagged_retract_summary(
+        {fam: spark.read.parquet(p) for fam, p in paths.items()}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster-label retraction: relabel the clusters the removals split
 # ---------------------------------------------------------------------------

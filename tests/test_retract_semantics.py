@@ -347,3 +347,29 @@ def test_compaction_preserves_live_view_and_clears_sidecar(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(p).collect()
     ) == before
+
+
+def test_compacted_sink_clears_every_family_sidecar(spark):
+    # The registered compaction sink must leave all four families
+    # physically retracted: no _tombstones sidecar anywhere, and the
+    # plain read equal to the tombstone-aware live view (which is then
+    # a plain read by definition).
+    R.sink_lake_artifacts_retract_compacted(spark, SF_DIR).collect()
+    paths = spark._quty_tombstone_artifacts[SF_DIR]
+    for fam, p in paths.items():
+        assert not os.path.isdir(os.path.join(p, R._TOMBSTONES)), fam
+        def _norm(rows):
+            return {
+                tuple(
+                    tuple(x) if isinstance(x, list) else x for x in r
+                )
+                for r in rows
+            }
+
+        plain = _norm(spark.read.parquet(p).collect())
+        live = _norm(
+            R.read_artifact_live(
+                spark, p, R.ARTIFACT_LAYOUTS[fam][1]
+            ).collect()
+        )
+        assert plain == live, fam
