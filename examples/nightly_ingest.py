@@ -225,6 +225,52 @@ def main() -> None:
     print(f"minhash artifact append: {mh_before} -> {mh_after} band rows "
           f"(8 bands per admitted doc with >= 3 tokens)")
 
+    # 7. a takedown arrives (round 14): the victim set must leave the
+    # artifact tier NOW. The tombstone tier writes an O(victims) sidecar
+    # — zero artifact files touched — and every consumer reads through
+    # the live view; scheduled compaction later applies the delete
+    # physically and clears the sidecar
+    # (sink_lake_artifacts_retract_tombstone and
+    # sink_lake_artifacts_retract_compacted prove live-view ≡ compacted
+    # ≡ rebuilt-on-survivors through one shared oracle).
+    from quty_server_spark.operators.retract import (
+        ARTIFACT_LAYOUTS,
+        compact_tombstones,
+        read_artifact_live,
+        tombstoned_artifact_paths,
+    )
+
+    t0 = time.time()
+    tpaths = tombstoned_artifact_paths(spark, sf_dir, rebuild=True)
+    sig_p = tpaths["sig"]
+    live = read_artifact_live(spark, sig_p, "doc_id").count()
+    full = spark.read.parquet(sig_p).count()
+    print(f"takedown: tombstoned victims across 4 families in "
+          f"{time.time() - t0:.1f}s (sidecar write only); sig family "
+          f"live view {live} of {full} rows — effective immediately")
+    t0 = time.time()
+    for fam, p in tpaths.items():
+        part_col, id_col, sort_key = ARTIFACT_LAYOUTS[fam]
+        compact_tombstones(spark, p, part_col, id_col, sort_key)
+    compacted = spark.read.parquet(sig_p).count()
+    assert compacted == live, (compacted, live)
+    print(f"scheduled compaction: applied + sidecars cleared in "
+          f"{time.time() - t0:.1f}s; sig family now physically {compacted} "
+          f"rows (== the live view it replaces)")
+
+    # 8. the trainer handoff (round 14): the snapshot the gates above
+    # protect, hashed into content-keyed shards and written
+    # partitioned-by-shard — the read-back audit a training run gates
+    # on (sink_training_shards proves the layout holds exactly the
+    # snapshot through the snapshot's own oracle SQL).
+    t0 = time.time()
+    shards = q["sink_training_shards"](spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in shards)
+    sizes = sorted(r.n_docs for r in shards)
+    print(f"trainer handoff: {n_docs_total} snapshot docs into "
+          f"{len(shards)} shards (sizes {sizes[0]}..{sizes[-1]}) in "
+          f"{time.time() - t0:.1f}s — write + read-back audit")
+
     print("\nnightly verdict: "
           f"{n_final}/{n_shard} incoming docs enter the lake "
           f"({1e2 * n_final / max(n_shard, 1):.1f}%)")
