@@ -2491,3 +2491,127 @@ def stream_ingest_exact_dedup_sequential(
         .select("admitted_doc_id", "epoch", "text_md5")
         .localCheckpoint(eager=True)
     )
+
+
+@registry.query(
+    "stream_lake_retraction",
+    oracle=None,  # set below — shares the batch retraction oracle
+)
+def stream_lake_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS takedown — the retraction verb's streaming twin,
+    completing the lifecycle symmetry (ingest, append, maintenance, and
+    the snapshot product all have continuous twins; deletion now does
+    too): takedown requests arrive as a unified (kind, id) feed in
+    micro-batches — document ids for the three doc-keyed families, vec
+    ids for IVF — and each batch appends its victims to the families'
+    ``_tombstones`` sidecars inside ``foreachBatch`` (an O(batch)
+    union+distinct sidecar rewrite; zero artifact data files touched on
+    any trigger). At stream close, the four live views are summarized
+    in the shared tagged frame.
+
+    The oracle is byte-identical to the three batch retraction sinks'
+    (``SQL_RETRACT_SUMMARY``), so a green row proves the epoch-split
+    tombstone stream converges to EXACTLY the one-shot retraction —
+    which holds by construction because tombstone-set union is
+    commutative and idempotent: batch order cannot matter, and an epoch
+    REPLAY after a crash re-unions the same victim ids into the same
+    set (the idempotent-sink discipline every continuous twin in this
+    module follows, here for free from the data structure).
+
+    Scale: per-trigger cost is the batch's victim list (the sidecar is
+    victim-set-sized metadata, like _label_homes); consumers pay the
+    tombstone tier's one broadcast anti-join until scheduled compaction
+    (sink_lake_artifacts_retract_compacted) folds the accumulated set
+    physically. Reference analog: the reference retires a dead node's
+    subscriptions per-event as leave messages arrive
+    (lib/QutyCluster.js:518-578); this is that verb at lake scale."""
+    from quty_server_spark.operators.retract import (
+        RETRACT_MOD,
+        _copy_artifact,
+        _write_tombstones,
+        ARTIFACT_LAYOUTS,
+        read_artifact_live,
+        _tagged_retract_summary,
+    )
+    from quty_server_spark.operators.dedup import (
+        lake_minhash_artifact,
+        lake_passage_artifact,
+        lake_signature_artifact,
+    )
+    from quty_server_spark.operators.similarity import (
+        ivf_postings_artifact,
+    )
+
+    configure(spark)
+    base = session_tmp_dir(spark, "quty_stream_retract", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    indir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+
+    builders = {
+        "sig": lake_signature_artifact,
+        "minhash": lake_minhash_artifact,
+        "passage": lake_passage_artifact,
+        "ivf": ivf_postings_artifact,
+    }
+    paths = {}
+    for fam, build in builders.items():
+        p = os.path.join(base, fam)
+        _copy_artifact(build(spark, sf_dir), p)
+        paths[fam] = p
+
+    # The unified takedown feed: document victims (three doc-keyed
+    # families) + vector victims (IVF), staged as 4 hash-partitioned
+    # files -> 4 deterministic micro-batches under maxFilesPerTrigger=1.
+    docs_v = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == RETRACT_MOD)
+        .select(F.lit("doc").alias("kind"), F.col("doc_id").alias("id"))
+    )
+    vec_v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == RETRACT_MOD)
+        .select(F.lit("vec").alias("kind"), F.col("vec_id").alias("id"))
+    )
+    feed = docs_v.unionByName(vec_v)
+    feed.repartition(4, "id").write.parquet(indir)
+
+    def tombstone_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        doc_ids = b.filter(F.col("kind") == "doc").select("id")
+        vec_ids = b.filter(F.col("kind") == "vec").select("id")
+        if doc_ids.take(1):
+            for fam in ("sig", "minhash", "passage"):
+                _write_tombstones(spark, paths[fam], doc_ids)
+        if vec_ids.take(1):
+            _write_tombstones(spark, paths["ivf"], vec_ids)
+
+    q = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(tombstone_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _tagged_retract_summary(
+        {
+            fam: read_artifact_live(
+                spark, p, ARTIFACT_LAYOUTS[fam][1]
+            )
+            for fam, p in paths.items()
+        }
+    ).localCheckpoint(eager=True)
+
+
+# Shares the batch retraction oracle byte-for-byte: stream-of-epochs
+# tombstoning must converge to the one-shot retract.
+def _set_stream_retraction_oracle() -> None:
+    from quty_server_spark.operators.retract import SQL_RETRACT_SUMMARY
+
+    registry.oracles["stream_lake_retraction"] = SQL_RETRACT_SUMMARY
+
+
+_set_stream_retraction_oracle()

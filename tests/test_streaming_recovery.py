@@ -390,3 +390,34 @@ def test_stream_corpus_snapshot_equals_incremental_batch(spark):
     assert len(epochs) >= 2
     prov = spark.read.parquet(os.path.join(base, "out")).count()
     assert prov >= len(got)
+
+
+def test_stream_retraction_equals_batch_tombstone(spark):
+    # The continuous takedown's close-state equals the one-shot
+    # tombstone sink exactly (sorted LISTS — a double-counted summary
+    # row must fail), and the stream actually split the victim feed
+    # across multiple micro-batches (the commutativity claim is only
+    # exercised when more than one epoch wrote tombstones).
+    from quty_server_spark.operators.retract import (
+        sink_lake_artifacts_retract_tombstone,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import stream_lake_retraction
+
+    got = sorted(
+        tuple(r) for r in stream_lake_retraction(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sink_lake_artifacts_retract_tombstone(
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want and got
+    base = session_tmp_dir(spark, "quty_stream_retract", SF_DIR)
+    epochs = [
+        f
+        for f in os.listdir(os.path.join(base, "ckpt", "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(epochs) >= 2
