@@ -1444,3 +1444,65 @@ def test_retract_read_prunes_to_affected_partitions(spark, tmp_path):
     )
     assert "dynamicpruningexpression" in plan
     assert "PartitionFilters" in plan
+
+
+# --- round-14 late additions -----------------------------------------------
+
+
+def test_split_leakage_join_is_hash_equality_not_cartesian(spark):
+    # The cross-split self-join must be an equality join on the content
+    # digest (hash-partitionable at 100 TB), never a nested-loop pair
+    # enumeration; the split inequality rides as a post-join filter.
+    plan = plan_of(spark, "split_leakage_report")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_token_budget_reads_two_columns_only(spark):
+    # The cumsum needs (lang, text->n_tokens, doc_id): the scan must
+    # prune to the columns the window consumes — a full-width documents
+    # scan at 100 TB would read the corpus to count tokens.
+    plan = plan_of(spark, "sample_token_budget")
+    assert "ReadSchema" in plan
+    sch = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in sch and "lang" in sch and "doc_id" in sch
+    assert "source" not in sch and "n_chars" not in sch
+
+
+def test_centroid_drift_broadcasts_bounded_centroids(spark):
+    # The assignment join's build side is the quantizer output — bounded
+    # at IVF_K_MAX rows by construction — and must broadcast. The
+    # materialized _ivf_cells checkpoint hides that subtree from the
+    # registered query's explain (same caveat as every IVF pin), so the
+    # broadcast is asserted on the unmaterialized assignment plan; the
+    # registered plan is then pinned cartesian-free with partial
+    # (map-side) aggregation before the (cell, side, dim) shuffle.
+    from quty_server_spark.operators.similarity import (
+        _corpus,
+        _ivf_cells_plan,
+        _ivf_centroids,
+    )
+
+    c = _corpus(spark, SF_DIR)
+    assign = _ivf_cells_plan(c, _ivf_centroids(c))
+    ap = assign._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastExchange" in ap
+    plan = plan_of(spark, "embed_centroid_drift")
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "partial" in plan.lower()
+
+
+def test_training_shards_audit_groups_on_partition_column(spark):
+    # The read-back audit aggregates by the artifact's own partition
+    # column, so the written layout (partitioned by shard) serves the
+    # audit without a wide scan of the data columns.
+    plan = plan_of(spark, "sink_training_shards")
+    assert "PartitionFilters" in plan or "shard" in plan
+    assert "CartesianProduct" not in plan
