@@ -307,3 +307,116 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ppm"),
         )
     )
+
+
+def _near_dup_leakage_oracle() -> str:
+    from quty_server_spark.operators.dedup import HAMMING_MAX, SQL_SIMHASH
+
+    return f"""
+    WITH {SQL_SIMHASH.lstrip()},
+    bands AS (
+        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+    near AS (
+        SELECT p.da, p.db FROM pairs p
+        JOIN simhash sa ON p.da = sa.doc_id
+        JOIN simhash sb ON p.db = sb.doc_id
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= {HAMMING_MAX}),
+    sp AS (SELECT doc_id, {SQL_SPLIT_CASE} AS s FROM documents),
+    tagged AS (
+        SELECT LEAST(x.s, y.s) AS split_a, GREATEST(x.s, y.s) AS split_b,
+               CASE WHEN x.s < y.s THEN n.da ELSE n.db END AS doc_a,
+               CASE WHEN x.s < y.s THEN n.db ELSE n.da END AS doc_b
+        FROM near n
+        JOIN sp x ON n.da = x.doc_id
+        JOIN sp y ON n.db = y.doc_id
+        WHERE x.s <> y.s)
+    SELECT split_a, split_b,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT doc_a) AS n_docs_a,
+           COUNT(DISTINCT doc_b) AS n_docs_b
+    FROM tagged GROUP BY 1, 2
+    """
+
+
+@registry.query("split_leakage_near_dup", oracle=_near_dup_leakage_oracle())
+def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate cross-split contamination — the leak that actually
+    costs eval integrity in practice (exact copies are rare after a
+    dedup pass; paraphrases and re-crawls are not): for every unordered
+    split pair, the SimHash near-dup pairs (banded candidates, Hamming
+    ≤ HAMMING_MAX verify — the same contract every dedup consumer uses)
+    whose two members landed in DIFFERENT splits, with the distinct doc
+    counts on each side. A training run gates on this next to the exact
+    report (:func:`split_leakage_report`); the remedy is moving whole
+    near-dup CLUSTERS across split boundaries, never individual docs.
+
+    Scale: identical to the dedup family's mining shape — banded
+    equality self-join (never all-pairs), codegen'd Hamming verify
+    before any distinct, split labels attached by two hash joins on
+    doc_id after the near set is already mined. Content-keyed splits
+    mean the report is append-stable: new data can only add rows, never
+    relabel an old doc's split."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        simhash_bands,
+        simhash_sigs,
+    )
+
+    sigs = simhash_sigs(spark, sf_dir)
+    bands = simhash_bands(sigs)
+    a = bands.select(
+        F.col("doc_id").alias("da"), "band_id", "band_val",
+        F.col("sig").alias("siga"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_val").alias("band_val_b"),
+        F.col("sig").alias("sigb"),
+    )
+    near = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("siga").bitwiseXOR(F.col("sigb"))
+            )
+            <= HAMMING_MAX
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    sp = d.select("doc_id", split_col().alias("s"))
+    x = sp.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    y = sp.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    tagged = (
+        near.join(x, "da")
+        .join(y, "db")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            F.when(F.col("sa") < F.col("sb"), F.col("da"))
+            .otherwise(F.col("db"))
+            .alias("doc_a"),
+            F.when(F.col("sa") < F.col("sb"), F.col("db"))
+            .otherwise(F.col("da"))
+            .alias("doc_b"),
+        )
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_a").alias("n_docs_a"),
+        F.countDistinct("doc_b").alias("n_docs_b"),
+    )

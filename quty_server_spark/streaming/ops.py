@@ -2577,14 +2577,16 @@ def stream_lake_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.repartition(4, "id").write.parquet(indir)
 
     def tombstone_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Unconditional per-family union: an empty slice just rewrites
+        # the (victim-list-sized) sidecar unchanged — cheaper than a
+        # driver-side emptiness probe, and keeps the batch path free of
+        # driver materialization (the repo-wide sweep).
         b = batch_df.localCheckpoint(eager=True)
         doc_ids = b.filter(F.col("kind") == "doc").select("id")
         vec_ids = b.filter(F.col("kind") == "vec").select("id")
-        if doc_ids.take(1):
-            for fam in ("sig", "minhash", "passage"):
-                _write_tombstones(spark, paths[fam], doc_ids)
-        if vec_ids.take(1):
-            _write_tombstones(spark, paths["ivf"], vec_ids)
+        for fam in ("sig", "minhash", "passage"):
+            _write_tombstones(spark, paths[fam], doc_ids)
+        _write_tombstones(spark, paths["ivf"], vec_ids)
 
     q = (
         spark.readStream.schema(feed.schema)
