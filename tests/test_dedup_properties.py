@@ -121,3 +121,46 @@ def test_min_label_components_equal_union_find(spark, edges):
     labels, _ = D.min_label_components(spark, pairs)
     got = {r.node: r.lbl for r in labels.collect()}
     assert got == _union_find_min_labels(edges)
+
+
+# --- BPE merge device (round 14) -------------------------------------------
+#
+# text_bpe_merge_step stages the merged pair through a '#' placeholder:
+#     replace(regexp_replace(replace(w, l||r, '#'), '(.)', '$1|'), '#', l||r)
+# The correctness claim is that leftmost non-overlapping substring
+# replacement of a TWO-CHARACTER pair over single-character symbols IS
+# textbook greedy BPE merging. Python's str.replace shares the leftmost
+# non-overlapping contract with Spark's replace and DuckDB's replace, so
+# the device can be property-tested engine-free against a reference
+# greedy merger over arbitrary words — including the adversarial l == r
+# runs ('aaaa' + merge 'aa' -> aa aa; 'aaa' -> aa a).
+
+
+def _device_merge(w: str, pair: str) -> list[str]:
+    staged = w.replace(pair, "#")
+    delim = "".join(ch + "|" for ch in staged)
+    return [s for s in delim.replace("#", pair).split("|") if s]
+
+
+def _greedy_bpe_merge(w: str, pair: str) -> list[str]:
+    syms, i = [], 0
+    while i < len(w):
+        if w[i : i + 2] == pair:
+            syms.append(pair)
+            i += 2
+        else:
+            syms.append(w[i])
+            i += 1
+    return syms
+
+
+@given(
+    w=st.text(alphabet="abc", min_size=0, max_size=40),
+    l=st.sampled_from("abc"),
+    r=st.sampled_from("abc"),
+)
+@settings(max_examples=500, deadline=None)
+def test_bpe_placeholder_device_equals_greedy_merge(w, l, r):
+    assert _device_merge(w, l + r) == _greedy_bpe_merge(w, l + r)
+    # and the merge conserves the character stream
+    assert "".join(_device_merge(w, l + r)) == w
