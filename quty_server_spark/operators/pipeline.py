@@ -1107,3 +1107,143 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def _survivor_snapshot_oracle() -> str:
+    """The snapshot oracle re-scoped to the retraction survivors
+    (``doc_id % 10 <> RETRACT_MOD``) — the SQL_SIMHASH_STAGED redirect
+    device (dedup.py): every corpus read inside the assembled oracle is
+    pointed at a survivors CTE, everything downstream byte-identical,
+    so the survivors snapshot can never drift from the real one."""
+    from quty_server_spark.operators.retract import RETRACT_MOD
+
+    full = _snapshot_oracle()
+    surv = full.replace("FROM documents\n", "FROM documents_surv\n").replace(
+        "FROM documents d", "FROM documents_surv d"
+    )
+    surv = surv.replace(
+        "WITH RECURSIVE ",
+        "WITH RECURSIVE documents_surv AS (\n"
+        f"        SELECT * FROM documents WHERE doc_id % 10 <> {RETRACT_MOD}),\n"
+        "    ",
+        1,
+    )
+    # Loud failure if the assembled fragments ever change shape: the
+    # CTE definition plus exactly three redirected corpus reads.
+    assert surv.count("documents_surv") == 4, surv.count("documents_surv")
+    return surv
+
+
+@registry.query(
+    "snapshot_retraction_impact",
+    oracle=f"""
+    WITH before AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_tokens) AS t
+        FROM ({{full}}) GROUP BY lang),
+    after AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_tokens) AS t
+        FROM ({{surv}}) GROUP BY lang)
+    SELECT COALESCE(b.lang, a.lang) AS lang,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS docs_before,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS docs_after,
+           CAST(COALESCE(b.t, 0) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(a.t, 0) AS BIGINT) AS tokens_after,
+           CAST(COALESCE(a.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS docs_delta,
+           CAST(COALESCE(a.t, 0) - COALESCE(b.t, 0) AS BIGINT) AS tokens_delta
+    FROM before b FULL JOIN after a ON b.lang = a.lang
+    """.format(full="PLACEHOLDER_FULL", surv="PLACEHOLDER_SURV"),
+)
+def snapshot_retraction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the takedown costs THE PRODUCT — the audit that ties the
+    round-14 retraction verb to the table a trainer reads: per
+    language, the training snapshot's doc/token counts BEFORE the
+    victim removal vs AFTER (the snapshot recomputed over the
+    survivors), with signed deltas. The after side is NOT simply
+    "before minus victim rows": removing a victim KEEPER re-elects a
+    new canonical member for its cluster, removing a victim's passages
+    can drop a surviving doc's dup_ppm below the scrub ceiling, and
+    removing a bridge victim can split a cluster into two keepers — so
+    docs_delta can be positive for a language. The oracle computes both
+    sides from scratch (the survivors side through the
+    SQL_SIMHASH_STAGED redirect device), so a green row proves the
+    engine's survivors snapshot equals tonight's post-takedown truth.
+
+    Scale: the before side rides the session-memoized component labels
+    (shared with every snapshot consumer); the after side is the
+    retraction night's one-off — survivor signing + the contracted
+    labeling core (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`,
+    the same device the label-retraction sink uses) + survivor passage
+    windows; both keeper joins broadcast-gated at BROADCAST_NODES_MAX."""
+    from quty_server_spark.operators.dedup import (
+        BROADCAST_NODES_MAX,
+        _labels_from_sigs,
+        _passage_windows,
+        simhash_sigs_docs,
+    )
+    from quty_server_spark.operators.retract import RETRACT_MOD
+
+    full = corpus_training_snapshot(spark, sf_dir)
+    before = full.groupBy("lang").agg(
+        F.count("*").alias("bn"), F.sum("n_tokens").alias("bt")
+    )
+
+    surv = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != RETRACT_MOD
+    )
+    n_tok = F.size(F.split("text", " "))
+    lab = _labels_from_sigs(spark, simhash_sigs_docs(surv)).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    small = lab.count() <= BROADCAST_NODES_MAX
+    w = _passage_windows(surv).localCheckpoint(eager=False)
+    dup = (
+        w.groupBy("passage_md5")
+        .agg(F.count_distinct("doc_id").alias("pd"))
+        .filter(F.col("pd") >= 2)
+        .select("passage_md5", F.lit(1).alias("is_dup"))
+    )
+    scrub = (
+        w.join(dup, "passage_md5", "left")
+        .groupBy("doc_id")
+        .agg(F.expr("(1000000 * count(is_dup)) DIV count(*)").alias("dup_ppm"))
+    )
+    surv_snap = (
+        surv.filter(snapshot_quality_keep())
+        .select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .filter(
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+            & (F.coalesce("dup_ppm", F.lit(0)) < 500000)
+        )
+    )
+    after = surv_snap.groupBy("lang").agg(
+        F.count("*").alias("an"), F.sum("n_tokens").alias("at")
+    )
+    b = before.withColumnRenamed("lang", "lang_b")
+    return (
+        b.join(after, b.lang_b == after.lang, "full")
+        .select(
+            F.coalesce("lang_b", "lang").alias("lang"),
+            F.coalesce("bn", F.lit(0)).cast("bigint").alias("docs_before"),
+            F.coalesce("an", F.lit(0)).cast("bigint").alias("docs_after"),
+            F.coalesce("bt", F.lit(0)).cast("bigint").alias("tokens_before"),
+            F.coalesce("at", F.lit(0)).cast("bigint").alias("tokens_after"),
+            (
+                F.coalesce("an", F.lit(0)) - F.coalesce("bn", F.lit(0))
+            ).cast("bigint").alias("docs_delta"),
+            (
+                F.coalesce("at", F.lit(0)) - F.coalesce("bt", F.lit(0))
+            ).cast("bigint").alias("tokens_delta"),
+        )
+    )
+
+
+# The oracle above needs the two assembled snapshot SQLs spliced in
+# AFTER both builder functions exist (registration order: the decorator
+# ran with placeholders).
+registry.oracles["snapshot_retraction_impact"] = registry.oracles[
+    "snapshot_retraction_impact"
+].replace("PLACEHOLDER_FULL", _snapshot_oracle()).replace(
+    "PLACEHOLDER_SURV", _survivor_snapshot_oracle()
+)
