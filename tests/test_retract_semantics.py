@@ -373,3 +373,27 @@ def test_compacted_sink_clears_every_family_sidecar(spark):
             ).collect()
         )
         assert plain == live, fam
+
+
+def test_tombstone_write_is_idempotent(spark, tmp_path):
+    # The streaming retraction's replay-safety claim reduces to this:
+    # re-unioning the same victim ids leaves the sidecar (and therefore
+    # every live view) unchanged.
+    p = str(tmp_path / "art")
+    spark.range(0, 100).selectExpr(
+        "id AS doc_id", "id % 4 AS band_id", "id * 7 AS band_val"
+    ).write.partitionBy("band_id").parquet(p)
+    vic = spark.range(0, 100, 10).selectExpr("id AS doc_id")
+    R._write_tombstones(spark, p, vic)
+    first = sorted(
+        r.victim_id
+        for r in spark.read.parquet(os.path.join(p, R._TOMBSTONES)).collect()
+    )
+    R._write_tombstones(spark, p, vic)  # the replay
+    second = sorted(
+        r.victim_id
+        for r in spark.read.parquet(os.path.join(p, R._TOMBSTONES)).collect()
+    )
+    assert first == second == list(range(0, 100, 10))
+    live = R.read_artifact_live(spark, p, "doc_id")
+    assert live.count() == 90
