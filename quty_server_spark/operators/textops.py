@@ -696,3 +696,136 @@ def text_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg.cast("bigint").alias("neg_hits"),
         F.expr(ppm).cast("bigint").alias("polarity_ppm"),
     )
+
+
+def _lang_id_eval_oracle() -> str:
+    # The classifier's own oracle SQL as a CTE: the eval can never
+    # disagree with the classifier about what was guessed.
+    guessed = registry.oracles["text_lang_id"]
+    return f"""
+    WITH preds AS ({guessed})
+    SELECT labeled_lang, guessed_lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (
+               PARTITION BY labeled_lang) AS BIGINT) AS share_ppm
+    FROM preds
+    GROUP BY labeled_lang, guessed_lang
+    """
+
+
+@registry.query("text_lang_id_eval", oracle=_lang_id_eval_oracle())
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness for the engine's own language-ID heuristic — a
+    confusion matrix against the corpus's ground-truth labels: per
+    (labeled, guessed) cell, the doc count and its integer-ppm share of
+    the labeled class (the diagonal cells' shares are per-class recall).
+    The oracle embeds text_lang_id's own SQL as a CTE, so the eval and
+    the classifier can never drift. On this fixture the matrix honestly
+    reports that the stopword heuristic disagrees with the random lang
+    tags on English-ish text — which is the point: a production corpus
+    swap makes this the regression gate for the classifier's quality,
+    with zero new machinery.
+
+    Scale: the classifier is a narrow scan-side battery; the matrix is
+    one map-side-combined aggregation at |langs|² grain plus a window
+    over the tiny matrix itself — corpus size only moves the scan."""
+    preds = text_lang_id(spark, sf_dir)
+    w = Window.partitionBy("labeled_lang")
+    return (
+        preds.groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(n_docs * 1000000 div sum(n_docs) OVER ("
+                "PARTITION BY labeled_lang) AS BIGINT)"
+            ),
+        )
+    )
+
+
+# Frozen integer weights for the linear quality scorer — the
+# fasttext-style "quality classifier" stage of a pretraining pipeline,
+# reduced to its plan shape: engineered integer features, a frozen dot
+# product, a threshold. Real deployments swap the weights; the plan is
+# identical.
+QUALITY_W_TOKENS = 3        # more tokens -> better, saturates via cap
+QUALITY_W_DISTINCT = 2      # distinct-token ratio (ppm / 1000)
+QUALITY_W_STOPWORD = 1      # en-stopword density (ppm / 1000)
+QUALITY_W_WLEN = -40        # penalize very long average word length
+QUALITY_THRESHOLD = 2600
+
+
+@registry.query(
+    "text_linear_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               LEAST(len(string_split(text, ' ')), 256) AS n_tok,
+               len(string_split(text, ' ')) AS raw_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               {_lang_hits_expr_sql('en')} AS stop_hits,
+               length(replace(text, ' ', '')) AS n_letters
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST({QUALITY_W_TOKENS} * n_tok
+                  + {QUALITY_W_DISTINCT} * (n_distinct * 1000 // raw_tok)
+                  + {QUALITY_W_STOPWORD} * (stop_hits * 1000 // raw_tok)
+                  + {QUALITY_W_WLEN} * (n_letters * 10 // raw_tok)
+                 AS BIGINT) AS score
+        FROM feats)
+    SELECT doc_id, score, score >= {QUALITY_THRESHOLD} AS keep
+    FROM scored
+    """,
+)
+def text_linear_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear quality scoring — the classifier-filter stage (the
+    fasttext-style device of CCNet/Gopher-class pipelines) in its
+    Spark-native shape: four engineered integer features per document
+    (capped token count, distinct-token ratio, English-stopword
+    density, average word length in tenths), a FROZEN integer weight
+    vector, one threshold. Everything is integer floor arithmetic, so
+    the score is bit-identical across engines with no rounding
+    contract; swapping trained weights (or widening to hundreds of
+    hashed n-gram features via a map literal) changes constants, not
+    the plan.
+
+    Scale: a pure narrow map — zero exchanges, whole-stage codegen'd
+    scan-side expressions; the corpus never shuffles. The keep flag
+    composes with doc_quality_gate's rule battery as two independent
+    gates a snapshot intersects."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    raw_tok = F.size(toks)
+    feats = d.select(
+        "doc_id",
+        F.least(raw_tok, F.lit(256)).alias("n_tok"),
+        raw_tok.alias("raw_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in STOPWORDS["en"]]), t
+                ),
+            )
+        ).alias("stop_hits"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_letters"
+        ),
+    )
+    score = (
+        QUALITY_W_TOKENS * F.col("n_tok")
+        + QUALITY_W_DISTINCT
+        * F.expr("n_distinct * 1000 div raw_tok")
+        + QUALITY_W_STOPWORD * F.expr("stop_hits * 1000 div raw_tok")
+        + QUALITY_W_WLEN * F.expr("n_letters * 10 div raw_tok")
+    ).cast("bigint")
+    return feats.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= QUALITY_THRESHOLD).alias("keep"),
+    )
