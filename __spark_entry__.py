@@ -29,7 +29,7 @@ SF0001 = "/root/testdata/sf0.001"
 # (r13 VERDICT "Next round" #3): the stale class is the 37-query r08
 # vintage (newest driver-green row r08, per the judge's merged
 # histogram). The window is:
-# (1) the 15 queries NEW this round — rotation DEBT (no cumulative
+# (1) the 16 queries NEW this round — rotation DEBT (no cumulative
 # green row), mandatory per tests/test_rotation_debt: the four-family
 # retraction sink, its O(victims) TOMBSTONE twin (deletion-vector
 # contract, shared oracle), the tombstone COMPACTION sink (deferred
@@ -44,7 +44,8 @@ SF0001 = "/root/testdata/sf0.001"
 # snapshot_retraction_impact (the retraction verb priced against THE
 # PRODUCT, survivors snapshot proven from scratch), the lang-ID
 # confusion-matrix eval, and the frozen-weight linear quality
-# classifier;
+# classifier, and the multimodal exact payload dedup (the dedup family
+# extended to the binary column, cross-modality twins staged);
 # (2) the 15 queries whose code changed this round and must re-earn
 # their external green rows: the 10-query IVF/embedding family (the
 # coarse-quantizer decoupling), the two maintenance queries (the
@@ -53,16 +54,16 @@ SF0001 = "/root/testdata/sf0.001"
 # predicate (semantics-identical extracts, re-verified locally at both
 # SFs — listed anyway per the discipline);
 # (3) the canary: q1_pricing_summary, long-green AND itself r08 class;
-# (4) the r08 vintage (alphabetical): 20 of the remaining 35 fit the
-# window; q19_discounted_revenue / q22_sales_opportunity /
+# (4) the r08 vintage (alphabetical): 19 of the remaining 35 fit the
+# window; q15_top_supplier / q19_discounted_revenue / q22_sales_opportunity /
 # q3_shipping_priority / q5_local_supplier_volume / q7_nation_volume / q8_market_share / sample_stratified_hash /
 # sink_python_datasource_writer / source_python_datasource /
 # sql_recursive_cte_hierarchy / scalar_variant_json /
 # stream_python_datasource / text_lexicon_sentiment /
 # text_winnow_fingerprint / window_rolling_median roll to the r15 head.
-# 15+15+20 = 50 — exactly the driver's sample window. Queries not
+# 16+15+19 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 277.
+# full local gate (tools/check_oracle.py) still checks all 278.
 DRIVER_PRIORITY = [
     # (1) NEW this round — retraction (physical + tombstone tiers),
     # the continuous product, and the late-round pipeline ops
@@ -81,6 +82,7 @@ DRIVER_PRIORITY = [
     "text_bpe_merge_step",
     "text_lang_id_eval",
     "text_linear_quality_classifier",
+    "mm_payload_dedup",
     # (2) CHANGED this round — re-earn the green row
     "sim_ann_ivf",
     "sim_ann_ivf_nprobe2",
@@ -116,7 +118,6 @@ DRIVER_PRIORITY = [
     "mm_modality_mix",
     "orders_supplier_herfindahl",
     "q13_order_distribution",
-    "q15_top_supplier",
     "q1_pricing_summary",
 ]
 

@@ -309,3 +309,70 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("container").cast("bigint").alias("n_containers"),
         )
     )
+
+
+@registry.query(
+    "mm_payload_dedup",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+               text AS payload_text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               ['image','audio','video'][((doc_id + 1) % 3 + 1)::INT]
+                   AS modality,
+               text AS payload_text
+        FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT md5(payload_text) AS payload_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT modality) AS n_modalities
+    FROM media
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIA dedup — the dedup family extended to the multimodal
+    binary column: group items by the md5 of their raw payload bytes
+    (codec-free, so it works on media the container cannot decode),
+    keep the lowest id, and report each collapsed group's copy count
+    and DISTINCT MODALITY count — n_modalities > 1 is the
+    cross-modality duplicate (the same bytes filed under two container
+    tags), a mislabeling QA catch no text-side dedup can see. The
+    fixture stages a deterministic byte-identical twin for every ninth
+    item under a SHIFTED modality tag (id + 3,000,000), so the
+    cross-modality case is always exercised; the synthesized payload is
+    the document's utf-8 bytes, making the byte-level digest exactly
+    reproducible in SQL.
+
+    Scale: identical to dedup_exact — the digest is computed scan-side
+    (JVM md5 over the binary column; payload bytes never leave the
+    executor), the shuffle key is the 32-char digest, and partial
+    aggregation collapses copies map-side. For real media this is the
+    first pass before perceptual hashing, at pennies per petabyte."""
+    base = media_table(spark, sf_dir).select("doc_id", "modality", "payload")
+    twins_src = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 0
+    )
+    twins = twins_src.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            ((F.col("doc_id") + 1) % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    media = base.unionByName(twins)
+    return (
+        media.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("modality").alias("n_modalities"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
