@@ -310,13 +310,21 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_leakage_oracle() -> str:
-    from quty_server_spark.operators.dedup import HAMMING_MAX, SQL_SIMHASH
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BUCKET_CAP,
+        SQL_SIMHASH,
+    )
 
     return f"""
     WITH {SQL_SIMHASH.lstrip()},
     bands AS (
-        SELECT doc_id, b.band_id, (sig >> (12 * b.band_id)) & 4095 AS band_val
-        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b),
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM simhash, (SELECT unnest(range(0, 4)) AS band_id) b
+        QUALIFY COUNT(*) OVER (PARTITION BY b.band_id,
+                               (sig >> (12 * b.band_id)) & 4095)
+                <= {SIMHASH_BUCKET_CAP}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM bands a JOIN bands b
@@ -356,20 +364,36 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     report (:func:`split_leakage_report`); the remedy is moving whole
     near-dup CLUSTERS across split boundaries, never individual docs.
 
-    Scale: identical to the dedup family's mining shape — banded
-    equality self-join (never all-pairs), codegen'd Hamming verify
-    before any distinct, split labels attached by two hash joins on
-    doc_id after the near set is already mined. Content-keyed splits
+    Scale: the dedup family's CAPPED mining shape — banded equality
+    self-join restricted to buckets <= SIMHASH_BUCKET_CAP (the measured
+    linear contract; uncapped banding is ~4x/doubling on realistic
+    vocabularies, SCALING.md), codegen'd Hamming verify before any
+    distinct, split labels attached by two hash joins on doc_id after
+    the near set is already mined. Content-keyed splits
     mean the report is append-stable: new data can only add rows, never
     relabel an old doc's split."""
     from quty_server_spark.operators.dedup import (
         HAMMING_MAX,
+        SIMHASH_BUCKET_CAP,
         simhash_bands,
         simhash_sigs,
     )
 
     sigs = simhash_sigs(spark, sf_dir)
-    bands = simhash_bands(sigs)
+    # The 100 TB candidate contract (dedup_simhash_capped's device):
+    # band buckets past SIMHASH_BUCKET_CAP leave the candidate universe
+    # before the self-join — QUALIFY-mirrored in the oracle, window
+    # partitioned on the same key the join shuffles on (no extra
+    # exchange). Uncapped SimHash banding measures ~4x/doubling on a
+    # realistic Zipf vocabulary (SCALING.md); capped is the linear path.
+    bands = (
+        simhash_bands(sigs)
+        .withColumn(
+            "bsz",
+            F.count("*").over(Window.partitionBy("band_id", "band_val")),
+        )
+        .filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    )
     a = bands.select(
         F.col("doc_id").alias("da"), "band_id", "band_val",
         F.col("sig").alias("siga"),
