@@ -1094,9 +1094,16 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         % N_TRAIN_SHARDS
     )
     (
+        # Repartition by (shard, doc_id), not shard alone: one task per
+        # shard caps write parallelism at N_TRAIN_SHARDS regardless of
+        # cluster size. Hashing the id alongside spreads each shard's
+        # rows across many writers — every task lands its files in the
+        # right shard=N directory via partitionBy, so the layout is
+        # identical and the write scales with the cluster, not the
+        # shard count.
         snap.withColumn("shard", shard)
-        .repartition(N_TRAIN_SHARDS, "shard")
-        .sortWithinPartitions("doc_id")
+        .repartition(4 * N_TRAIN_SHARDS, "shard", "doc_id")
+        .sortWithinPartitions("shard", "doc_id")
         .write.partitionBy("shard")
         .parquet(out)
     )

@@ -275,11 +275,14 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted docs, tokens, and fill ppm (≥ 1,000,000 means the budget
     bound, < means the stratum ran dry).
 
-    Scale: one shuffle on the stratum key for the window cumsum; the
-    hash order is content-keyed (layout-independent, replayable), and
-    because admission depends only on a prefix of the per-stratum hash
-    order, appending new data can only ever displace documents at the
-    budget frontier — never reshuffle the whole selection.
+    Scale: the cumsum is a DISTRIBUTED prefix sum — 32 range buckets
+    over the hash order with per-bucket windows and a tiny broadcast
+    offset table — so parallelism is strata × buckets, not one reducer
+    per language. The hash order is content-keyed (layout-independent,
+    replayable), and because admission depends only on a prefix of the
+    per-stratum hash order, appending new data can only ever displace
+    documents at the budget frontier — never reshuffle the whole
+    selection.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -290,12 +293,39 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
         ).alias("hkey"),
     )
-    w = (
-        Window.partitionBy("lang")
+    # Distributed prefix sum: a single per-stratum window caps the
+    # cumsum at one reducer per language — at 100 TB with 5 languages
+    # that is 5 tasks doing all the work. Instead: 32 RANGE buckets
+    # over the hash order (bucket = hkey >> 23 is monotone in hkey, so
+    # bucket-asc concatenation IS the global order), a window inside
+    # each (lang, bucket), and per-bucket offsets from a tiny
+    # 5×32-row aggregate broadcast back. Same admission set, 160-way
+    # parallel cumsum.
+    toks = toks.withColumn("bkt", F.shiftright("hkey", 23))
+    wb = (
+        Window.partitionBy("lang", "bkt")
         .orderBy("hkey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    runs = toks.withColumn("tok_before", F.sum("n_tokens").over(w))
+    within = toks.withColumn(
+        "in_before", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    )
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        toks.groupBy("lang", "bkt")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .withColumn(
+            "boff", F.coalesce(F.sum("btok").over(woff), F.lit(0))
+        )
+        .select("lang", "bkt", "boff")
+    )
+    runs = within.join(F.broadcast(offs), ["lang", "bkt"]).withColumn(
+        "tok_before", F.col("boff") + F.col("in_before")
+    )
     return (
         runs.filter(F.coalesce(F.col("tok_before"), F.lit(0)) < TOKEN_BUDGET)
         .groupBy("lang")
