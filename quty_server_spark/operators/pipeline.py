@@ -1177,10 +1177,15 @@ def snapshot_retraction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the before side rides the session-memoized component labels
     (shared with every snapshot consumer); the after side is the
-    retraction night's one-off — survivor signing + the contracted
-    labeling core (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`,
-    the same device the label-retraction sink uses) + survivor passage
-    windows; both keeper joins broadcast-gated at BROADCAST_NODES_MAX."""
+    takedown audit's stated one-off — survivor signing + ONE
+    survivor-corpus labeling pass through the signature-grain core
+    (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`, the
+    same core the label-retraction sink uses) + survivor passage
+    windows; both keeper joins broadcast-gated at BROADCAST_NODES_MAX.
+    Takedowns are rare events, and the audit's value IS the from-scratch
+    proof; the O(victims) standing-state path (home-bucket rewrites, no
+    corpus relabeling) is the label-retraction sink — this op prices
+    the product impact, it does not maintain state."""
     from quty_server_spark.operators.dedup import (
         BROADCAST_NODES_MAX,
         _labels_from_sigs,
