@@ -1032,6 +1032,101 @@ def corpus_training_snapshot_incremental(
     )
 
 
+def _redirected_snapshot_oracle(cte: str, where_sql: str) -> str:
+    """The snapshot oracle re-scoped to a filtered corpus — the
+    SQL_SIMHASH_STAGED redirect device (dedup.py): every corpus read
+    inside the assembled oracle is pointed at a scoped CTE, everything
+    downstream byte-identical, so a scoped snapshot can never drift
+    from the real one. Used by the retraction-impact audit (survivor
+    scope) and the trainer-shard append twin (lake scope)."""
+    full = _snapshot_oracle()
+    scoped = full.replace("FROM documents\n", f"FROM {cte}\n").replace(
+        "FROM documents d", f"FROM {cte} d"
+    )
+    scoped = scoped.replace(
+        "WITH RECURSIVE ",
+        f"WITH RECURSIVE {cte} AS (\n"
+        f"        SELECT * FROM documents WHERE {where_sql}),\n"
+        "    ",
+        1,
+    )
+    # Loud failure if the assembled fragments ever change shape: the
+    # CTE definition plus exactly three redirected corpus reads.
+    assert scoped.count(cte) == 4, scoped.count(cte)
+    return scoped
+
+
+def _survivor_snapshot_oracle() -> str:
+    """Retraction-survivor scope (``doc_id % 10 <> RETRACT_MOD``)."""
+    from quty_server_spark.operators.retract import RETRACT_MOD
+
+    return _redirected_snapshot_oracle(
+        "documents_surv", f"doc_id % 10 <> {RETRACT_MOD}"
+    )
+
+
+def scoped_training_snapshot(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """:func:`corpus_training_snapshot`'s three gates applied to an
+    ARBITRARY documents frame — the Spark twin of
+    :func:`_redirected_snapshot_oracle`: same quality predicate
+    (:func:`snapshot_quality_keep`), same canonical-keeper election
+    over freshly-computed component labels for the scoped corpus, same
+    scoped-corpus passage scrub. One implementation shared by the
+    retraction-impact audit (survivor scope) and the trainer-shard
+    append twin's base build (lake scope), so "the snapshot over corpus
+    X" means exactly one thing everywhere.
+
+    Scale: one labeling pass through the signature-grain BSP core
+    (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`) and
+    one passage-window aggregation pair over the scoped corpus; the
+    keeper join is broadcast-gated at BROADCAST_NODES_MAX with shuffle
+    fallback. Callers that want the memoized full-corpus labels use
+    :func:`corpus_training_snapshot` itself — this helper is for scopes
+    the session cache cannot serve."""
+    from quty_server_spark.operators.dedup import (
+        BROADCAST_NODES_MAX,
+        _labels_from_sigs,
+        _passage_windows,
+        simhash_sigs_docs,
+    )
+
+    n_tok = F.size(F.split("text", " "))
+    lab = _labels_from_sigs(spark, simhash_sigs_docs(docs)).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    small = lab.count() <= BROADCAST_NODES_MAX
+    w = _passage_windows(docs).localCheckpoint(eager=False)
+    dup = (
+        w.groupBy("passage_md5")
+        .agg(F.count_distinct("doc_id").alias("pd"))
+        .filter(F.col("pd") >= 2)
+        .select("passage_md5", F.lit(1).alias("is_dup"))
+    )
+    scrub = (
+        w.join(dup, "passage_md5", "left")
+        .groupBy("doc_id")
+        .agg(F.expr("(1000000 * count(is_dup)) DIV count(*)").alias("dup_ppm"))
+    )
+    return (
+        docs.filter(snapshot_quality_keep())
+        .select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
+        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("dup_ppm", F.lit(0)).cast("bigint").alias("dup_ppm"),
+        )
+        .filter(
+            (F.col("cluster_id") == F.col("doc_id"))
+            & (F.col("dup_ppm") < 500000)
+        )
+    )
+
+
 # Number of output shards for the trainer handoff. A real run sizes
 # this to the trainer's data-loader parallelism (hundreds to
 # thousands); the mechanics — hash assignment, partitioned layout,
@@ -1039,10 +1134,11 @@ def corpus_training_snapshot_incremental(
 N_TRAIN_SHARDS = 8
 
 
-def _training_shards_oracle() -> str:
-    """The snapshot oracle wrapped as a CTE and re-aggregated per
-    shard: the read-back audit must equal the shard-grouped summary of
-    exactly what corpus_training_snapshot admits."""
+def _shard_summary_oracle(snap_sql: str) -> str:
+    """Per-shard read-back summary over any snapshot SQL — the SELECT
+    block shared byte-for-byte by the write-once shard sink and its
+    append twin, so both lifecycle steps are summarized under one
+    definition (a drift between them is impossible by construction)."""
     from quty_server_spark.functions.hashing import sql_hash28
 
     shard = (
@@ -1050,7 +1146,7 @@ def _training_shards_oracle() -> str:
         + f" % {N_TRAIN_SHARDS}"
     )
     return f"""
-    WITH snap AS ({_snapshot_oracle()})
+    WITH snap AS ({snap_sql})
     SELECT CAST({shard} AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -1059,6 +1155,13 @@ def _training_shards_oracle() -> str:
     FROM snap
     GROUP BY 1
     """
+
+
+def _training_shards_oracle() -> str:
+    """The snapshot oracle wrapped as a CTE and re-aggregated per
+    shard: the read-back audit must equal the shard-grouped summary of
+    exactly what corpus_training_snapshot admits."""
+    return _shard_summary_oracle(_snapshot_oracle())
 
 
 @registry.query("sink_training_shards", oracle=_training_shards_oracle())
@@ -1083,31 +1186,50 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from quty_server_spark.functions.hashing import hash28
     from quty_server_spark.session import session_tmp_dir
 
     out = session_tmp_dir(spark, "quty_train_shards", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
-    snap = corpus_training_snapshot(spark, sf_dir)
-    shard = (
+    _write_training_shards(corpus_training_snapshot(spark, sf_dir), out)
+    return _shard_summary(spark.read.parquet(out))
+
+
+def _shard_col():
+    """The content-keyed shard assignment: md5-derived hash of the
+    doc_id alone — layout-independent and append-stable by construction
+    (a grown corpus only ADDS rows per shard, it never moves an old doc
+    between shards). One expression shared by the write-once sink and
+    the append twin so the two lifecycle steps cannot disagree on where
+    a doc lives."""
+    from quty_server_spark.functions.hashing import hash28
+
+    return (
         hash28(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
         % N_TRAIN_SHARDS
     )
+
+
+def _write_training_shards(snap: DataFrame, out: str, mode: str = "errorifexists") -> None:
+    """The shard write both sinks use. Repartition by (shard, doc_id),
+    not shard alone: one task per shard caps write parallelism at
+    N_TRAIN_SHARDS regardless of cluster size. Hashing the id alongside
+    spreads each shard's rows across many writers — every task lands
+    its files in the right shard=N directory via partitionBy, so the
+    layout is identical and the write scales with the cluster, not the
+    shard count."""
     (
-        # Repartition by (shard, doc_id), not shard alone: one task per
-        # shard caps write parallelism at N_TRAIN_SHARDS regardless of
-        # cluster size. Hashing the id alongside spreads each shard's
-        # rows across many writers — every task lands its files in the
-        # right shard=N directory via partitionBy, so the layout is
-        # identical and the write scales with the cluster, not the
-        # shard count.
-        snap.withColumn("shard", shard)
+        snap.withColumn("shard", _shard_col())
         .repartition(4 * N_TRAIN_SHARDS, "shard", "doc_id")
         .sortWithinPartitions("shard", "doc_id")
         .write.partitionBy("shard")
+        .mode(mode)
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+
+
+def _shard_summary(back: DataFrame) -> DataFrame:
+    """Read-back audit both sinks return — the Spark twin of
+    :func:`_shard_summary_oracle`'s SELECT block."""
     return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -1116,29 +1238,97 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _survivor_snapshot_oracle() -> str:
-    """The snapshot oracle re-scoped to the retraction survivors
-    (``doc_id % 10 <> RETRACT_MOD``) — the SQL_SIMHASH_STAGED redirect
-    device (dedup.py): every corpus read inside the assembled oracle is
-    pointed at a survivors CTE, everything downstream byte-identical,
-    so the survivors snapshot can never drift from the real one."""
-    from quty_server_spark.operators.retract import RETRACT_MOD
+def appended_training_shards(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Yesterday's standing shard directories — the write-once sink run
+    over the lake corpus (``doc_id % 10 <> 0``, via
+    :func:`scoped_training_snapshot`) — with tonight's snapshot
+    additions (:func:`corpus_training_snapshot_incremental`'s output)
+    APPENDED: a partitioned parquet ``mode("append")``, so new files
+    land inside the standing ``shard=N`` directories with ZERO
+    read-modify-write of existing files. Memoized per (session,
+    sf_dir), shared by the registered append sink and the
+    append ≡ rebuild / byte-identity tests."""
+    import shutil
 
-    full = _snapshot_oracle()
-    surv = full.replace("FROM documents\n", "FROM documents_surv\n").replace(
-        "FROM documents d", "FROM documents_surv d"
-    )
-    surv = surv.replace(
-        "WITH RECURSIVE ",
-        "WITH RECURSIVE documents_surv AS (\n"
-        f"        SELECT * FROM documents WHERE doc_id % 10 <> {RETRACT_MOD}),\n"
-        "    ",
-        1,
-    )
-    # Loud failure if the assembled fragments ever change shape: the
-    # CTE definition plus exactly three redirected corpus reads.
-    assert surv.count("documents_surv") == 4, surv.count("documents_surv")
-    return surv
+    from quty_server_spark.session import session_tmp_dir
+
+    cache = getattr(spark, "_quty_train_shards_app", None)
+    if cache is None:
+        cache = {}
+        spark._quty_train_shards_app = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_train_shards_app", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        lake_docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        _write_training_shards(scoped_training_snapshot(spark, lake_docs), path)
+        _write_training_shards(
+            corpus_training_snapshot_incremental(spark, sf_dir),
+            path,
+            mode="append",
+        )
+        cache[sf_dir] = path
+    return path
+
+
+def _training_shards_append_oracle() -> str:
+    """The append twin's truth: yesterday's shards hold the snapshot
+    over the lake corpus (the redirect device, lake scope), tonight
+    adds exactly the incremental snapshot's rows — summarized per shard
+    under the byte-shared :func:`_shard_summary_oracle` block."""
+    lake = _redirected_snapshot_oracle("documents_lake", "doc_id % 10 <> 0")
+    incr = _incremental_snapshot_oracle()
+    union = f"""
+        SELECT doc_id, lang, source, n_tokens, cluster_id, dup_ppm
+        FROM ({lake})
+        UNION ALL
+        SELECT doc_id, lang, source, n_tokens, cluster_id, dup_ppm
+        FROM ({incr})
+    """
+    return _shard_summary_oracle(union)
+
+
+@registry.query(
+    "sink_training_shards_append",
+    oracle=_training_shards_append_oracle(),
+)
+def sink_training_shards_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND step of the trainer-handoff lifecycle —
+    :func:`sink_training_shards` claimed append-stability by
+    construction ("a grown corpus only ADDS files per shard, never
+    moves an old doc"); this op proves it the way every artifact family
+    proved it: tonight's snapshot additions
+    (:func:`corpus_training_snapshot_incremental`, batch-only compute)
+    are written ``mode("append")`` into the standing shard directories
+    and the grown layout is read back and audited per shard under the
+    byte-shared summary block. The content-keyed shard hash guarantees
+    no standing doc moves (pinned file-by-file in
+    tests/test_artifact_append.py), so the append is purely additive.
+
+    The oracle is deliberately the UNION of the lake-scoped snapshot
+    and the incremental snapshot — NOT the full-corpus write-once
+    oracle: yesterday's shards were written under yesterday's truth,
+    and a lake keeper dethroned tonight (a shard doc with a smaller id
+    joins its cluster) or a lake doc pushed over the dup_ppm ceiling by
+    tonight's passages STAYS in the standing files until the next
+    snapshot compaction — exactly the incremental snapshot's documented
+    contract ("shard-vs-shard repeats are next compaction's business")
+    and the tombstone tier's deferred-compaction shape. The fixture
+    exhibits the divergence (stale keepers exist at both test SFs —
+    pinned in tests/test_artifact_append.py), so this oracle choice is
+    load-bearing, not cosmetic.
+
+    Scale: the nightly write is shard-additions-sized — the lake is
+    neither re-read nor re-written; write parallelism stays decoupled
+    from shard count (the shared writer's (shard, doc_id)
+    repartition); the read-back audit prunes to partition directories
+    and aggregates map-side."""
+    path = appended_training_shards(spark, sf_dir, rebuild=True)
+    return _shard_summary(spark.read.parquet(path))
 
 
 @registry.query(
@@ -1186,12 +1376,6 @@ def snapshot_retraction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof; the O(victims) standing-state path (home-bucket rewrites, no
     corpus relabeling) is the label-retraction sink — this op prices
     the product impact, it does not maintain state."""
-    from quty_server_spark.operators.dedup import (
-        BROADCAST_NODES_MAX,
-        _labels_from_sigs,
-        _passage_windows,
-        simhash_sigs_docs,
-    )
     from quty_server_spark.operators.retract import RETRACT_MOD
 
     full = corpus_training_snapshot(spark, sf_dir)
@@ -1202,33 +1386,7 @@ def snapshot_retraction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != RETRACT_MOD
     )
-    n_tok = F.size(F.split("text", " "))
-    lab = _labels_from_sigs(spark, simhash_sigs_docs(surv)).select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
-    small = lab.count() <= BROADCAST_NODES_MAX
-    w = _passage_windows(surv).localCheckpoint(eager=False)
-    dup = (
-        w.groupBy("passage_md5")
-        .agg(F.count_distinct("doc_id").alias("pd"))
-        .filter(F.col("pd") >= 2)
-        .select("passage_md5", F.lit(1).alias("is_dup"))
-    )
-    scrub = (
-        w.join(dup, "passage_md5", "left")
-        .groupBy("doc_id")
-        .agg(F.expr("(1000000 * count(is_dup)) DIV count(*)").alias("dup_ppm"))
-    )
-    surv_snap = (
-        surv.filter(snapshot_quality_keep())
-        .select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
-        .join(scrub, "doc_id", "left")
-        .filter(
-            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
-            & (F.coalesce("dup_ppm", F.lit(0)) < 500000)
-        )
-    )
+    surv_snap = scoped_training_snapshot(spark, surv)
     after = surv_snap.groupBy("lang").agg(
         F.count("*").alias("an"), F.sum("n_tokens").alias("at")
     )

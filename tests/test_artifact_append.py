@@ -200,3 +200,136 @@ def test_passage_gate_after_append_equals_after_rebuild(spark):
     assert _rows(spark.read.parquet(app), art_cols) == _rows(
         spark.read.parquet(full), art_cols
     )
+
+
+def test_training_shards_append_equals_rebuild_of_union(spark):
+    """Append ≡ rebuild for the trainer handoff: the appended shard
+    directories hold exactly the rows a from-scratch shard write of
+    (lake-scoped snapshot ∪ tonight's incremental additions) would —
+    nothing dropped, duplicated, or mis-sharded by mode("append")."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.pipeline import (
+        _write_training_shards,
+        appended_training_shards,
+        corpus_training_snapshot_incremental,
+        scoped_training_snapshot,
+    )
+    from quty_server_spark.operators._helpers import load_table
+    from quty_server_spark.session import session_tmp_dir
+
+    app = appended_training_shards(spark, SF_DIR, rebuild=True)
+    lake_docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    union = scoped_training_snapshot(spark, lake_docs).unionByName(
+        corpus_training_snapshot_incremental(spark, SF_DIR)
+    )
+    fresh = session_tmp_dir(spark, "quty_train_shards_fresh", SF_DIR)
+    shutil.rmtree(fresh, ignore_errors=True)
+    _write_training_shards(union, fresh)
+    cols = ["shard", "doc_id", "lang", "source", "n_tokens", "cluster_id", "dup_ppm"]
+    assert _rows(spark.read.parquet(app), cols) == _rows(
+        spark.read.parquet(fresh), cols
+    )
+    shutil.rmtree(fresh, ignore_errors=True)
+
+
+def test_training_shards_append_leaves_base_files_untouched(spark):
+    """mode("append") into the standing shard directories must be
+    purely additive: every base file survives byte-identical (size +
+    mtime + md5), and tonight's additions only ADD files."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.pipeline import (
+        _write_training_shards,
+        corpus_training_snapshot_incremental,
+        scoped_training_snapshot,
+    )
+    from quty_server_spark.operators._helpers import load_table
+    from quty_server_spark.session import session_tmp_dir
+
+    path = session_tmp_dir(spark, "quty_train_shards_byteid", SF_DIR)
+    shutil.rmtree(path, ignore_errors=True)
+    lake_docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    _write_training_shards(scoped_training_snapshot(spark, lake_docs), path)
+
+    def snapshot():
+        out = {}
+        for f in glob.glob(os.path.join(path, "shard=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = (os.path.getsize(f), hashlib.md5(fh.read()).hexdigest())
+        return out
+
+    before = snapshot()
+    assert before, "base build wrote no shard files"
+    _write_training_shards(
+        corpus_training_snapshot_incremental(spark, SF_DIR), path, mode="append"
+    )
+    after = snapshot()
+    assert set(before) <= set(after), "append removed base files"
+    for f, meta in before.items():
+        assert after[f] == meta, f"append rewrote base file {f}"
+    assert len(after) > len(before), "append added no files"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_training_shards_assignment_is_content_keyed(spark):
+    """Shard stability across corpus growth: every row in the appended
+    layout sits in exactly the shard the content-keyed hash assigns its
+    doc_id — so no standing doc can ever move when the corpus grows
+    (the hash reads nothing but the id)."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.pipeline import (
+        _shard_col,
+        appended_training_shards,
+    )
+
+    app = appended_training_shards(spark, SF_DIR)
+    back = spark.read.parquet(app)
+    mism = back.filter(
+        F.col("shard").cast("bigint") != _shard_col().cast("bigint")
+    ).count()
+    assert mism == 0
+
+
+def test_training_shards_append_oracle_choice_is_load_bearing(spark):
+    """Non-vacuity of the append twin's UNION oracle: the standing
+    (lake-scoped) shards contain rows today's FULL-corpus snapshot
+    would reject — stale keepers dethroned by tonight's shard docs.
+    If this delta were empty the union oracle would be
+    indistinguishable from the write-once oracle and the documented
+    compaction debt would be untested."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.pipeline import (
+        corpus_training_snapshot,
+        scoped_training_snapshot,
+    )
+    from quty_server_spark.operators._helpers import load_table
+
+    lake_docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    lake_scoped = scoped_training_snapshot(spark, lake_docs).select("doc_id")
+    full_lake = (
+        corpus_training_snapshot(spark, SF_DIR)
+        .filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+    )
+    stale = lake_scoped.exceptAll(full_lake).count()
+    missing = full_lake.exceptAll(lake_scoped).count()
+    assert stale > 0, "fixture lost the stale-keeper case — oracle choice untested"
+    # The other direction must stay empty: yesterday's truth never
+    # MISSES a doc today's full truth admits on the lake side.
+    assert missing == 0
