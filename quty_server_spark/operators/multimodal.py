@@ -376,3 +376,263 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (near-dup) media dedup — round 15
+# ---------------------------------------------------------------------------
+
+# Payloads below this size have sub-2-byte signature regions; they fall
+# back to the exact digest pass (mm_payload_dedup), which needs no
+# region statistics. 96 = 2 bytes x PERCEP_REGIONS.
+PERCEP_MIN_BYTES = 96
+# Region count == dedup.SIMHASH_BITS, so the perceptual signature rides
+# the text family's ENTIRE banding machinery (simhash_bands' 4 x 12-bit
+# pigeonhole split, SIMHASH_BUCKET_CAP, HAMMING_MAX) unchanged.
+PERCEP_REGIONS = 48
+
+_NEARDUP_TWIN_BASE = 6_000_000  # staged twin id offset (distinct from
+# mm_payload_dedup's 3M exact-twin universe)
+
+
+def _percep_sig_batch(payloads) -> list[int]:
+    """Blockhash-style perceptual signature, vectorized per payload:
+    split the byte stream into PERCEP_REGIONS equal spans, bit r = 1
+    iff region r's mean byte value exceeds the whole payload's mean —
+    compared in exact integer cross-multiplication (region_sum * n >
+    total * region_len), so both engines agree bit-for-bit with no
+    float in sight. Region sums come from one cumulative sum
+    (O(n) per payload); for real media the same signature would be
+    computed over the decoded luma/PCM plane instead of raw bytes —
+    same shape, same banding downstream."""
+    import numpy as np
+
+    bits_idx = np.arange(PERCEP_REGIONS, dtype=np.int64)
+    out = []
+    for p in payloads:
+        arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+        n = arr.size
+        c = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(arr)])
+        bounds = (np.arange(PERCEP_REGIONS + 1, dtype=np.int64) * n) // PERCEP_REGIONS
+        rs = c[bounds[1:]] - c[bounds[:-1]]
+        rl = bounds[1:] - bounds[:-1]
+        tot = c[-1]
+        bits = rs * n > tot * rl
+        out.append(int(((bits.astype(np.int64)) << bits_idx).sum()))
+    return out
+
+
+_PERCEP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("sig", LongType())]
+)
+
+
+def _extract_percep_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch of (doc_id, payload) in,
+    (doc_id, sig) out — the feature-extraction seam where a real
+    deployment would decode the media first (decode_image/decode_audio)
+    and hash the decoded plane."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "sig": _percep_sig_batch(pdf["payload"]),
+            }
+        )
+
+
+def percep_media_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup candidate universe: every media item of
+    :func:`media_table` at or above PERCEP_MIN_BYTES, plus a staged
+    NEAR-twin for every (doc_id % 9 == 3) item — its first two bytes
+    swapped (byte-different ⇒ exact dedup is blind to it) under a
+    SHIFTED modality tag. Both swapped bytes live inside signature
+    region 0 (region length n//48 >= 2 at the size floor), so the
+    twin's region statistics — and therefore its signature — are
+    IDENTICAL to the original's: the staged pair is the re-encoded
+    duplicate the perceptual pass exists to catch, deterministic on
+    both engines. Twins where the two bytes are equal are skipped
+    (those would be exact copies, mm_payload_dedup's business)."""
+    base = media_table(spark, sf_dir).select("doc_id", "modality", "payload")
+    twins_src = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 9 == 3)
+        & (F.octet_length(F.encode("text", "utf-8")) >= PERCEP_MIN_BYTES)
+        & (F.substring("text", 1, 1) != F.substring("text", 2, 1))
+    )
+    twins = twins_src.select(
+        (F.col("doc_id") + _NEARDUP_TWIN_BASE).alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            ((F.col("doc_id") + 1) % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(
+            F.concat(
+                F.substring("text", 2, 1),
+                F.substring("text", 1, 1),
+                F.expr("substring(text, 3)"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return base.unionByName(twins).filter(
+        F.octet_length("payload") >= PERCEP_MIN_BYTES
+    )
+
+
+def _percep_region_sql() -> str:
+    """The signature CTEs the oracle uses — byte statistics via one
+    char-split per payload (O(n)), region sums via list slices."""
+    R = PERCEP_REGIONS
+    bit = (
+        f"CASE WHEN rs * n > tot * rl THEN (CAST(1 AS BIGINT) << r) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+    b AS (
+        SELECT doc_id,
+               list_transform(string_split(pt, ''), c -> ascii(c)) AS by,
+               octet_length(encode(pt)) AS n
+        FROM media
+    ),
+    regs AS (
+        SELECT doc_id, n, r.r AS r,
+               list_sum(by[(r.r * n) // {R} + 1 : ((r.r + 1) * n) // {R}]) AS rs,
+               ((r.r + 1) * n) // {R} - (r.r * n) // {R} AS rl,
+               list_sum(by) AS tot
+        FROM b, (SELECT unnest(range(0, {R})) AS r) r
+    ),
+    sigt AS (
+        SELECT doc_id, CAST(SUM({bit}) AS BIGINT) AS sig
+        FROM regs GROUP BY doc_id
+    )"""
+
+
+def _mm_neardup_oracle() -> str:
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BUCKET_CAP,
+    )
+
+    return f"""
+    WITH media AS (
+        SELECT doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+               text AS pt
+        FROM documents
+        WHERE octet_length(encode(text)) >= {PERCEP_MIN_BYTES}
+        UNION ALL
+        SELECT doc_id + {_NEARDUP_TWIN_BASE} AS doc_id,
+               ['image','audio','video'][((doc_id + 1) % 3 + 1)::INT]
+                   AS modality,
+               substr(pt, 2, 1) || substr(pt, 1, 1) || substr(pt, 3) AS pt
+        FROM (SELECT doc_id, text AS pt FROM documents)
+        WHERE doc_id % 9 = 3
+          AND octet_length(encode(pt)) >= {PERCEP_MIN_BYTES}
+          AND substr(pt, 1, 1) <> substr(pt, 2, 1)
+    ),
+    {_percep_region_sql().lstrip()},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM sigt, (SELECT unnest(range(0, 4)) AS band_id) b
+        QUALIFY COUNT(*) OVER (PARTITION BY b.band_id,
+                               (sig >> (12 * b.band_id)) & 4095)
+                <= {SIMHASH_BUCKET_CAP}
+    ),
+    pr AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    )
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           ma.modality <> mb.modality AS cross_modality
+    FROM pr p
+    JOIN media ma ON p.doc_a = ma.doc_id
+    JOIN media mb ON p.doc_b = mb.doc_id
+    """
+
+
+@registry.query("mm_payload_neardup", oracle=_mm_neardup_oracle())
+def mm_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL media dedup — the near-dup tier above
+    :func:`mm_payload_dedup`'s exact digest pass: real pipelines dedup
+    re-encoded/resized media whose bytes differ but whose content does
+    not. Each payload gets a blockhash-style 48-bit signature (region
+    mean vs global mean, exact integer comparison) computed through the
+    REAL decode seam — mapInPandas over Arrow batches, the same
+    plumbing a codec-present deployment would run — and the signature
+    space then rides the text family's SimHash machinery UNCHANGED:
+    :func:`~quty_server_spark.operators.dedup.simhash_bands` 4 x 12-bit
+    pigeonhole banding, the SIMHASH_BUCKET_CAP saturated-bucket drop
+    (both engines apply it, so the cap is the documented contract, not
+    an approximation), and the HAMMING_MAX verify. Pairs carry a
+    cross_modality flag — a perceptual match filed under two different
+    container tags is the mislabeled re-encode QA catch.
+
+    Non-vacuity is staged, not assumed: every ninth document plants a
+    byte-swapped near-twin under a shifted modality tag
+    (:func:`percep_media_universe`) — signature-identical but
+    byte-different, invisible to the exact pass by construction
+    (pinned in tests/test_extension_semantics.py).
+
+    Scale: signatures are one O(n) cumulative sum per payload inside
+    Arrow batches (payload bytes never hit the driver); candidates come
+    from band-equality self-join only — never all-pairs — with
+    saturated buckets dropped BEFORE the join by a window count over
+    the join's own shuffle key (no extra exchange; plan pinned in
+    tests/test_plan_audit.py); the Hamming verify touches candidate
+    pairs only, and the modality decoration joins AFTER mining on the
+    id-keyed universe (the r14 split_leakage_near_dup hardening)."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BUCKET_CAP,
+        simhash_bands,
+    )
+    from pyspark.sql import Window
+
+    uni = percep_media_universe(spark, sf_dir)
+    sigs = uni.select("doc_id", "payload").mapInPandas(
+        _extract_percep_sigs, schema=_PERCEP_SCHEMA
+    )
+    bands = (
+        simhash_bands(sigs)
+        .withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band_id", "band_val"))
+        )
+        .filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+    mods = uni.select("doc_id", "modality")
+    ma = mods.select(
+        F.col("doc_id").alias("doc_a"), F.col("modality").alias("mod_a")
+    )
+    mb = mods.select(
+        F.col("doc_id").alias("doc_b"), F.col("modality").alias("mod_b")
+    )
+    return pairs.join(ma, "doc_a").join(mb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("mod_a") != F.col("mod_b")).alias("cross_modality"),
+    )

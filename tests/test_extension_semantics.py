@@ -763,3 +763,63 @@ def test_bpe_merge_step_is_true_greedy_bpe(spark):
     assert got == want
     # non-vacuity: the merged symbol must participate in new pairs
     assert any(merged_sym in (a, b) for a, b, _ in got)
+
+
+def test_mm_neardup_staged_twins_found_and_exact_pass_blind(spark):
+    """Non-vacuity of the perceptual pass: every staged byte-swapped
+    twin pairs with its original at Hamming 0 under a shifted modality
+    tag (cross_modality), while the payload BYTES differ — so the exact
+    digest pass (mm_payload_dedup) cannot see the pair."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.multimodal import (
+        _NEARDUP_TWIN_BASE,
+        mm_payload_neardup,
+        percep_media_universe,
+    )
+
+    uni = percep_media_universe(spark, SF_DIR)
+    twin_ids = {
+        r[0]
+        for r in uni.filter(F.col("doc_id") >= _NEARDUP_TWIN_BASE)
+        .select("doc_id")
+        .collect()
+    }
+    assert twin_ids, "fixture staged no near-twins"
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["cross_modality"])
+        for r in mm_payload_neardup(spark, SF_DIR).collect()
+    }
+    for t in twin_ids:
+        orig = t - _NEARDUP_TWIN_BASE
+        assert (orig, t) in pairs, f"staged twin pair ({orig}, {t}) not mined"
+        ham, cross = pairs[(orig, t)]
+        assert ham == 0, "byte swap moved the perceptual signature"
+        assert cross, "shifted container tag not flagged cross-modality"
+    # Byte-inequality: the exact pass is blind to every staged pair.
+    md5s = uni.select("doc_id", F.md5("payload").alias("m")).collect()
+    by_id = {r["doc_id"]: r["m"] for r in md5s}
+    for t in twin_ids:
+        assert by_id[t] != by_id[t - _NEARDUP_TWIN_BASE], (
+            "staged twin is byte-identical — that's mm_payload_dedup's case"
+        )
+
+
+def test_mm_neardup_candidates_are_capped_and_banded(spark):
+    """Plan pin: the saturated-bucket drop (window count over the
+    band-join key) sits BEFORE the self-join, and the join is a
+    band-equality join — never all-pairs."""
+    import re
+
+    from quty_server_spark.operators.multimodal import mm_payload_neardup
+
+    df = mm_payload_neardup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\(\d+\) Window\b", plan), "bucket-size cap window missing"
+    assert "band_val" in plan and "band_id" in plan
