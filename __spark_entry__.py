@@ -25,100 +25,90 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-14 rotation
-# (r13 VERDICT "Next round" #3): the stale class is the 37-query r08
-# vintage (newest driver-green row r08, per the judge's merged
-# histogram). The window is:
-# (1) the 16 queries NEW this round — rotation DEBT (no cumulative
-# green row), mandatory per tests/test_rotation_debt: the four-family
-# retraction sink, its O(victims) TOMBSTONE twin (deletion-vector
-# contract, shared oracle), the tombstone COMPACTION sink (deferred
-# physical retract, plain reads, same oracle — the lifecycle's third
-# edge), the label-artifact retraction (the SPLIT case), the
-# CONTINUOUS retraction twin (per-epoch tombstone stream, same oracle
-# again — deletion now has a streaming path like every other verb),
-# the continuous snapshot product, and the five late-round pipeline
-# ops (trainer-shards sink, cross-split leakage report, token-budget
-# sampler, embedding centroid drift, BPE merge step) plus the near-dup
-# cross-split leakage report and the takedown-impact audit
-# snapshot_retraction_impact (the retraction verb priced against THE
-# PRODUCT, survivors snapshot proven from scratch), the lang-ID
-# confusion-matrix eval, and the frozen-weight linear quality
-# classifier, and the multimodal exact payload dedup (the dedup family
-# extended to the binary column, cross-modality twins staged);
-# (2) the 15 queries whose code changed this round and must re-earn
-# their external green rows: the 10-query IVF/embedding family (the
-# coarse-quantizer decoupling), the two maintenance queries (the
-# cross-epoch duplicate-append fix), and the three label/snapshot
-# queries over the refactored shared labeling core and quality
-# predicate (semantics-identical extracts, re-verified locally at both
-# SFs — listed anyway per the discipline);
-# (3) the canary: q1_pricing_summary, long-green AND itself r08 class;
-# (4) the r08 vintage (alphabetical): 19 of the remaining 35 fit the
-# window; q15_top_supplier / q19_discounted_revenue / q22_sales_opportunity /
-# q3_shipping_priority / q5_local_supplier_volume / q7_nation_volume / q8_market_share / sample_stratified_hash /
-# sink_python_datasource_writer / source_python_datasource /
-# sql_recursive_cte_hierarchy / scalar_variant_json /
-# stream_python_datasource / text_lexicon_sentiment /
-# text_winnow_fingerprint / window_rolling_median roll to the r15 head.
-# 16+15+19 = 50 — exactly the driver's sample window. Queries not
+# queries, so registration order IS driver coverage. Round-15 rotation
+# (r14 VERDICT "Next round" #1): clear the last r08 rotation debt and
+# start advancing the r09 vintage. The window is:
+# (1) the 3 queries NEW this round — rotation DEBT (no cumulative green
+# row), mandatory per tests/test_rotation_debt: the trainer-shard
+# APPEND twin (the write-once sink's claimed append-stability proven
+# under the byte-shared summary oracle, with the stale-keeper
+# compaction-debt contract), the PERCEPTUAL multimodal near-dup pass
+# (blockhash signatures through the mapInPandas decode seam riding the
+# SimHash banding machinery, staged byte-swapped twins), and the BPE
+# TRAINING LOOP (6 chained exact greedy merges, per-round choice+count
+# hash-verified against the unrolled oracle);
+# (2) the 2 queries whose code changed this round and must re-earn
+# their external green rows: sink_training_shards (shard hash / writer
+# / summary factored into helpers shared with the append twin) and
+# snapshot_retraction_impact (survivor side now the shared
+# scoped_training_snapshot helper) — semantics-identical extracts,
+# re-verified locally at both SFs, listed per the discipline;
+# (3) the canary: q1_pricing_summary (long-green, re-greened r14);
+# (4) the FULL r08 vintage — all 16 leftovers named by the r14 judge
+# roll in, so after this round no query's newest external green row
+# predates r09;
+# (5) the head's remaining 28 slots advance the r09 vintage
+# (alphabetical prefix of its 49 queries).
+# 3+2+1+16+28 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
-# full local gate (tools/check_oracle.py) still checks all 278.
+# full local gate (tools/check_oracle.py) still checks all registered
+# queries.
 DRIVER_PRIORITY = [
-    # (1) NEW this round — retraction (physical + tombstone tiers),
-    # the continuous product, and the late-round pipeline ops
-    "sink_lake_artifacts_retract",
-    "sink_lake_artifacts_retract_tombstone",
-    "sink_lake_artifacts_retract_compacted",
-    "sink_lake_cluster_labels_artifact_retract",
-    "stream_lake_retraction",
-    "stream_corpus_snapshot",
-    "snapshot_retraction_impact",
-    "sink_training_shards",
-    "split_leakage_report",
-    "split_leakage_near_dup",
-    "sample_token_budget",
-    "embed_centroid_drift",
-    "text_bpe_merge_step",
-    "text_lang_id_eval",
-    "text_linear_quality_classifier",
-    "mm_payload_dedup",
+    # (1) NEW this round
+    "sink_training_shards_append",
+    "mm_payload_neardup",
+    "text_bpe_train_n",
     # (2) CHANGED this round — re-earn the green row
-    "sim_ann_ivf",
-    "sim_ann_ivf_nprobe2",
-    "sim_ann_ivf_artifact",
-    "sim_ivf_cell_balance",
-    "sim_ivf_cell_growth",
-    "sink_ivf_postings_artifact",
-    "sink_ivf_postings_artifact_append",
-    "dedup_incremental_embedding_artifact",
-    "stream_ingest_dedup_gate_embedding",
-    "sim_ann_recall_eval",
-    "sink_lake_cluster_labels_artifact_relabel",
-    "stream_cluster_maintenance",
-    "sink_lake_cluster_labels_artifact",
-    "corpus_training_snapshot",
-    "corpus_training_snapshot_incremental",
-    # (3)+(4) canary (q1, inside its vintage) + the r08 stale class
-    "embed_norm_outliers",
-    "embed_quantize_int8",
-    "events_bot_regularity",
-    "events_dau_wau",
-    "events_funnel_time_to_convert",
-    "events_top_paths",
-    "events_watermark_lag_audit",
-    "graph_bipartite_butterflies",
-    "graph_degree_distribution",
-    "join_bloom_runtime_filtered",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "min_cost_supplier",
-    "mm_modality_mix",
-    "orders_supplier_herfindahl",
-    "q13_order_distribution",
+    "sink_training_shards",
+    "snapshot_retraction_impact",
+    # (3) canary
     "q1_pricing_summary",
+    # (4) the r08 vintage — cleared in full
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "sample_stratified_hash",
+    "scalar_variant_json",
+    "sink_python_datasource_writer",
+    "source_python_datasource",
+    "sql_recursive_cte_hierarchy",
+    "stream_python_datasource",
+    "text_lexicon_sentiment",
+    "text_winnow_fingerprint",
+    "window_rolling_median",
+    # (5) r09 vintage, alphabetical prefix
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_sketch_mergeable",
+    "agg_stats",
+    "conditional_case_null",
+    "dedup_cluster",
+    "dedup_cluster_stats",
+    "dedup_incremental_simhash",
+    "dedup_incremental_simhash_capped",
+    "dedup_keep_canonical",
+    "distinct_projection",
+    "events_time_rollup",
+    "events_user_funnel",
+    "join_asof",
+    "join_cross",
+    "join_left_anti",
+    "join_left_semi",
+    "join_null_safe",
+    "join_range_nonequi",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
 ]
 
 

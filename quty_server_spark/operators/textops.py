@@ -649,6 +649,172 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Number of chained merges the BPE training loop runs. A real tokenizer
+# trains tens of thousands; the loop mechanics — lazy-checkpointed
+# vocabulary, broadcast argmax, exact greedy merge apply — are
+# merge-count-independent, and SCALING.md measures the per-merge cost
+# flat in the round index.
+BPE_TRAIN_MERGES = 6
+
+# The exact greedy BPE merge of the round's argmax pair (l, r), applied
+# to a '|'-delimited symbol string via a left-to-right scan: merge
+# whenever the accumulator's LAST symbol is l and the incoming symbol is
+# r. This is provably textbook greedy leftmost non-overlapping merging
+# for MULTI-CHARACTER symbols too — including the l == r run case
+# ('a a a a' + merge (a,a) -> 'aa aa'), where a single substring replace
+# on the delimited form is WRONG (it consumes the shared delimiter and
+# splits runs as 'aa a a'; pinned in tests/test_dedup_properties.py's
+# BPE block). Pure higher-order JVM expression — no UDF.
+_SQL_BPE_APPLY = """
+    aggregate(
+        filter(split(s, '\\\\|'), t -> t != ''),
+        '|',
+        (acc, x) -> CASE
+            WHEN endswith(acc, concat('|', l, '|')) AND x = r
+            THEN concat(substring(acc, 1, length(acc) - length(l) - 1),
+                        l, r, '|')
+            ELSE concat(acc, x, '|') END)
+"""
+
+
+def _bpe_sym_pairs(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a delimited-string
+    vocabulary ``(s, cnt)`` — the recount both the argmax and the
+    output table use each round."""
+    syms = vocab.select(
+        F.expr("filter(split(s, '\\\\|'), x -> x != '')").alias("ss"), "cnt"
+    )
+    return (
+        syms.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ss) - 1), "
+                    "i -> struct(ss[i - 1] AS l, ss[i] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+    """The training loop UNROLLED: n rounds of (recount -> argmax ->
+    exact greedy apply via list_reduce) as chained CTEs — mechanical
+    generation, so the oracle is plain (non-recursive) SQL DuckDB
+    executes comfortably at any fixture scale."""
+    ctes = [
+        r"""words AS (
+        SELECT t.word AS w, COUNT(*) AS cnt
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(word)
+        WHERE t.word <> ''
+        GROUP BY t.word),
+    v0 AS (
+        SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s, cnt
+        FROM words)"""
+    ]
+    for k in range(1, n + 1):
+        ctes.append(f"""ss{k} AS (
+        SELECT list_filter(string_split(s, '|'), x -> x <> '') AS ss, cnt
+        FROM v{k - 1}),
+    pc{k} AS (
+        SELECT ss[g.i] AS l, ss[g.i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM ss{k}, UNNEST(generate_series(1, len(ss) - 1)) AS g(i)
+        WHERE len(ss) >= 2
+        GROUP BY 1, 2),
+    top{k} AS (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1),
+    v{k} AS (
+        SELECT list_reduce(
+                   ['|'] || list_transform(
+                       list_filter(string_split(s, '|'), x -> x <> ''),
+                       e -> e || '|'),
+                   (acc, x) -> CASE
+                       WHEN ends_with(acc, '|' || t.l || '|')
+                            AND x = t.r || '|'
+                       THEN substr(acc, 1,
+                                   length(acc) - length(t.l) - 1)
+                            || t.l || t.r || '|'
+                       ELSE acc || x END) AS s, cnt
+        FROM v{k - 1}, top{k} t)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_round, l, r, c AS pair_count "
+        f"FROM top{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@registry.query("text_bpe_train_n", oracle=_bpe_train_oracle())
+def text_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP — :func:`text_bpe_merge_step` chained for
+    BPE_TRAIN_MERGES rounds, producing the real tokenizer-training
+    artifact: the ordered MERGE TABLE (round, pair, corpus-weighted
+    count at selection). Each round recounts adjacent-symbol pairs over
+    the current vocabulary, picks the argmax (ties by the pair itself),
+    and applies the merge EXACTLY — a left-to-right scan
+    (_SQL_BPE_APPLY) that is textbook greedy leftmost non-overlapping
+    merging even for multi-character symbols and l == r runs, where the
+    single-round op's substring-replace device no longer applies
+    (property-tested against a reference greedy BPE in
+    tests/test_dedup_properties.py). The oracle unrolls the identical
+    loop into plain chained SQL, so every round's CHOICE and COUNT are
+    hash-verified, not just the final state.
+
+    Scale: the working set stays the VOCABULARY weighted by occurrence
+    counts (the classic BPE compression); each round is one map-side-
+    combined pair aggregation + a 1-row broadcast argmax joined back +
+    a narrow higher-order merge scan — the hardened BSP-loop shape
+    (lazy localCheckpoint per round truncating lineage, ZERO driver
+    actions inside the loop; the merge table materializes everything in
+    one job at the end). A production run sizes rounds to the target
+    vocab; per-merge cost is measured flat in SCALING.md §r15."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")
+        ).alias("s"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    rounds = []
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        top1 = (
+            _bpe_sym_pairs(vocab)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(
+            top1.select(
+                F.lit(k).cast("bigint").alias("merge_round"),
+                "l",
+                "r",
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top1.select("l", "r")))
+            .select(F.expr(_SQL_BPE_APPLY).alias("s"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @registry.query(
     "text_lexicon_sentiment",
     oracle="""

@@ -164,3 +164,121 @@ def test_bpe_placeholder_device_equals_greedy_merge(w, l, r):
     assert _device_merge(w, l + r) == _greedy_bpe_merge(w, l + r)
     # and the merge conserves the character stream
     assert "".join(_device_merge(w, l + r)) == w
+
+
+# text_bpe_train_n applies merges with a left-to-right accumulator SCAN
+# (_SQL_BPE_APPLY): merge whenever the accumulator's last symbol is l
+# and the incoming symbol is r. Unlike the single-round placeholder
+# device (above), the scan stays exact for MULTI-CHARACTER symbols and
+# l == r runs — the cases a chained training loop actually produces.
+# The scan is replicated here at the same string-accumulator grain the
+# SQL uses, and tested against an index-based reference greedy merger
+# over symbol sequences.
+
+
+def _scan_merge(syms: list[str], l: str, r: str) -> list[str]:
+    acc = "|"
+    for x in syms:
+        if acc.endswith("|" + l + "|") and x == r:
+            acc = acc[: len(acc) - len(l) - 1] + l + r + "|"
+        else:
+            acc = acc + x + "|"
+    return [s for s in acc.split("|") if s]
+
+
+def _greedy_syms_merge(syms: list[str], l: str, r: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_SYMS = ["a", "b", "ab", "ba", "aa", "aba"]
+
+
+@given(
+    syms=st.lists(st.sampled_from(_SYMS), min_size=0, max_size=24),
+    l=st.sampled_from(_SYMS),
+    r=st.sampled_from(_SYMS),
+)
+@settings(max_examples=500, deadline=None)
+def test_bpe_scan_merge_equals_greedy_over_symbols(syms, l, r):
+    assert _scan_merge(syms, l, r) == _greedy_syms_merge(syms, l, r)
+    # the merge conserves the character stream
+    assert "".join(_scan_merge(syms, l, r)) == "".join(syms)
+
+
+def test_bpe_scan_merge_handles_runs_where_replace_does_not():
+    """The adversarial case that forced the scan: a run of the same
+    symbol with l == r. Single substring replacement on the delimited
+    form consumes the shared delimiter and splits runs wrongly; the
+    scan is textbook."""
+    syms = ["a"] * 6
+    assert _greedy_syms_merge(syms, "a", "a") == ["aa", "aa", "aa"]
+    assert _scan_merge(syms, "a", "a") == ["aa", "aa", "aa"]
+    # the replace device miscounts exactly here (why the train loop
+    # does NOT reuse the single-round placeholder trick for later
+    # rounds):
+    s = "|" + "".join(x + "|" for x in syms)
+    replaced = s.replace("|a|a|", "|aa|")
+    assert [x for x in replaced.split("|") if x] != ["aa", "aa", "aa"]
+
+
+def test_bpe_train_sql_apply_matches_reference_scan(spark):
+    """The actual _SQL_BPE_APPLY expression (Spark higher-order
+    aggregate) on crafted delimited vocab rows — including the l == r
+    run and multi-character-symbol cases — equals the reference greedy
+    merger."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.textops import _SQL_BPE_APPLY
+
+    cases = [
+        (["a", "a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["ab", "c", "ab", "c"], "ab", "c"),
+        (["an", "a", "n", "an"], "a", "n"),
+        (["b", "an", "an", "a"], "an", "an"),
+        (["x"], "x", "x"),
+        ([], "a", "b"),
+    ]
+    rows = [
+        ("|" + "".join(x + "|" for x in syms), l, r)
+        for syms, l, r in cases
+    ]
+    df = spark.createDataFrame(rows, "s string, l string, r string")
+    got = [
+        [x for x in row["m"].split("|") if x]
+        for row in df.select(F.expr(_SQL_BPE_APPLY).alias("m")).collect()
+    ]
+    want = [_greedy_syms_merge(syms, l, r) for syms, l, r in cases]
+    assert got == want
+
+
+def test_bpe_train_round1_equals_single_step_argmax(spark):
+    """Loop/step consistency: the training loop's first selected merge
+    is exactly the argmax of the character-level pair counts the
+    single-step op starts from."""
+    from tests.conftest import SF_DIR
+
+    from quty_server_spark.operators.textops import (
+        text_bpe_pair_counts,
+        text_bpe_train_n,
+    )
+
+    top = text_bpe_pair_counts(spark, SF_DIR).first()
+    r1 = (
+        text_bpe_train_n(spark, SF_DIR)
+        .filter("merge_round = 1")
+        .first()
+    )
+    assert (r1["l"], r1["r"], r1["pair_count"]) == (
+        top["l"],
+        top["r"],
+        top["pair_count"],
+    )
