@@ -111,6 +111,16 @@ HEADLINE = [
     # cumsum — the sampling family's first windowed member).
     "sink_training_shards",
     "sample_token_budget",
+    # round-15 additions: the trainer-handoff APPEND twin (forced
+    # rebuild each run: the number is the lake-scoped base build + the
+    # batch-only append + read-back audit — the base build is the
+    # fixture device, amortized write-once in production), the
+    # perceptual media near-dup pass (mapInPandas signatures + the
+    # banded/capped candidate join), and the 6-merge BPE training loop
+    # (per-round cost measured flat in SCALING.md §r15).
+    "sink_training_shards_append",
+    "mm_payload_neardup",
+    "text_bpe_train_n",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo
