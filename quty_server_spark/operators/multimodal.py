@@ -507,14 +507,17 @@ def _percep_region_sql() -> str:
     )"""
 
 
-def _mm_neardup_oracle() -> str:
+def _mm_neardup_ctes() -> str:
+    """Everything up to the candidate-pair relation ``pr`` — shared
+    verbatim by the pair oracle (mm_payload_neardup) and the cluster
+    collapse oracle (mm_payload_neardup_keep), which therefore cannot
+    drift on what "a perceptual near-pair" means."""
     from quty_server_spark.operators.dedup import (
         HAMMING_MAX,
         SIMHASH_BUCKET_CAP,
     )
 
-    return f"""
-    WITH media AS (
+    return f"""media AS (
         SELECT doc_id,
                ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
                text AS pt
@@ -546,7 +549,12 @@ def _mm_neardup_oracle() -> str:
           ON a.band_id = b.band_id AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
-    )
+    )"""
+
+
+def _mm_neardup_oracle() -> str:
+    return f"""
+    WITH {_mm_neardup_ctes()}
     SELECT p.doc_a, p.doc_b, p.hamming,
            ma.modality <> mb.modality AS cross_modality
     FROM pr p
@@ -635,4 +643,60 @@ def mm_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         "hamming",
         (F.col("mod_a") != F.col("mod_b")).alias("cross_modality"),
+    )
+
+
+def _mm_neardup_keep_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_mm_neardup_ctes()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pr
+        UNION ALL SELECT doc_b, doc_a FROM pr
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    flab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT f.lbl AS cluster_id,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT m.modality) AS n_modalities,
+           COUNT(DISTINCT md5(m.pt)) AS n_byte_variants
+    FROM flab f JOIN media m ON f.node = m.doc_id
+    GROUP BY 1
+    """
+
+
+@registry.query("mm_payload_neardup_keep", oracle=_mm_neardup_keep_oracle())
+def mm_payload_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual pass's COLLAPSE decision — what
+    :func:`~quty_server_spark.operators.dedup.dedup_keep_canonical` is
+    to the text near-pairs, this is to the media near-pairs: connected
+    components over :func:`mm_payload_neardup`'s pair graph (the shared
+    min-label BSP core), keeper = the min-id member (== the reported
+    cluster_id), and a per-cluster audit: member count, DISTINCT
+    MODALITY count (the cross-container collapse), and DISTINCT
+    payload-digest count — n_byte_variants > 1 is the perceptual-only
+    win, the members the exact digest pass (mm_payload_dedup) could
+    never collapse. The staged byte-swapped twins guarantee that case
+    is always exercised.
+
+    Scale: pair mining is the capped/banded join (bounded above);
+    the component loop is the same O(log diameter) BSP every labeling
+    consumer amortizes, over the near-dup node set only (≪ corpus);
+    the collapse report is one cluster-grain aggregation against the
+    id-keyed universe."""
+    from quty_server_spark.operators.dedup import min_label_components
+
+    uni = percep_media_universe(spark, sf_dir)
+    pairs = mm_payload_neardup(spark, sf_dir)
+    labels, _ = min_label_components(spark, pairs)
+    mem = uni.join(
+        labels.select(F.col("node").alias("doc_id"), "lbl"), "doc_id"
+    )
+    return mem.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("modality").alias("n_modalities"),
+        F.countDistinct(F.md5("payload")).alias("n_byte_variants"),
     )

@@ -702,11 +702,14 @@ def _bpe_sym_pairs(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+def _bpe_cte_chain(n: int = BPE_TRAIN_MERGES) -> list[str]:
     """The training loop UNROLLED: n rounds of (recount -> argmax ->
     exact greedy apply via list_reduce) as chained CTEs — mechanical
-    generation, so the oracle is plain (non-recursive) SQL DuckDB
-    executes comfortably at any fixture scale."""
+    generation, so the oracles stay plain (non-recursive) SQL DuckDB
+    executes comfortably at any fixture scale. Shared by the merge-table
+    oracle (text_bpe_train_n) and the compression-curve oracle
+    (text_bpe_compression), which therefore cannot drift on what "the
+    trained state after round k" means."""
     ctes = [
         r"""words AS (
         SELECT t.word AS w, COUNT(*) AS cnt
@@ -741,12 +744,16 @@ def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
                             || t.l || t.r || '|'
                        ELSE acc || x END) AS s, cnt
         FROM v{k - 1}, top{k} t)""")
+    return ctes
+
+
+def _bpe_train_oracle(n: int = BPE_TRAIN_MERGES) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_round, l, r, c AS pair_count "
         f"FROM top{k}"
         for k in range(1, n + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+    return "WITH " + ",\n    ".join(_bpe_cte_chain(n)) + "\n    " + union
 
 
 @registry.query("text_bpe_train_n", oracle=_bpe_train_oracle())
@@ -773,6 +780,31 @@ def text_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     actions inside the loop; the merge table materializes everything in
     one job at the end). A production run sizes rounds to the target
     vocab; per-merge cost is measured flat in SCALING.md §r15."""
+    _, tops = _bpe_train_state(spark, sf_dir)
+    rounds = [
+        top1.select(
+            F.lit(k).cast("bigint").alias("merge_round"),
+            "l",
+            "r",
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        for k, top1 in enumerate(tops, start=1)
+    ]
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The training loop itself: returns ``(vocabs, tops)`` — the
+    delimited-string vocabulary after 0..N merges (each lazily
+    localCheckpointed, so downstream consumers share materializations
+    within one action tree) and the N per-round 1-row argmax frames.
+    One loop shared by the merge-table and compression-curve queries —
+    the Spark twin of :func:`_bpe_cte_chain`."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -788,31 +820,88 @@ def text_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         "cnt",
     ).localCheckpoint(eager=False)
-    rounds = []
-    for k in range(1, BPE_TRAIN_MERGES + 1):
+    vocabs, tops = [vocab], []
+    for _k in range(1, BPE_TRAIN_MERGES + 1):
         top1 = (
             _bpe_sym_pairs(vocab)
             .orderBy(F.desc("c"), "l", "r")
             .limit(1)
             .localCheckpoint(eager=False)
         )
-        rounds.append(
-            top1.select(
-                F.lit(k).cast("bigint").alias("merge_round"),
-                "l",
-                "r",
-                F.col("c").cast("bigint").alias("pair_count"),
-            )
-        )
+        tops.append(top1)
         vocab = (
             vocab.crossJoin(F.broadcast(top1.select("l", "r")))
             .select(F.expr(_SQL_BPE_APPLY).alias("s"), "cnt")
             .localCheckpoint(eager=False)
         )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out
+        vocabs.append(vocab)
+    return vocabs, tops
+
+
+def _bpe_compression_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+    totals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_round, "
+        f"CAST(SUM(cnt * len(list_filter(string_split(s, '|'), "
+        f"x -> x <> ''))) AS BIGINT) AS corpus_symbols FROM v{k}"
+        for k in range(0, n + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_cte_chain(n))
+        + f""",
+    tot AS ({totals}),
+    base AS (SELECT corpus_symbols AS b FROM tot WHERE merge_round = 0)
+    SELECT t.merge_round, t.corpus_symbols,
+           CAST(((base.b - t.corpus_symbols) * 1000000) // base.b AS BIGINT)
+               AS saved_ppm
+    FROM tot t, base
+    """
+    )
+
+
+@registry.query("text_bpe_compression", oracle=_bpe_compression_oracle())
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINING CURVE — what a tokenizer trainer actually monitors
+    while :func:`text_bpe_train_n` runs: after each of the 0..N merge
+    rounds, the total corpus symbol count (token-occurrence-weighted,
+    i.e. what the corpus tokenizes to under the vocabulary trained so
+    far) and the cumulative compression in ppm of the character-level
+    baseline. Diminishing saved_ppm steps are the stop signal for
+    vocabulary sizing. The per-round drop is the number of merge
+    APPLICATIONS, which is ≤ the selected pair's count (overlapping
+    occurrences merge only once — 'aaa' holds two 'aa' pairs but one
+    merge); tests/test_dedup_properties.py pins that invariant against
+    the merge table.
+
+    Scale: shares :func:`_bpe_train_state`'s loop (same lazy-checkpoint
+    convention — each round's vocabulary materializes once and serves
+    both the argmax and this curve); the curve itself is one
+    vocabulary-sized aggregate per round plus a 1-row round-0 baseline
+    joined back."""
+    vocabs, _ = _bpe_train_state(spark, sf_dir)
+    n_syms = F.expr(
+        "sum(cnt * size(filter(split(s, '\\\\|'), x -> x != '')))"
+    )
+    rows = [
+        v.agg(n_syms.cast("bigint").alias("corpus_symbols")).select(
+            F.lit(k).cast("bigint").alias("merge_round"), "corpus_symbols"
+        )
+        for k, v in enumerate(vocabs)
+    ]
+    tot = rows[0]
+    for r in rows[1:]:
+        tot = tot.unionByName(r)
+    base = (
+        tot.filter(F.col("merge_round") == 0)
+        .select(F.col("corpus_symbols").alias("b"))
+    )
+    return tot.crossJoin(F.broadcast(base)).select(
+        "merge_round",
+        "corpus_symbols",
+        F.expr("CAST(((b - corpus_symbols) * 1000000) DIV b AS BIGINT)").alias(
+            "saved_ppm"
+        ),
+    )
 
 
 @registry.query(

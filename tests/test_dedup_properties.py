@@ -282,3 +282,31 @@ def test_bpe_train_round1_equals_single_step_argmax(spark):
         top["r"],
         top["pair_count"],
     )
+
+
+def test_bpe_compression_curve_invariants(spark):
+    """The curve is consistent with the merge table: each round's
+    symbol-count drop equals the number of merge APPLICATIONS — strictly
+    positive (the argmax pair exists in the corpus) and ≤ the selected
+    pair's adjacent count (overlapping occurrences merge only once);
+    saved_ppm is non-decreasing from 0."""
+    from tests.conftest import SF_DIR
+
+    from quty_server_spark.operators.textops import (
+        text_bpe_compression,
+        text_bpe_train_n,
+    )
+
+    curve = {
+        r["merge_round"]: (r["corpus_symbols"], r["saved_ppm"])
+        for r in text_bpe_compression(spark, SF_DIR).collect()
+    }
+    merges = {
+        r["merge_round"]: r["pair_count"]
+        for r in text_bpe_train_n(spark, SF_DIR).collect()
+    }
+    assert curve[0][1] == 0
+    for k in sorted(merges):
+        drop = curve[k - 1][0] - curve[k][0]
+        assert 0 < drop <= merges[k], (k, drop, merges[k])
+        assert curve[k][1] >= curve[k - 1][1]

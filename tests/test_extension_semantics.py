@@ -823,3 +823,29 @@ def test_mm_neardup_candidates_are_capped_and_banded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"\(\d+\) Window\b", plan), "bucket-size cap window missing"
     assert "band_val" in plan and "band_id" in plan
+
+
+def test_mm_neardup_keep_collapses_what_exact_pass_cannot(spark):
+    """The collapse audit's perceptual-only win is non-vacuous: at
+    least one cluster holds >1 DISTINCT payload digest (byte-different
+    members — invisible to mm_payload_dedup), and every cluster's
+    id is its min member with consistent member counts vs the pair
+    graph's node set."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.multimodal import (
+        mm_payload_neardup,
+        mm_payload_neardup_keep,
+    )
+
+    keep = mm_payload_neardup_keep(spark, SF_DIR).collect()
+    assert any(r["n_byte_variants"] > 1 for r in keep), (
+        "no byte-different cluster — the perceptual tier adds nothing "
+        "over the exact pass on this fixture"
+    )
+    pairs = mm_payload_neardup(spark, SF_DIR).collect()
+    nodes = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert sum(r["n_members"] for r in keep) == len(nodes)
+    for r in keep:
+        assert r["n_members"] >= 2
+        assert r["cluster_id"] in nodes

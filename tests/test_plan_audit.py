@@ -67,6 +67,8 @@ BNLJ_JUSTIFIED = {
     "IVF_K_MAX by construction; the probe join itself is a cell hash join",
     "text_bpe_merge_step": "1-row argmax-pair build side broadcast back "
     "over the weighted vocabulary (scalar-subquery shape)",
+    "text_bpe_compression": "1-row round-0 baseline build side joined "
+    "back over the 7-row curve (scalar-subquery shape)",
     # text_bpe_train_n needs no entry: its per-round 1-row argmax
     # crossJoins (same scalar-subquery shape as text_bpe_merge_step)
     # sit behind per-round lazy localCheckpoints, so the registered
