@@ -2617,3 +2617,115 @@ def _set_stream_retraction_oracle() -> None:
 
 
 _set_stream_retraction_oracle()
+
+
+@registry.query(
+    "stream_training_shards",
+    oracle=None,  # set below — shares the batch append twin's oracle
+)
+def stream_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS trainer handoff — the shard APPEND verb's streaming
+    twin, completing the lifecycle symmetry the round-14/15 tiers
+    built (ingest, maintenance, snapshot, retraction, and now the
+    trainer handoff each have batch + continuous forms): tonight's
+    admitted snapshot additions
+    (:func:`~quty_server_spark.operators.pipeline.corpus_training_snapshot_incremental`'s
+    output) arrive in micro-batches, and each epoch lands as ONE
+    shard-partitioned commit directory next to the standing base
+    shards — written ``mode("overwrite")`` into its own ``e{epoch}``
+    root, the file-sink exactly-once device: an epoch REPLAY after a
+    crash rewrites the identical directory instead of duplicating
+    appended rows (plain parquet ``append`` is not replay-idempotent;
+    per-epoch overwrite commits are — pinned in
+    tests/test_streaming_recovery.py). The trainer reads base + e*
+    as one partitioned dataset; shard-directory pruning works
+    unchanged because every commit root carries the same ``shard=N``
+    layout.
+
+    At close the grown dataset is read back and summarized under the
+    oracle shared BYTE-FOR-BYTE with ``sink_training_shards_append``
+    (set below): epoch-split append converges to exactly the one-shot
+    batch append, which holds by construction — the written ROW SET is
+    the union of the epoch row sets, and row-set union is associative
+    and commutative regardless of the epoch partitioning.
+
+    Scale: per-trigger cost is the epoch's additions only (shard
+    assignment is the scan-side content-keyed hash; the write is one
+    exchange over the batch); the standing base is neither re-read nor
+    re-written on any trigger; close = one partition-pruned read-back
+    aggregate."""
+    import glob as _glob
+
+    from quty_server_spark.operators.pipeline import (
+        _shard_summary,
+        _write_training_shards,
+        corpus_training_snapshot_incremental,
+        scoped_training_snapshot,
+    )
+
+    configure(spark)
+    base = session_tmp_dir(spark, "quty_stream_train_shards", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    indir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    outbase = os.path.join(base, "out", "base")
+
+    lake_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    _write_training_shards(scoped_training_snapshot(spark, lake_docs), outbase)
+
+    adds = corpus_training_snapshot_incremental(spark, sf_dir)
+    # 4 hash-partitioned files -> deterministic micro-batches under
+    # maxFilesPerTrigger=1 (same staging device as the retraction
+    # stream; empty slices simply stage no file).
+    adds.repartition(4, "doc_id").write.parquet(indir)
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _write_training_shards(
+            batch_df,
+            os.path.join(base, "out", f"e{epoch_id}"),
+            mode="overwrite",
+        )
+
+    q = (
+        spark.readStream.schema(adds.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(append_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Empty epochs commit an empty root (no shard=N files) — skip them:
+    # schema inference has nothing to read there, and an empty slice
+    # contributes no rows by definition.
+    outs = [outbase] + sorted(
+        p
+        for p in _glob.glob(os.path.join(base, "out", "e*"))
+        if _glob.glob(os.path.join(p, "shard=*", "*.parquet"))
+    )
+    # One partitioned read per commit root (each infers its own shard=N
+    # layout — a single multi-root read would need a shared basePath
+    # and the commit roots are siblings, not partition values), unioned
+    # by name; shard-directory pruning still pushes into every root.
+    back = spark.read.parquet(outs[0])
+    for p in outs[1:]:
+        back = back.unionByName(spark.read.parquet(p))
+    return _shard_summary(back).localCheckpoint(eager=True)
+
+
+# Shares the batch append twin's oracle byte-for-byte: the epoch-split
+# continuous append must converge to the one-shot nightly append.
+def _set_stream_training_shards_oracle() -> None:
+    from quty_server_spark.operators.pipeline import (
+        _training_shards_append_oracle,
+    )
+
+    registry.oracles["stream_training_shards"] = (
+        _training_shards_append_oracle()
+    )
+
+
+_set_stream_training_shards_oracle()

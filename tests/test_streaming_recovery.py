@@ -421,3 +421,57 @@ def test_stream_retraction_equals_batch_tombstone(spark):
         if not f.startswith(".")
     ]
     assert len(epochs) >= 2
+
+
+def test_stream_shard_epoch_commit_is_replay_idempotent(spark):
+    """The continuous trainer handoff's exactly-once device: an epoch
+    commits as ONE overwrite directory, so replaying the epoch rewrites
+    identical content instead of duplicating rows — while the naive
+    in-place append device provably doubles on replay (why the stream
+    does NOT use mode('append') into the standing dirs)."""
+    import os
+    import shutil
+
+    from quty_server_spark.operators.pipeline import (
+        _write_training_shards,
+        corpus_training_snapshot_incremental,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from tests.conftest import SF_DIR
+
+    rows = corpus_training_snapshot_incremental(spark, SF_DIR).localCheckpoint()
+    base = session_tmp_dir(spark, "quty_shard_replay_test", SF_DIR)
+    shutil.rmtree(base, ignore_errors=True)
+    e0 = os.path.join(base, "e0")
+    _write_training_shards(rows, e0, mode="overwrite")
+    first = sorted(tuple(r) for r in spark.read.parquet(e0).collect())
+    _write_training_shards(rows, e0, mode="overwrite")  # epoch REPLAY
+    second = sorted(tuple(r) for r in spark.read.parquet(e0).collect())
+    assert first == second and first
+    e1 = os.path.join(base, "e1")
+    _write_training_shards(rows, e1, mode="append")
+    _write_training_shards(rows, e1, mode="append")  # replayed append
+    assert spark.read.parquet(e1).count() == 2 * len(first)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_training_shards_close_equals_one_shot_append(spark):
+    """Epoch-split convergence, pinned directly: the continuous twin's
+    close-state per-shard summary equals the one-shot batch append's."""
+    from quty_server_spark.operators.pipeline import (
+        _shard_summary,
+        appended_training_shards,
+        sink_training_shards_append,  # noqa: F401 (import parity)
+    )
+    from quty_server_spark.streaming.ops import stream_training_shards
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        tuple(r) for r in stream_training_shards(spark, SF_DIR).collect()
+    )
+    app = appended_training_shards(spark, SF_DIR, rebuild=True)
+    want = sorted(
+        tuple(r)
+        for r in _shard_summary(spark.read.parquet(app)).collect()
+    )
+    assert got == want
