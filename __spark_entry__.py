@@ -28,7 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # queries, so registration order IS driver coverage. Round-15 rotation
 # (r14 VERDICT "Next round" #1): clear the last r08 rotation debt and
 # start advancing the r09 vintage. The window is:
-# (1) the 6 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 9 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
 # APPEND twin (the write-once sink's claimed append-stability proven
 # under the byte-shared summary oracle, with the stale-keeper
@@ -43,7 +43,11 @@ SF0001 = "/root/testdata/sf0.001"
 # graph with the cross-modality / byte-variant audit), and the
 # CONTINUOUS trainer handoff stream_training_shards (per-epoch
 # overwrite commit dirs — the file-sink exactly-once device — close
-# state under the append twin's oracle byte-for-byte);
+# state under the append twin's oracle byte-for-byte), and the media
+# family's ARTIFACT TIER — write-once banded perceptual-signature
+# artifact, its oracle-verified append (batch signed alone, lake never
+# re-decoded), and the asymmetric nightly ingest gate (non-vacuous by
+# the twin offset's cross-residue construction);
 # (2) the 2 queries whose code changed this round and must re-earn
 # their external green rows: sink_training_shards (shard hash / writer
 # / summary factored into helpers shared with the append twin) and
@@ -54,9 +58,9 @@ SF0001 = "/root/testdata/sf0.001"
 # (4) the FULL r08 vintage — all 16 leftovers named by the r14 judge
 # roll in, so after this round no query's newest external green row
 # predates r09;
-# (5) the head's remaining 25 slots advance the r09 vintage
+# (5) the head's remaining 22 slots advance the r09 vintage
 # (alphabetical prefix of its 49 queries).
-# 6+2+1+16+25 = 50 — exactly the driver's sample window. Queries not
+# 9+2+1+16+22 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
@@ -68,6 +72,9 @@ DRIVER_PRIORITY = [
     "text_bpe_compression",
     "mm_payload_neardup_keep",
     "stream_training_shards",
+    "sink_media_signature_artifact",
+    "sink_media_signature_artifact_append",
+    "mm_neardup_incremental_artifact",
     # (2) CHANGED this round — re-earn the green row
     "sink_training_shards",
     "snapshot_retraction_impact",
@@ -113,9 +120,6 @@ DRIVER_PRIORITY = [
     "join_cross",
     "join_left_anti",
     "join_left_semi",
-    "join_null_safe",
-    "join_range_nonequi",
-    "q10_returned_items",
 ]
 
 

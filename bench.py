@@ -121,6 +121,11 @@ HEADLINE = [
     "sink_training_shards_append",
     "mm_payload_neardup",
     "text_bpe_train_n",
+    # round-15 late addition: the media family's nightly ingest gate
+    # probing the write-once perceptual-signature artifact (best-of-3
+    # makes this the warm-probe number, same convention as the other
+    # artifact gates — run 1 pays the memoized artifact build).
+    "mm_neardup_incremental_artifact",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

@@ -391,8 +391,15 @@ PERCEP_MIN_BYTES = 96
 # pigeonhole split, SIMHASH_BUCKET_CAP, HAMMING_MAX) unchanged.
 PERCEP_REGIONS = 48
 
-_NEARDUP_TWIN_BASE = 6_000_000  # staged twin id offset (distinct from
-# mm_payload_dedup's 3M exact-twin universe)
+# Staged twin id offset (distinct from mm_payload_dedup's 3M
+# exact-twin universe). Deliberately ≡ 7 (mod 10): a twin lands in a
+# DIFFERENT shard/lake residue than its original, so the staged pairs
+# cross the nightly-ingest boundary — a lake original's twin can arrive
+# with tonight's shard (and a shard original's twin sits in the lake),
+# which is what keeps the incremental artifact gate
+# (mm_neardup_incremental_artifact) non-vacuous by construction instead
+# of by fixture luck.
+_NEARDUP_TWIN_BASE = 6_000_007
 
 
 def _percep_sig_batch(payloads) -> list[int]:
@@ -507,16 +514,12 @@ def _percep_region_sql() -> str:
     )"""
 
 
-def _mm_neardup_ctes() -> str:
-    """Everything up to the candidate-pair relation ``pr`` — shared
-    verbatim by the pair oracle (mm_payload_neardup) and the cluster
-    collapse oracle (mm_payload_neardup_keep), which therefore cannot
-    drift on what "a perceptual near-pair" means."""
-    from quty_server_spark.operators.dedup import (
-        HAMMING_MAX,
-        SIMHASH_BUCKET_CAP,
-    )
-
+def _percep_sig_ctes() -> str:
+    """The signature half — staged universe + region statistics +
+    48-bit signatures (``sigt``). Shared verbatim by every media-family
+    oracle: the near-pair miner, the cluster collapse, the write-once /
+    append artifact summaries, and the incremental gate — one
+    definition of "a media item's perceptual signature" everywhere."""
     return f"""media AS (
         SELECT doc_id,
                ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
@@ -533,7 +536,20 @@ def _mm_neardup_ctes() -> str:
           AND octet_length(encode(pt)) >= {PERCEP_MIN_BYTES}
           AND substr(pt, 1, 1) <> substr(pt, 2, 1)
     ),
-    {_percep_region_sql().lstrip()},
+    {_percep_region_sql().lstrip()}"""
+
+
+def _mm_neardup_ctes() -> str:
+    """Signature CTEs + the capped banding + the candidate-pair
+    relation ``pr`` — shared verbatim by the pair oracle
+    (mm_payload_neardup) and the cluster collapse oracle
+    (mm_payload_neardup_keep)."""
+    from quty_server_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BUCKET_CAP,
+    )
+
+    return f"""{_percep_sig_ctes()},
     bands AS (
         SELECT doc_id, sig, b.band_id,
                (sig >> (12 * b.band_id)) & 4095 AS band_val
@@ -699,4 +715,240 @@ def mm_payload_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.countDistinct("modality").alias("n_modalities"),
         F.countDistinct(F.md5("payload")).alias("n_byte_variants"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Media signature artifact tier — round 15 (parity with the text
+# families' write-once / append / probe-nightly lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def media_sig_bands(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Banded perceptual signatures ``(doc_id, sig, band_id, band_val)``
+    of the staged media universe (or a caller-filtered slice of it) —
+    the mapInPandas signing pass + the text family's
+    :func:`~quty_server_spark.operators.dedup.simhash_bands` explode.
+    Callers filter the UNIVERSE, not the bands, so a shard-only caller
+    signs only the shard (nothing is signed twice — the same pushdown
+    discipline as the text incremental gate)."""
+    from quty_server_spark.operators.dedup import simhash_bands
+
+    uni = docs if docs is not None else percep_media_universe(spark, sf_dir)
+    sigs = uni.select("doc_id", "payload").mapInPandas(
+        _extract_percep_sigs, schema=_PERCEP_SCHEMA
+    )
+    return simhash_bands(sigs)
+
+
+def media_signature_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Write-once banded perceptual-signature artifact over the LAKE
+    media (``doc_id % 10 <> 0`` of the staged universe), partitioned by
+    ``band_id`` with ``band_val``-sorted row groups — the media twin of
+    :func:`~quty_server_spark.operators.dedup.lake_signature_artifact`:
+    a 100 TB media lake decodes and signs ONCE, and each night's gate
+    joins the shard's fresh signatures against this artifact instead of
+    re-decoding the lake (for real media the signing pass is the
+    expensive decode — amortizing it is the whole artifact story).
+    Memoized per (session, sf_dir); path keyed by application id."""
+    import shutil
+
+    from quty_server_spark.session import session_tmp_dir
+
+    cache = getattr(spark, "_quty_media_sig_artifact", None)
+    if cache is None:
+        cache = {}
+        spark._quty_media_sig_artifact = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_media_sig", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        lake_uni = percep_media_universe(spark, sf_dir).filter(
+            F.col("doc_id") % 10 != 0
+        )
+        bands = media_sig_bands(spark, sf_dir, docs=lake_uni)
+        bands.sortWithinPartitions("band_id", "band_val").write.partitionBy(
+            "band_id"
+        ).parquet(path)
+        cache[sf_dir] = path
+    return path
+
+
+def appended_media_signature_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Yesterday's media-signature artifact (lake minus the admitted
+    batch, ``doc_id % 10 == APPEND_BATCH_MOD``) with the batch's band
+    rows APPENDED — computed from the batch alone, never re-signing
+    (re-decoding) the lake. Content equals a fresh full-lake build's,
+    verified through the shared summary oracle and pinned set-equal in
+    tests/test_artifact_append.py."""
+    from quty_server_spark.operators.dedup import (
+        APPEND_BATCH_MOD,
+        append_to_band_artifact,
+    )
+
+    import shutil
+
+    from quty_server_spark.session import session_tmp_dir
+
+    cache = getattr(spark, "_quty_media_sig_app", None)
+    if cache is None:
+        cache = {}
+        spark._quty_media_sig_app = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_media_sig_app", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        uni = percep_media_universe(spark, sf_dir)
+        base_uni = uni.filter(
+            (F.col("doc_id") % 10 != 0)
+            & (F.col("doc_id") % 10 != APPEND_BATCH_MOD)
+        )
+        base = media_sig_bands(spark, sf_dir, docs=base_uni)
+        base.sortWithinPartitions("band_id", "band_val").write.partitionBy(
+            "band_id"
+        ).parquet(path)
+        batch_uni = uni.filter(F.col("doc_id") % 10 == APPEND_BATCH_MOD)
+        append_to_band_artifact(
+            media_sig_bands(spark, sf_dir, docs=batch_uni), path, "band_val"
+        )
+        cache[sf_dir] = path
+    return path
+
+
+def _media_sig_summary_oracle() -> str:
+    """Per-band summary over the lake slice of the staged universe —
+    shared byte-for-byte by the write-once and append sinks (the same
+    append ≡ rebuild device as the text families')."""
+    return f"""
+    WITH {_percep_sig_ctes()},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM sigt, (SELECT unnest(range(0, 4)) AS band_id) b
+        WHERE doc_id % 10 <> 0
+    )
+    SELECT band_id,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT band_val) AS n_buckets,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM bands GROUP BY band_id
+    """
+
+
+_SQL_MEDIA_SIG_SUMMARY = _media_sig_summary_oracle()
+
+
+def _media_sig_artifact_summary(art: DataFrame) -> DataFrame:
+    return art.groupBy(
+        F.col("band_id").cast("bigint").alias("band_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("band_val").alias("n_buckets"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@registry.query(
+    "sink_media_signature_artifact", oracle=_SQL_MEDIA_SIG_SUMMARY
+)
+def sink_media_signature_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The media family's WRITE-ONCE artifact step: build the banded
+    perceptual-signature artifact for the media lake, read it back, and
+    report the per-band summary — the lifecycle that earns the nightly
+    gate its 'never re-decode the lake' claim. Layout matches the gate's
+    join-key prefix (band_id directories, band_val-sorted row groups) so
+    probes prune directories then row groups before touching a page."""
+    path = media_signature_artifact(spark, sf_dir, rebuild=True)
+    return _media_sig_artifact_summary(spark.read.parquet(path))
+
+
+@registry.query(
+    "sink_media_signature_artifact_append", oracle=_SQL_MEDIA_SIG_SUMMARY
+)
+def sink_media_signature_artifact_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPEND step of the media-signature artifact lifecycle: write
+    yesterday's artifact (lake minus the admitted batch), append the
+    batch's band rows — signed from the batch alone, the lake neither
+    re-decoded nor re-signed — and summarize the read-back under the
+    oracle shared byte-for-byte with the write-once sink: a green row
+    proves append ≡ rebuild. Untouched-file byte-identity and content
+    set-equality are pinned in tests/test_artifact_append.py."""
+    path = appended_media_signature_artifact(spark, sf_dir, rebuild=True)
+    return _media_sig_artifact_summary(spark.read.parquet(path))
+
+
+def _mm_incremental_gate_oracle() -> str:
+    from quty_server_spark.operators.dedup import HAMMING_MAX
+
+    return f"""
+    WITH {_percep_sig_ctes()},
+    bands AS (
+        SELECT doc_id, sig, b.band_id,
+               (sig >> (12 * b.band_id)) & 4095 AS band_val
+        FROM sigt, (SELECT unnest(range(0, 4)) AS band_id) b
+    )
+    SELECT DISTINCT n.doc_id AS incoming_doc_id, o.doc_id AS lake_doc_id,
+           bit_count(xor(n.sig, o.sig)) AS hamming
+    FROM bands n JOIN bands o
+      ON n.band_id = o.band_id AND n.band_val = o.band_val
+    WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      AND bit_count(xor(n.sig, o.sig)) <= {HAMMING_MAX}
+    """
+
+
+@registry.query(
+    "mm_neardup_incremental_artifact", oracle=_mm_incremental_gate_oracle()
+)
+def mm_neardup_incremental_artifact(
+    spark: SparkSession, sf_dir: str, art_path: str | None = None
+) -> DataFrame:
+    """The media family's NIGHTLY INGEST GATE — the probe-nightly half
+    of the artifact lifecycle: tonight's media shard (``doc_id % 10 ==
+    0`` of the staged universe, twins riding with their originals'
+    residue) is decoded and signed FRESH — shard-sized work — and its
+    bands join the standing artifact's lake bands asymmetrically
+    (incoming × lake, never lake × lake). Same shape as
+    :func:`~quty_server_spark.operators.dedup.dedup_incremental_simhash`,
+    with the stake that makes it matter for media: the lake-side decode
+    is the expensive step, and the artifact means it never runs again.
+    The oracle recomputes both sides from scratch, so a green row
+    proves the artifact path equals a full re-sign; gate-after-append ≡
+    gate-after-rebuild is pinned in tests/test_artifact_append.py. On a
+    boilerplate-dense media corpus, compose with the
+    SIMHASH_BUCKET_CAP device exactly as mm_payload_neardup does — the
+    cap applies to the lake buckets unchanged."""
+    from quty_server_spark.operators.dedup import HAMMING_MAX
+
+    if art_path is None:
+        art_path = media_signature_artifact(spark, sf_dir)
+    shard_uni = percep_media_universe(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new = media_sig_bands(spark, sf_dir, docs=shard_uni).alias("n")
+    lake = spark.read.parquet(art_path).alias("o")
+    return (
+        new.join(
+            lake,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("incoming_doc_id"),
+            F.col("o.doc_id").alias("lake_doc_id"),
+            F.bit_count(F.col("n.sig").bitwiseXOR(F.col("o.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )

@@ -333,3 +333,46 @@ def test_training_shards_append_oracle_choice_is_load_bearing(spark):
     # The other direction must stay empty: yesterday's truth never
     # MISSES a doc today's full truth admits on the lake side.
     assert missing == 0
+
+
+def test_media_gate_after_append_equals_after_rebuild(spark):
+    """Media-family artifact lifecycle: the nightly perceptual gate
+    returns the identical row set against the appended artifact and a
+    from-scratch rebuild, and the artifact CONTENT is set-equal too."""
+    from quty_server_spark.operators.multimodal import (
+        appended_media_signature_artifact,
+        media_signature_artifact,
+        mm_neardup_incremental_artifact,
+    )
+
+    app = appended_media_signature_artifact(spark, SF_DIR, rebuild=True)
+    full = media_signature_artifact(spark, SF_DIR, rebuild=True)
+    cols = ["incoming_doc_id", "lake_doc_id", "hamming"]
+    got = _rows(mm_neardup_incremental_artifact(spark, SF_DIR, app), cols)
+    want = _rows(mm_neardup_incremental_artifact(spark, SF_DIR, full), cols)
+    assert got == want
+    art_cols = ["doc_id", "sig", "band_id", "band_val"]
+    assert _rows(spark.read.parquet(app), art_cols) == _rows(
+        spark.read.parquet(full), art_cols
+    )
+
+
+def test_media_incremental_gate_is_nonvacuous_cross_boundary(spark):
+    """The _NEARDUP_TWIN_BASE ≡ 7 (mod 10) device: staged twins land in
+    a different shard/lake residue than their originals, so the
+    asymmetric gate always sees staged cross-boundary pairs — a 0-row
+    green gate here would be the r12 vacuity failure mode."""
+    from quty_server_spark.operators.multimodal import (
+        _NEARDUP_TWIN_BASE,
+        mm_neardup_incremental_artifact,
+    )
+
+    rows = mm_neardup_incremental_artifact(spark, SF_DIR).collect()
+    assert rows, "gate returned nothing — staging device broken"
+    staged = [
+        r
+        for r in rows
+        if abs(r["incoming_doc_id"] - r["lake_doc_id"]) == _NEARDUP_TWIN_BASE
+    ]
+    assert staged, "no staged twin pair crosses the shard/lake boundary"
+    assert all(r["hamming"] == 0 for r in staged)
