@@ -28,7 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # queries, so registration order IS driver coverage. Round-15 rotation
 # (r14 VERDICT "Next round" #1): clear the last r08 rotation debt and
 # start advancing the r09 vintage. The window is:
-# (1) the 9 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 10 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
 # APPEND twin (the write-once sink's claimed append-stability proven
 # under the byte-shared summary oracle, with the stale-keeper
@@ -46,8 +46,10 @@ SF0001 = "/root/testdata/sf0.001"
 # state under the append twin's oracle byte-for-byte), and the media
 # family's ARTIFACT TIER — write-once banded perceptual-signature
 # artifact, its oracle-verified append (batch signed alone, lake never
-# re-decoded), and the asymmetric nightly ingest gate (non-vacuous by
-# the twin offset's cross-residue construction);
+# re-decoded), the asymmetric nightly ingest gate (non-vacuous by
+# the twin offset's cross-residue construction), and its RETRACTION
+# verb (tombstone sidecar, live ≡ compacted ≡ survivor-rebuild under
+# the survivor-scoped write-once oracle);
 # (2) the 2 queries whose code changed this round and must re-earn
 # their external green rows: sink_training_shards (shard hash / writer
 # / summary factored into helpers shared with the append twin) and
@@ -58,9 +60,9 @@ SF0001 = "/root/testdata/sf0.001"
 # (4) the FULL r08 vintage — all 16 leftovers named by the r14 judge
 # roll in, so after this round no query's newest external green row
 # predates r09;
-# (5) the head's remaining 22 slots advance the r09 vintage
+# (5) the head's remaining 21 slots advance the r09 vintage
 # (alphabetical prefix of its 49 queries).
-# 9+2+1+16+22 = 50 — exactly the driver's sample window. Queries not
+# 10+2+1+16+21 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
@@ -75,6 +77,7 @@ DRIVER_PRIORITY = [
     "sink_media_signature_artifact",
     "sink_media_signature_artifact_append",
     "mm_neardup_incremental_artifact",
+    "sink_media_signature_artifact_retract",
     # (2) CHANGED this round — re-earn the green row
     "sink_training_shards",
     "snapshot_retraction_impact",
@@ -119,7 +122,6 @@ DRIVER_PRIORITY = [
     "join_asof",
     "join_cross",
     "join_left_anti",
-    "join_left_semi",
 ]
 
 

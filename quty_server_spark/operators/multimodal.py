@@ -952,3 +952,69 @@ def mm_neardup_incremental_artifact(
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+def _media_sig_survivor_summary_oracle() -> str:
+    """The write-once summary scoped to the retraction survivors — the
+    same single-predicate redirect device the snapshot oracles use: one
+    clause added to the shared SQL, everything else byte-identical, so
+    the retraction contract cannot drift from the write-once one."""
+    from quty_server_spark.operators.retract import RETRACT_MOD
+
+    full = _SQL_MEDIA_SIG_SUMMARY
+    scoped = full.replace(
+        "WHERE doc_id % 10 <> 0",
+        f"WHERE doc_id % 10 <> 0 AND doc_id % 10 <> {RETRACT_MOD}",
+        1,
+    )
+    assert scoped != full
+    return scoped
+
+
+@registry.query(
+    "sink_media_signature_artifact_retract",
+    oracle=_media_sig_survivor_summary_oracle(),
+)
+def sink_media_signature_artifact_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RETRACTION verb for the media-signature artifact — the new
+    family joins the r14 lifecycle the four text/vector families
+    already complete (write-once → append → retract): victims
+    (``doc_id % 10 == RETRACT_MOD`` of the staged universe — lake
+    originals AND lake-resident twins) are tombstoned into the standing
+    artifact's ``_tombstones`` sidecar (the generic O(victims)
+    idempotent device from operators/retract.py; zero artifact data
+    files touched), and the LIVE VIEW — artifact minus tombstones via
+    the shared broadcast anti-join reader — is summarized under the
+    write-once oracle re-scoped to the survivors: a green row proves
+    live ≡ a from-scratch survivor build. Deferred physical compaction
+    composes through the generic :func:`~quty_server_spark.operators.retract.compact_tombstones`
+    unchanged (live ≡ compacted ≡ rebuilt pinned in
+    tests/test_retract_semantics.py).
+
+    Scale: the takedown writes one victim-list-sized sidecar; consumers
+    pay one broadcast anti-join until scheduled compaction folds it —
+    for media this is the difference between a takedown that re-decodes
+    nothing and one that re-signs a lake."""
+    import shutil
+
+    from quty_server_spark.operators.retract import (
+        RETRACT_MOD,
+        _copy_artifact,
+        _write_tombstones,
+        read_artifact_live,
+    )
+    from quty_server_spark.session import session_tmp_dir
+
+    src_path = media_signature_artifact(spark, sf_dir)
+    priv = session_tmp_dir(spark, "quty_media_sig_rt", sf_dir)
+    shutil.rmtree(priv, ignore_errors=True)
+    _copy_artifact(src_path, priv)
+    victims = percep_media_universe(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == RETRACT_MOD
+    ).select("doc_id")
+    _write_tombstones(spark, priv, victims)
+    return _media_sig_artifact_summary(
+        read_artifact_live(spark, priv, "doc_id")
+    )

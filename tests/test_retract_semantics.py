@@ -397,3 +397,54 @@ def test_tombstone_write_is_idempotent(spark, tmp_path):
     assert first == second == list(range(0, 100, 10))
     live = R.read_artifact_live(spark, p, "doc_id")
     assert live.count() == 90
+
+
+def test_media_artifact_retraction_live_equals_compacted_equals_rebuilt(spark):
+    """The media family's retraction contract, at the strongest grain:
+    the tombstone LIVE view, the physically COMPACTED artifact, and a
+    from-scratch SURVIVOR rebuild hold the identical row set — and the
+    victim set is non-empty (lake originals and lake-resident twins
+    both carry the RETRACT_MOD residue)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.multimodal import (
+        media_sig_bands,
+        media_signature_artifact,
+        percep_media_universe,
+    )
+    from quty_server_spark.operators.retract import (
+        RETRACT_MOD,
+        _copy_artifact,
+        _write_tombstones,
+        compact_tombstones,
+        read_artifact_live,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from tests.conftest import SF_DIR
+
+    src = media_signature_artifact(spark, SF_DIR, rebuild=True)
+    priv = session_tmp_dir(spark, "quty_media_sig_rt_test", SF_DIR)
+    shutil.rmtree(priv, ignore_errors=True)
+    _copy_artifact(src, priv)
+    uni = percep_media_universe(spark, SF_DIR)
+    victims = uni.filter(F.col("doc_id") % 10 == RETRACT_MOD).select("doc_id")
+    assert victims.count() > 0
+    _write_tombstones(spark, priv, victims)
+
+    cols = ["doc_id", "sig", "band_id", "band_val"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    live = rows(read_artifact_live(spark, priv, "doc_id"))
+    surv_uni = uni.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != RETRACT_MOD)
+    )
+    rebuilt = rows(media_sig_bands(spark, SF_DIR, docs=surv_uni))
+    assert live == rebuilt and live
+    compact_tombstones(spark, priv, "band_id", "doc_id", "band_val")
+    compacted = rows(spark.read.parquet(priv))
+    assert compacted == live
+    shutil.rmtree(priv, ignore_errors=True)
