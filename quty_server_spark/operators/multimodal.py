@@ -527,12 +527,12 @@ def _percep_sig_ctes() -> str:
         FROM documents
         WHERE octet_length(encode(text)) >= {PERCEP_MIN_BYTES}
         UNION ALL
-        SELECT doc_id + {_NEARDUP_TWIN_BASE} AS doc_id,
-               ['image','audio','video'][((doc_id + 1) % 3 + 1)::INT]
+        SELECT orig_id + {_NEARDUP_TWIN_BASE} AS doc_id,
+               ['image','audio','video'][((orig_id + 1) % 3 + 1)::INT]
                    AS modality,
                substr(pt, 2, 1) || substr(pt, 1, 1) || substr(pt, 3) AS pt
-        FROM (SELECT doc_id, text AS pt FROM documents)
-        WHERE doc_id % 9 = 3
+        FROM (SELECT doc_id AS orig_id, text AS pt FROM documents)
+        WHERE orig_id % 9 = 3
           AND octet_length(encode(pt)) >= {PERCEP_MIN_BYTES}
           AND substr(pt, 1, 1) <> substr(pt, 2, 1)
     ),
@@ -914,8 +914,11 @@ def mm_neardup_incremental_artifact(
 ) -> DataFrame:
     """The media family's NIGHTLY INGEST GATE — the probe-nightly half
     of the artifact lifecycle: tonight's media shard (``doc_id % 10 ==
-    0`` of the staged universe, twins riding with their originals'
-    residue) is decoded and signed FRESH — shard-sized work — and its
+    0`` of the staged universe — staged twins land in a residue SHIFTED
+    from their originals' by the ``_NEARDUP_TWIN_BASE ≡ 7 (mod 10)``
+    device, so staged pairs cross the shard/lake boundary and the gate
+    is non-vacuous by construction) is decoded and signed FRESH —
+    shard-sized work — and its
     bands join the standing artifact's lake bands asymmetrically
     (incoming × lake, never lake × lake). Same shape as
     :func:`~quty_server_spark.operators.dedup.dedup_incremental_simhash`,

@@ -101,3 +101,35 @@ def test_schema_cache_invalidates_on_rewrite(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_documents_text_is_ascii_only(sf_dir):
+    """The media-family oracles index per-CHARACTER ascii() lists with
+    BYTE offsets (multimodal.py's fake-decode convention: ascii text ⇒
+    byte i == ascii(char i)), and the Spark side hashes raw UTF-8
+    bytes — the two agree only while documents.text stays pure ASCII.
+    The r15 ADVICE asked for this to break LOUDLY instead of silently
+    mis-slicing signature regions if the fixture ever grows a
+    multi-byte character: for valid UTF-8, octet_length == char length
+    iff every character is single-byte."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {path} absent this round")
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}') "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} non-ASCII documents in {path} — the media oracles' "
+        "byte-offset-into-ascii()-list convention no longer holds; "
+        "derive region offsets from a byte decode on BOTH sides "
+        "(multimodal._percep_region_sql) before trusting media hashes"
+    )
