@@ -25,103 +25,95 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-15 rotation
-# (r14 VERDICT "Next round" #1): clear the last r08 rotation debt and
-# start advancing the r09 vintage. The window is:
-# (1) the 10 queries NEW this round — rotation DEBT (no cumulative green
+# queries, so registration order IS driver coverage. Round-16 rotation
+# (r15 VERDICT "Next round" #1): clear the FULL r09 rotation debt and
+# start advancing the r10 vintage. The window is:
+# (1) the 3 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
-# APPEND twin (the write-once sink's claimed append-stability proven
-# under the byte-shared summary oracle, with the stale-keeper
-# compaction-debt contract), the PERCEPTUAL multimodal near-dup pass
-# (blockhash signatures through the mapInPandas decode seam riding the
-# SimHash banding machinery, staged byte-swapped twins), and the BPE
-# TRAINING LOOP (6 chained exact greedy merges, per-round choice+count
-# hash-verified against the unrolled oracle) plus its two depth
-# consumers: the BPE COMPRESSION CURVE (per-round corpus symbol count
-# and saved ppm under the shared unrolled-state oracle) and the
-# perceptual CLUSTER COLLAPSE (min-label components over the near-pair
-# graph with the cross-modality / byte-variant audit), and the
-# CONTINUOUS trainer handoff stream_training_shards (per-epoch
-# overwrite commit dirs — the file-sink exactly-once device — close
-# state under the append twin's oracle byte-for-byte), and the media
-# family's ARTIFACT TIER — write-once banded perceptual-signature
-# artifact, its oracle-verified append (batch signed alone, lake never
-# re-decoded), the asymmetric nightly ingest gate (non-vacuous by
-# the twin offset's cross-residue construction), and its RETRACTION
-# verb (tombstone sidecar, live ≡ compacted ≡ survivor-rebuild under
-# the survivor-scoped write-once oracle);
-# (2) the 2 queries whose code changed this round and must re-earn
-# their external green rows: sink_training_shards (shard hash / writer
-# / summary factored into helpers shared with the append twin) and
-# snapshot_retraction_impact (survivor side now the shared
-# scoped_training_snapshot helper) — semantics-identical extracts,
+# COMPACTION verb (the one oracle-documented deferred semantic —
+# rewrite ONLY the shards holding a stale-keeper/differing row, read
+# back, summarize under the write-once oracle byte-for-byte; compacted
+# ≡ rebuilt and untouched-shard byte-identity pinned), the MEDIA
+# family's CONTINUOUS ingest gate (per micro-batch Arrow-batch signing
+# + asymmetric band join against the standing perceptual-signature
+# artifact, epoch-keyed idempotent sink, oracle shared byte-for-byte
+# with the batch gate), and the BPE ENCODER (documents tokenized under
+# the N trained merges via the trainer's own apply scan chained in
+# training order; corpus total pinned equal to the training curve's
+# round-N corpus_symbols);
+# (2) the 7 queries whose code or oracle text changed this round and
+# must re-earn their external green rows: the 6 media-family queries
+# sharing _percep_sig_ctes (the twin CTE no longer shadows doc_id with
+# a lateral alias — same semantics, new oracle bytes; r15 ADVICE #2)
+# and sink_training_shards_append (standing-state build factored into
+# _build_appended_training_shards, shared with the compactor) —
 # re-verified locally at both SFs, listed per the discipline;
-# (3) the canary: q1_pricing_summary (long-green, re-greened r14);
-# (4) the FULL r08 vintage — all 16 leftovers named by the r14 judge
+# (3) the canary: q1_pricing_summary (long-green, re-greened r15);
+# (4) the FULL r09 vintage — all 28 leftovers named by the r15 judge
 # roll in, so after this round no query's newest external green row
-# predates r09;
-# (5) the head's remaining 21 slots advance the r09 vintage
-# (alphabetical prefix of its 49 queries).
-# 10+2+1+16+21 = 50 — exactly the driver's sample window. Queries not
+# predates r10;
+# (5) the head's remaining 11 slots advance the r10 vintage
+# (alphabetical prefix of its 44 queries).
+# 3+7+1+28+11 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
 DRIVER_PRIORITY = [
     # (1) NEW this round
-    "sink_training_shards_append",
+    "sink_training_shards_compact",
+    "stream_ingest_media_gate",
+    "text_bpe_encode",
+    # (2) CHANGED this round — re-earn the green row
     "mm_payload_neardup",
-    "text_bpe_train_n",
-    "text_bpe_compression",
     "mm_payload_neardup_keep",
-    "stream_training_shards",
     "sink_media_signature_artifact",
     "sink_media_signature_artifact_append",
     "mm_neardup_incremental_artifact",
     "sink_media_signature_artifact_retract",
-    # (2) CHANGED this round — re-earn the green row
-    "sink_training_shards",
-    "snapshot_retraction_impact",
+    "sink_training_shards_append",
     # (3) canary
     "q1_pricing_summary",
-    # (4) the r08 vintage — cleared in full
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "sample_stratified_hash",
-    "scalar_variant_json",
-    "sink_python_datasource_writer",
-    "source_python_datasource",
-    "sql_recursive_cte_hierarchy",
-    "stream_python_datasource",
-    "text_lexicon_sentiment",
-    "text_winnow_fingerprint",
-    "window_rolling_median",
-    # (5) r09 vintage, alphabetical prefix
-    "agg_basic",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_sketch_mergeable",
-    "agg_stats",
-    "conditional_case_null",
-    "dedup_cluster",
-    "dedup_cluster_stats",
-    "dedup_incremental_simhash",
-    "dedup_incremental_simhash_capped",
-    "dedup_keep_canonical",
-    "distinct_projection",
-    "events_time_rollup",
-    "events_user_funnel",
-    "join_asof",
-    "join_cross",
-    "join_left_anti",
+    # (4) the r09 vintage — cleared in full
+    "join_left_semi",
+    "join_null_safe",
+    "join_range_nonequi",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "scalar_array",
+    "scalar_dates",
+    "scalar_maps",
+    "scalar_math",
+    "scalar_strings",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sort_limit_topn",
+    "stream_rate_source",
+    "stream_session_window",
+    "subquery_correlated_exists",
+    "subquery_scalar_in",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_dense_ntile",
+    "window_row_number_topk",
+    "window_running_sum",
+    "window_value_fns",
+    # (5) r10 vintage, alphabetical prefix
+    "cluster_discovery",
+    "cluster_node_info",
+    "dedup_incremental_minhash",
+    "doc_pack_sequences",
+    "embed_label_centroids",
+    "envelope_parse",
+    "envelope_serialize",
+    "events_retention_cohort",
+    "join_range_banded",
+    "kafka_wire_decode",
+    "kafka_wire_encode",
 ]
 
 

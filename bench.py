@@ -126,6 +126,15 @@ HEADLINE = [
     # makes this the warm-probe number, same convention as the other
     # artifact gates — run 1 pays the memoized artifact build).
     "mm_neardup_incremental_artifact",
+    # round-16 additions: the trainer-shard COMPACTION verb (forced
+    # cold by the same convention as the append twin — the number is
+    # standing-state build + diff + partition-scoped rewrite; the
+    # production nightly cost is the diff + affected-shard rewrite
+    # alone), and the BPE ENCODER (one narrow corpus scan through the
+    # N trained merges + a doc-keyed re-aggregation; rides the
+    # trainer's lazily-checkpointed loop state).
+    "sink_training_shards_compact",
+    "text_bpe_encode",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo

@@ -1261,18 +1261,32 @@ def appended_training_shards(
     path = cache.get(sf_dir)
     if path is None or rebuild:
         path = session_tmp_dir(spark, "quty_train_shards_app", sf_dir)
-        shutil.rmtree(path, ignore_errors=True)
-        lake_docs = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 10 != 0
-        )
-        _write_training_shards(scoped_training_snapshot(spark, lake_docs), path)
-        _write_training_shards(
-            corpus_training_snapshot_incremental(spark, sf_dir),
-            path,
-            mode="append",
-        )
+        _build_appended_training_shards(spark, sf_dir, path)
         cache[sf_dir] = path
     return path
+
+
+def _build_appended_training_shards(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """The standing-state fixture device shared by the append twin and
+    the compaction verb: yesterday's shards (the write-once sink over
+    the lake corpus) plus tonight's incremental-snapshot additions
+    appended into the same ``shard=N`` directories. Factored so the
+    compactor can stage its OWN private copy of the appended layout
+    instead of mutating the memoized one other consumers hold."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    lake_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    _write_training_shards(scoped_training_snapshot(spark, lake_docs), path)
+    _write_training_shards(
+        corpus_training_snapshot_incremental(spark, sf_dir),
+        path,
+        mode="append",
+    )
 
 
 def _training_shards_append_oracle() -> str:
@@ -1328,6 +1342,110 @@ def sink_training_shards_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition); the read-back audit prunes to partition directories
     and aggregates map-side."""
     path = appended_training_shards(spark, sf_dir, rebuild=True)
+    return _shard_summary(spark.read.parquet(path))
+
+
+# Column list of the snapshot/shard row — one definition shared by the
+# compactor's diff (positional exceptAll needs both sides in this exact
+# order) and its tests.
+SNAPSHOT_COLS = ["doc_id", "lang", "source", "n_tokens", "cluster_id", "dup_ppm"]
+
+
+def compact_training_shards_inplace(
+    spark: SparkSession, sf_dir: str, path: str
+) -> list[int]:
+    """SNAPSHOT COMPACTION — the deferred semantic the append twin's
+    oracle documents: after appends, standing shard files still hold
+    rows tonight's FULL-corpus truth rejects (a lake keeper dethroned
+    by a smaller-id shard clustermate, a doc pushed over the dup_ppm
+    ceiling by tonight's passages — both fixture-exhibited, pinned in
+    tests/test_artifact_append.py). This verb folds that debt: compute
+    the symmetric ROW difference between the standing layout and a
+    fresh :func:`corpus_training_snapshot`, map the differing docs to
+    their content-keyed shards, and dynamically overwrite ONLY those
+    ``shard=N`` directories with the fresh truth's rows for those
+    shards — the same partition-scoped rewrite device as
+    :func:`~quty_server_spark.operators.retract._retract_rows`.
+    Shards with no differing doc are never read for the rewrite and
+    their files are untouched (byte-identity pinned in
+    tests/test_artifact_append.py). Returns the affected shard list.
+
+    The diff is on FULL rows, not just membership, so a doc whose
+    audit columns drifted (e.g. dup_ppm re-priced by tonight's
+    passages) also routes its shard into the rewrite — after
+    compaction the layout equals a from-scratch rebuild row-for-row,
+    not merely doc-for-doc (set-equality pinned in tests).
+
+    Scale: the diff is one exchange on the row key over (standing ∪
+    fresh) — both sides snapshot-sized, and the fresh side rides the
+    session-memoized component labels; the affected-shard collect is
+    metadata-grain (≤ N_TRAIN_SHARDS values, the same bounded-collect
+    class as the retraction device's partition lists); the rewrite
+    reads nothing from the standing layout (replacement rows come from
+    the fresh snapshot) and writes only affected directories, keeping
+    write parallelism decoupled from shard count via the shared
+    (shard, doc_id) repartition."""
+    import os
+    import shutil
+
+    fresh = corpus_training_snapshot(spark, sf_dir).select(
+        *SNAPSHOT_COLS
+    ).localCheckpoint(eager=False)
+    standing = spark.read.parquet(path).select(*SNAPSHOT_COLS)
+    diff = standing.exceptAll(fresh).unionByName(fresh.exceptAll(standing))
+    affected = sorted(
+        r[0]
+        for r in diff.select(_shard_col().alias("shard")).distinct().collect()
+    )
+    if not affected:
+        return []
+    repl = fresh.withColumn("shard", _shard_col()).filter(
+        F.col("shard").isin(affected)
+    )
+    (
+        repl.repartition(4 * N_TRAIN_SHARDS, "shard", "doc_id")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # Dynamic overwrite cannot delete a partition absent from its
+    # input: an affected shard left with ZERO fresh rows is removed
+    # explicitly (same metadata-grain loop as the retraction device).
+    kept = {r[0] for r in repl.select("shard").distinct().collect()}
+    for s in affected:
+        if s not in kept:
+            shutil.rmtree(os.path.join(path, f"shard={s}"), ignore_errors=True)
+    return affected
+
+
+@registry.query(
+    "sink_training_shards_compact", oracle=_training_shards_oracle()
+)
+def sink_training_shards_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTION step of the trainer-handoff lifecycle — the last
+    unbuilt edge the r15 verdict named: stage the appended standing
+    state (yesterday's lake-scoped shards + tonight's additions, the
+    shared fixture device, built in a compactor-private directory so
+    the memoized appended layout other consumers hold is never mutated),
+    run :func:`compact_training_shards_inplace`, read the layout back,
+    and summarize per shard under the full-corpus WRITE-ONCE oracle —
+    byte-for-byte the same SQL as :func:`sink_training_shards`. A green
+    row therefore proves the closing of the lifecycle triangle: the
+    compacted layout ≡ a fresh write-once build, i.e. the append
+    oracle's documented stale-keeper debt is exactly what compaction
+    folds, no more and no less.
+
+    Scale: the bench number is forced cold (standing-state build
+    included — the fixture device); the production nightly compaction
+    cost is the diff (snapshot-sized, label-memo-warm) plus a rewrite
+    of only the shards holding a stale row."""
+    from quty_server_spark.session import session_tmp_dir
+
+    path = session_tmp_dir(spark, "quty_train_shards_cmp", sf_dir)
+    _build_appended_training_shards(spark, sf_dir, path)
+    compact_training_shards_inplace(spark, sf_dir, path)
     return _shard_summary(spark.read.parquet(path))
 
 

@@ -1699,16 +1699,19 @@ def _run_ingest_gate_stream(
     out_cols: list[str],
     table: str = "documents",
     id_col: str = "doc_id",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared runner for the continuous ingest gates: stage the shard
-    (``<id_col> % 10 == 0`` of ``table``) as 4 hash-partitioned files,
-    stream them one-file-per-trigger, apply the family's per-batch gate
-    inside ``foreachBatch`` with an epoch-keyed idempotent parquet
-    sink, and return the union of all epochs. Scratch dirs are
-    session-keyed (session_tmp_dir) and the returned frame is eagerly
-    ``localCheckpoint``-ed, so a later call for the same sf_dir — which
-    rmtree's and restages — can never invalidate a frame this call
-    already handed out (r10 ADVICE)."""
+    (``<id_col> % 10 == 0`` of ``table``, or a caller-staged ``docs``
+    frame for families whose shard universe is derived rather than a
+    raw table — the media gate's staged perceptual universe) as 4
+    hash-partitioned files, stream them one-file-per-trigger, apply the
+    family's per-batch gate inside ``foreachBatch`` with an epoch-keyed
+    idempotent parquet sink, and return the union of all epochs.
+    Scratch dirs are session-keyed (session_tmp_dir) and the returned
+    frame is eagerly ``localCheckpoint``-ed, so a later call for the
+    same sf_dir — which rmtree's and restages — can never invalidate a
+    frame this call already handed out (r10 ADVICE)."""
     from quty_server_spark.session import session_tmp_dir
 
     configure(spark)
@@ -1721,9 +1724,10 @@ def _run_ingest_gate_stream(
     # Stage the incoming shard as 4 files -> 4 micro-batches under
     # maxFilesPerTrigger=1 (hash-partitioned on the id, so batch
     # composition is deterministic in content, not in arrival order).
-    docs = load_table(spark, sf_dir, table).filter(
-        F.col(id_col) % 10 == 0
-    )
+    if docs is None:
+        docs = load_table(spark, sf_dir, table).filter(
+            F.col(id_col) % 10 == 0
+        )
     docs.repartition(4, id_col).write.parquet(indir)
 
     gate_batch = gate_batch_of(outdir)
@@ -2058,6 +2062,94 @@ def stream_ingest_passage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quty_stream_gate_passages",
         gate_batch_of,
         ["doc_id", "n_windows", "n_lake_dup_windows", "dup_ppm"],
+    )
+
+
+def _media_gate_oracle() -> str:
+    """The batch media gate's oracle, shared byte-for-byte — the same
+    one-definition device every other continuous gate twin uses."""
+    from quty_server_spark.operators.multimodal import (
+        _mm_incremental_gate_oracle,
+    )
+
+    return _mm_incremental_gate_oracle()
+
+
+@registry.query("stream_ingest_media_gate", oracle=_media_gate_oracle())
+def stream_ingest_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA-family continuous ingest gate — the streaming twin of
+    :func:`~quty_server_spark.operators.multimodal.mm_neardup_incremental_artifact`,
+    closing the r15 verdict's named gap: every other artifact family's
+    nightly gate already had a foreachBatch twin; the perceptual
+    media gate was batch-only. Tonight's media shard (``doc_id % 10 ==
+    0`` of the staged perceptual universe — twins cross the shard/lake
+    boundary by the ``_NEARDUP_TWIN_BASE ≡ 7 (mod 10)`` device, so
+    every epoch set sees staged pairs) arrives as a file stream in
+    micro-batches; each batch's payloads are signed through the REAL
+    Arrow-batch decode seam inside ``foreachBatch`` (payload bytes
+    never reach the driver) and its bands join the standing write-once
+    perceptual-signature artifact asymmetrically (incoming × lake,
+    never lake × lake), with the epoch-keyed idempotent parquet sink.
+    Shares the batch gate's oracle SQL byte-for-byte; the epoch union
+    equals the one-shot gate exactly — each media item lands in one
+    micro-batch, its signature is a pure function of its own payload,
+    and matches come only from static lake state, so nothing crosses
+    epochs (set-equality pinned in tests/test_streaming_recovery.py).
+
+    Scale: per micro-batch cost is one O(bytes) cumulative-sum signing
+    pass over the batch's payloads + one band-equality join against the
+    band_id-partitioned artifact (directory-pruned to the probe's own
+    bands); the lake-side decode never runs on any trigger — the
+    artifact amortizes it exactly as on the nightly path."""
+    from quty_server_spark.operators.dedup import HAMMING_MAX
+    from quty_server_spark.operators.multimodal import (
+        media_sig_bands,
+        media_signature_artifact,
+        percep_media_universe,
+    )
+
+    configure(spark)
+    lake = (
+        spark.read.parquet(media_signature_artifact(spark, sf_dir))
+        .select("doc_id", "sig", "band_id", "band_val")
+        .alias("o")
+    )
+
+    def gate_batch_of(outdir: str):
+        def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            shard = media_sig_bands(spark, sf_dir, docs=batch_df).alias("n")
+            res = (
+                shard.join(
+                    lake,
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.band_val") == F.col("o.band_val")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("incoming_doc_id"),
+                    F.col("o.doc_id").alias("lake_doc_id"),
+                    F.bit_count(
+                        F.col("n.sig").bitwiseXOR(F.col("o.sig"))
+                    ).alias("hamming"),
+                )
+                .filter(F.col("hamming") <= HAMMING_MAX)
+                .distinct()
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
+            )
+
+        return gate_batch
+
+    shard_uni = percep_media_universe(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "payload")
+    return _run_ingest_gate_stream(
+        spark,
+        sf_dir,
+        "quty_stream_gate_media",
+        gate_batch_of,
+        ["incoming_doc_id", "lake_doc_id", "hamming"],
+        docs=shard_uni,
     )
 
 

@@ -60,6 +60,15 @@ EXEMPT: set[tuple[str, str, str]] = {
         "apply_cluster_label_retraction",
         "collect",
     ),
+    # Trainer-shard compaction (same partition-scoped-rewrite device):
+    # both collects pull DISTINCT content-keyed shard ids of the
+    # affected/kept set — bounded by N_TRAIN_SHARDS (metadata grain:
+    # 8 values), never row-scale.
+    (
+        "quty_server_spark/operators/pipeline.py",
+        "compact_training_shards_inplace",
+        "collect",
+    ),
 }
 
 

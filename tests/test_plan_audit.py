@@ -46,6 +46,9 @@ BNLJ_JUSTIFIED = {
     "q22_sales_opportunity": "1-row AVG(acctbal) scalar subquery",
     "subquery_scalar_in": "1-row scalar subquery build side",
     "text_pmi_collocations": "1-row corpus-total build side",
+    "text_bpe_encode": "N 1-row trained-merge argmax build sides joined "
+    "back in training order (the trainer's broadcast-argmax shape at "
+    "encode time)",
     "text_tfidf_keywords": "1-row corpus-doc-count build side",
     "sim_cosine_topk": "documented brute-force baseline over a bounded "
     "query set (ANN variants are the scale path)",

@@ -475,3 +475,37 @@ def test_stream_training_shards_close_equals_one_shot_append(spark):
         for r in _shard_summary(spark.read.parquet(app)).collect()
     )
     assert got == want
+
+
+def test_stream_ingest_media_gate_matches_batch_gate(spark):
+    # The MEDIA-family continuous gate (r15 VERDICT "Next round" #3):
+    # per-epoch Arrow-batch signing + asymmetric band join against the
+    # standing perceptual-signature artifact; the epoch union must
+    # equal the one-shot batch gate row-for-row, the run must actually
+    # have been multi-batch, and the staged cross-boundary twin pairs
+    # (hamming == 0 at offset _NEARDUP_TWIN_BASE) must be present — a
+    # 0-row green gate here would be the r12 vacuity failure mode.
+    from quty_server_spark.operators.multimodal import (
+        _NEARDUP_TWIN_BASE,
+        mm_neardup_incremental_artifact,
+    )
+    from quty_server_spark.session import session_tmp_dir
+    from quty_server_spark.streaming.ops import stream_ingest_media_gate
+
+    streamed = {
+        tuple(r) for r in stream_ingest_media_gate(spark, SF_DIR).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in mm_neardup_incremental_artifact(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    assert any(
+        abs(a - b) == _NEARDUP_TWIN_BASE and h == 0 for a, b, h in streamed
+    ), "no staged twin pair crossed the shard/lake boundary in the stream"
+    outdir = os.path.join(
+        session_tmp_dir(spark, "quty_stream_gate_media", SF_DIR), "out"
+    )
+    epochs = [d for d in os.listdir(outdir) if d.startswith("epoch=")]
+    assert len(epochs) >= 2
