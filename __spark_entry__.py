@@ -28,7 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # queries, so registration order IS driver coverage. Round-16 rotation
 # (r15 VERDICT "Next round" #1): clear the FULL r09 rotation debt and
 # start advancing the r10 vintage. The window is:
-# (1) the 3 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 4 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
 # COMPACTION verb (the one oracle-documented deferred semantic —
 # rewrite ONLY the shards holding a stale-keeper/differing row, read
@@ -37,10 +37,13 @@ SF0001 = "/root/testdata/sf0.001"
 # family's CONTINUOUS ingest gate (per micro-batch Arrow-batch signing
 # + asymmetric band join against the standing perceptual-signature
 # artifact, epoch-keyed idempotent sink, oracle shared byte-for-byte
-# with the batch gate), and the BPE ENCODER (documents tokenized under
+# with the batch gate), the BPE ENCODER (documents tokenized under
 # the N trained merges via the trainer's own apply scan chained in
 # training order; corpus total pinned equal to the training curve's
-# round-N corpus_symbols);
+# round-N corpus_symbols), and the BPE-AWARE PACKER (the encoder's
+# first consumer: doc_pack_sequences' sharded cumulative-sum plan
+# packing by what the trained tokenizer actually emits, oracle through
+# the encoder oracle's shared bpe_counts CTE);
 # (2) the 7 queries whose code or oracle text changed this round and
 # must re-earn their external green rows: the 6 media-family queries
 # sharing _percep_sig_ctes (the twin CTE no longer shadows doc_id with
@@ -52,9 +55,9 @@ SF0001 = "/root/testdata/sf0.001"
 # (4) the FULL r09 vintage — all 28 leftovers named by the r15 judge
 # roll in, so after this round no query's newest external green row
 # predates r10;
-# (5) the head's remaining 11 slots advance the r10 vintage
+# (5) the head's remaining 10 slots advance the r10 vintage
 # (alphabetical prefix of its 44 queries).
-# 3+7+1+28+11 = 50 — exactly the driver's sample window. Queries not
+# 4+7+1+28+10 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
@@ -63,6 +66,7 @@ DRIVER_PRIORITY = [
     "sink_training_shards_compact",
     "stream_ingest_media_gate",
     "text_bpe_encode",
+    "doc_pack_sequences_bpe",
     # (2) CHANGED this round — re-earn the green row
     "mm_payload_neardup",
     "mm_payload_neardup_keep",
@@ -113,7 +117,6 @@ DRIVER_PRIORITY = [
     "events_retention_cohort",
     "join_range_banded",
     "kafka_wire_decode",
-    "kafka_wire_encode",
 ]
 
 

@@ -270,6 +270,78 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences_bpe_oracle() -> str:
+    """The packer's shard/offset/bin SQL with the whitespace token
+    counts swapped for the trained tokenizer's — per-doc counts come
+    from the encoder oracle's shared ``bpe_counts`` CTE
+    (:func:`~quty_server_spark.operators.textops._bpe_encode_counts_cte`),
+    so the packer and the encoder cannot disagree on what a document
+    tokenizes to."""
+    from quty_server_spark.operators.textops import _bpe_encode_counts_cte
+
+    return f"""
+    WITH {_bpe_encode_counts_cte()},
+    toks AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               n_bpe_tokens AS n_tokens
+        FROM bpe_counts
+    ),
+    offsets AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM toks
+    )
+    SELECT shard, CAST(start_off // {SEQ_LEN} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+    FROM offsets GROUP BY shard, start_off // {SEQ_LEN}
+    """
+
+
+@registry.query("doc_pack_sequences_bpe", oracle=_pack_sequences_bpe_oracle())
+def doc_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing under the TRAINED TOKENIZER — the
+    consumer chain the r15 verdict motivated text_bpe_encode with:
+    :func:`doc_pack_sequences` lays documents into SEQ_LEN bins by
+    WHITESPACE token counts, but a trainer's data loader packs by what
+    its tokenizer actually emits. Same sharded cumulative-sum plan,
+    with per-doc counts from
+    :func:`~quty_server_spark.operators.textops.text_bpe_encode` (the
+    N trained merges applied in training order). Documents with no
+    alphabetic word tokenize to nothing and pack nothing — both engines
+    derive membership from the same encode output, so the convention
+    cannot drift.
+
+    Scale: the encode is the linear per-token scan priced by
+    text_bpe_encode; packing adds one window over each of
+    N_PACK_SHARDS hash shards (shard count scales with the cluster,
+    bounding every window partition), then one bin-grain aggregation —
+    identical exchange profile to the whitespace packer."""
+    from quty_server_spark.operators.textops import text_bpe_encode
+
+    counts = text_bpe_encode(spark, sf_dir)
+    toks = counts.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offsets.withColumn("bin", F.expr(f"start_off div {SEQ_LEN}"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+        )
+    )
+
+
 @registry.query(
     "embed_label_centroids",
     oracle="""

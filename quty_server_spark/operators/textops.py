@@ -913,11 +913,11 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(n: int = BPE_TRAIN_MERGES) -> str:
-    """Train (the shared unrolled chain), then ENCODE: every document's
-    words re-tokenized under the n trained merges applied in training
-    order — e{k} CTEs reusing the training chain's own apply expression
-    (_DUCK_BPE_APPLY) verbatim."""
+def _bpe_encode_counts_cte(n: int = BPE_TRAIN_MERGES) -> str:
+    """The encoder's full CTE prefix (training chain + e{k} apply
+    chain) plus a ``bpe_counts(doc_id, n_bpe_tokens)`` CTE — the
+    per-doc counts any downstream consumer's oracle starts from.
+    Shared by the encode oracle's SELECT and the BPE packer."""
     ctes = _bpe_cte_chain(n)
     ctes.append(r"""docw AS (
         SELECT doc_id,
@@ -930,14 +930,26 @@ def _bpe_encode_oracle(n: int = BPE_TRAIN_MERGES) -> str:
         ctes.append(f"""e{k} AS (
         SELECT doc_id, {_DUCK_BPE_APPLY} AS s
         FROM e{k - 1}, top{k} t)""")
+    ctes.append(f"""bpe_counts AS (
+        SELECT doc_id,
+               CAST(SUM(len(list_filter(string_split(s, '|'),
+                                        x -> x <> ''))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM e{n} GROUP BY doc_id)""")
+    return ",\n    ".join(ctes)
+
+
+def _bpe_encode_oracle(n: int = BPE_TRAIN_MERGES) -> str:
+    """Train (the shared unrolled chain), then ENCODE: every document's
+    words re-tokenized under the n trained merges applied in training
+    order — e{k} CTEs reusing the training chain's own apply expression
+    (_DUCK_BPE_APPLY) verbatim, counts through the shared
+    ``bpe_counts`` CTE every downstream consumer's oracle also reads."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT doc_id,
-           CAST(SUM(len(list_filter(string_split(s, '|'), x -> x <> '')))
-               AS BIGINT) AS n_bpe_tokens
-    FROM e{n} GROUP BY doc_id
+        + _bpe_encode_counts_cte(n)
+        + """
+    SELECT doc_id, n_bpe_tokens FROM bpe_counts
     """
     )
 

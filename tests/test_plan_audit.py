@@ -49,6 +49,8 @@ BNLJ_JUSTIFIED = {
     "text_bpe_encode": "N 1-row trained-merge argmax build sides joined "
     "back in training order (the trainer's broadcast-argmax shape at "
     "encode time)",
+    "doc_pack_sequences_bpe": "inherits text_bpe_encode's N 1-row "
+    "trained-merge argmax build sides (the packer consumes the encoder)",
     "text_tfidf_keywords": "1-row corpus-doc-count build side",
     "sim_cosine_topk": "documented brute-force baseline over a bounded "
     "query set (ANN variants are the scale path)",
