@@ -2793,6 +2793,13 @@ def stream_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Empty epochs commit an empty root (no shard=N files) — skip them:
     # schema inference has nothing to read there, and an empty slice
     # contributes no rows by definition.
+    # This close-state glob + per-commit-root loop is DRIVER-side and
+    # bounded by the EPOCH count (one dir per trigger; 4 on the
+    # fixture) — metadata grain, like the retraction device's
+    # partition lists. A deployment running unbounded triggers should
+    # fold commit roots into the standing layout on a compaction
+    # cadence (the sink_training_shards_compact verb) rather than let
+    # this list grow with stream lifetime.
     outs = [outbase] + sorted(
         p
         for p in _glob.glob(os.path.join(base, "out", "e*"))
