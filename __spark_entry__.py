@@ -28,7 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # queries, so registration order IS driver coverage. Round-16 rotation
 # (r15 VERDICT "Next round" #1): clear the FULL r09 rotation debt and
 # start advancing the r10 vintage. The window is:
-# (1) the 4 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 5 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
 # COMPACTION verb (the one oracle-documented deferred semantic —
 # rewrite ONLY the shards holding a stale-keeper/differing row, read
@@ -40,24 +40,33 @@ SF0001 = "/root/testdata/sf0.001"
 # with the batch gate), the BPE ENCODER (documents tokenized under
 # the N trained merges via the trainer's own apply scan chained in
 # training order; corpus total pinned equal to the training curve's
-# round-N corpus_symbols), and the BPE-AWARE PACKER (the encoder's
+# round-N corpus_symbols), the BPE-AWARE PACKER (the encoder's
 # first consumer: doc_pack_sequences' sharded cumulative-sum plan
 # packing by what the trained tokenizer actually emits, oracle through
-# the encoder oracle's shared bpe_counts CTE);
-# (2) the 7 queries whose code or oracle text changed this round and
+# the encoder oracle's shared bpe_counts CTE), and the BPE-AWARE
+# TOKEN-BUDGET SAMPLER (the encoder's second consumer: the whitespace
+# sampler's greedy hash-order fill spending the budget in trained
+# tokens, same shared bpe_counts oracle device);
+# (2) the 10 queries whose code or oracle text changed this round and
 # must re-earn their external green rows: the 6 media-family queries
 # sharing _percep_sig_ctes (the twin CTE no longer shadows doc_id with
-# a lateral alias — same semantics, new oracle bytes; r15 ADVICE #2)
-# and sink_training_shards_append (standing-state build factored into
-# _build_appended_training_shards, shared with the compactor) —
-# re-verified locally at both SFs, listed per the discipline;
+# a lateral alias — same semantics, new oracle bytes; r15 ADVICE #2),
+# sink_training_shards_append (standing-state build factored into
+# _build_appended_training_shards, shared with the compactor),
+# sample_token_budget (the greedy fill factored into
+# _token_budget_fill, shared with the BPE twin), and
+# text_bpe_train_n / text_bpe_compression (the training loop now
+# memoized per (session, sf_dir) — one run feeds all five BPE
+# consumers; bench/A-B clear the memo so the trainer stays the cold
+# number) — re-verified locally at both SFs, listed per the
+# discipline;
 # (3) the canary: q1_pricing_summary (long-green, re-greened r15);
 # (4) the FULL r09 vintage — all 28 leftovers named by the r15 judge
 # roll in, so after this round no query's newest external green row
 # predates r10;
-# (5) the head's remaining 10 slots advance the r10 vintage
+# (5) the head's remaining 6 slots advance the r10 vintage
 # (alphabetical prefix of its 44 queries).
-# 4+7+1+28+10 = 50 — exactly the driver's sample window. Queries not
+# 5+10+1+28+6 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
@@ -67,6 +76,7 @@ DRIVER_PRIORITY = [
     "stream_ingest_media_gate",
     "text_bpe_encode",
     "doc_pack_sequences_bpe",
+    "sample_token_budget_bpe",
     # (2) CHANGED this round — re-earn the green row
     "mm_payload_neardup",
     "mm_payload_neardup_keep",
@@ -75,6 +85,9 @@ DRIVER_PRIORITY = [
     "mm_neardup_incremental_artifact",
     "sink_media_signature_artifact_retract",
     "sink_training_shards_append",
+    "sample_token_budget",
+    "text_bpe_train_n",
+    "text_bpe_compression",
     # (3) canary
     "q1_pricing_summary",
     # (4) the r09 vintage — cleared in full
@@ -113,10 +126,6 @@ DRIVER_PRIORITY = [
     "doc_pack_sequences",
     "embed_label_centroids",
     "envelope_parse",
-    "envelope_serialize",
-    "events_retention_cohort",
-    "join_range_banded",
-    "kafka_wire_decode",
 ]
 
 

@@ -146,6 +146,9 @@ assert HEADLINE.index("dedup_cluster") < HEADLINE.index("dedup_cluster_stats")
 assert HEADLINE.index("dedup_cluster") < HEADLINE.index(
     "corpus_training_snapshot"
 )
+# Same pinning for the BPE training-state memo: the trainer (cold, memo
+# reset below) must run before its shared-state consumer in HEADLINE.
+assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index("text_bpe_encode")
 
 
 def main() -> None:
@@ -179,6 +182,14 @@ def main() -> None:
                 # (shared with the relabel queue): the headline number
                 # is the COLD nightly assignment, artifacts warm.
                 spark._quty_incremental_cluster_labels = {}
+            if name == "text_bpe_train_n":
+                # Same convention for the BPE training-state memo
+                # (one 6-merge run feeds the merge table, the curve,
+                # the encoder, the packer, and the budget sampler):
+                # the trainer reports the COLD training loop; the
+                # consumers later in HEADLINE report their marginal
+                # cost on the shared trained state.
+                spark._quty_bpe_state = {}
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

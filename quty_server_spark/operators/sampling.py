@@ -293,14 +293,23 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
         ).alias("hkey"),
     )
-    # Distributed prefix sum: a single per-stratum window caps the
-    # cumsum at one reducer per language — at 100 TB with 5 languages
-    # that is 5 tasks doing all the work. Instead: 32 RANGE buckets
-    # over the hash order (bucket = hkey >> 23 is monotone in hkey, so
-    # bucket-asc concatenation IS the global order), a window inside
-    # each (lang, bucket), and per-bucket offsets from a tiny
-    # 5×32-row aggregate broadcast back. Same admission set, 160-way
-    # parallel cumsum.
+    return _token_budget_fill(toks)
+
+
+def _token_budget_fill(toks: DataFrame) -> DataFrame:
+    """The greedy budget fill over a ``(doc_id, lang, n_tokens, hkey)``
+    frame — one implementation shared by the whitespace sampler and
+    its trained-tokenizer twin, so 'admit until the stratum's running
+    total reaches TOKEN_BUDGET' means one thing under either counting.
+
+    Distributed prefix sum: a single per-stratum window caps the
+    cumsum at one reducer per language — at 100 TB with 5 languages
+    that is 5 tasks doing all the work. Instead: 32 RANGE buckets
+    over the hash order (bucket = hkey >> 23 is monotone in hkey, so
+    bucket-asc concatenation IS the global order), a window inside
+    each (lang, bucket), and per-bucket offsets from a tiny
+    5×32-row aggregate broadcast back. Same admission set, 160-way
+    parallel cumsum."""
     toks = toks.withColumn("bkt", F.shiftright("hkey", 23))
     wb = (
         Window.partitionBy("lang", "bkt")
@@ -337,6 +346,72 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ppm"),
         )
     )
+
+
+def _token_budget_bpe_oracle() -> str:
+    """The whitespace sampler's SQL with the token counts swapped for
+    the trained tokenizer's — counts through the encoder oracle's
+    shared ``bpe_counts`` CTE, membership = documents with at least one
+    alphabetic word (a doc that tokenizes to nothing fills no budget;
+    both engines derive membership from the same encode output)."""
+    from quty_server_spark.operators.textops import _bpe_encode_counts_cte
+
+    return f"""
+    WITH {_bpe_encode_counts_cte()},
+    toks AS (
+        SELECT d.doc_id, d.lang, b.n_bpe_tokens AS n_tokens,
+               {sql_hash28("'budget|' || CAST(d.doc_id AS VARCHAR)")} AS hkey
+        FROM documents d JOIN bpe_counts b ON d.doc_id = b.doc_id
+    ),
+    runs AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS tok_before
+        FROM toks
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) * 1000000 // {TOKEN_BUDGET} AS BIGINT)
+               AS fill_ppm
+    FROM runs
+    WHERE COALESCE(tok_before, 0) < {TOKEN_BUDGET}
+    GROUP BY lang
+    """
+
+
+@registry.query("sample_token_budget_bpe", oracle=_token_budget_bpe_oracle())
+def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling under the TRAINED TOKENIZER — the second
+    consumer the r15 verdict motivated text_bpe_encode with: a
+    curriculum budget is spent in the tokens a trainer actually pays
+    for, not whitespace splits. Same deterministic hash-order greedy
+    fill, same distributed prefix sum (:func:`_token_budget_fill`,
+    shared with the whitespace sampler), with per-doc counts from
+    :func:`~quty_server_spark.operators.textops.text_bpe_encode`.
+    BPE symbol counts sit well above whitespace counts at 6 merges
+    (the vocabulary is still near character level), so TOKEN_BUDGET
+    binds even harder — the cutoff is always exercised.
+
+    Scale: the encode is text_bpe_encode's linear per-token scan; the
+    fill adds the 160-way bucketed cumsum and a stratum-grain
+    aggregate — the whitespace sampler's exchange profile plus one
+    doc-keyed join for the lang column."""
+    from quty_server_spark.operators.textops import text_bpe_encode
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = text_bpe_encode(spark, sf_dir)
+    toks = counts.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        hash28(
+            F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    return _token_budget_fill(toks)
 
 
 def _near_dup_leakage_oracle() -> str:

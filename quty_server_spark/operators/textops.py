@@ -812,8 +812,15 @@ def _bpe_train_state(
     delimited-string vocabulary after 0..N merges (each lazily
     localCheckpointed, so downstream consumers share materializations
     within one action tree) and the N per-round 1-row argmax frames.
-    One loop shared by the merge-table, compression-curve, and encoder
-    queries — the Spark twin of :func:`_bpe_cte_chain`.
+    One loop shared by the merge-table, compression-curve, encoder,
+    packer, and budget-sampler queries — the Spark twin of
+    :func:`_bpe_cte_chain` — and MEMOIZED per (session, sf_dir), the
+    same one-pass-feeds-every-consumer convention as the component
+    label memo: one training run per session serves all five
+    registered consumers (bench and the A/B harness clear the memo
+    before timing text_bpe_train_n, so the trainer's number stays the
+    cold training cost and the consumers' numbers are their marginal
+    cost — the dedup_cluster / corpus_training_snapshot convention).
 
     The Python-side list of N frames is fine at fixture merge counts
     (plan size grows linearly in N; lineage does not — each round is
@@ -822,6 +829,13 @@ def _bpe_train_state(
     argmax row to a sink) instead of unioning N frames at the close —
     the r15 judge's standing note, recorded here so whoever grows
     BPE_TRAIN_MERGES sees it."""
+    cache = getattr(spark, "_quty_bpe_state", None)
+    if cache is None:
+        cache = {}
+        spark._quty_bpe_state = cache
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        return hit
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -852,6 +866,7 @@ def _bpe_train_state(
             .localCheckpoint(eager=False)
         )
         vocabs.append(vocab)
+    cache[sf_dir] = (vocabs, tops)
     return vocabs, tops
 
 

@@ -876,3 +876,32 @@ def test_bpe_encode_totals_equal_training_curve(spark):
     # And the encoder genuinely compresses: round-N totals sit strictly
     # below the character-level baseline (round 0).
     assert total < curve[0]
+
+
+def test_bpe_token_budget_binds_and_respects_greedy_fill(spark):
+    """The BPE-aware sampler's cutoff is non-vacuous at fixture scale
+    (BPE symbol counts at 6 merges sit far above whitespace counts, so
+    every stratum overfills: fill_ppm >= 1e6), and the greedy-fill
+    contract holds: each admitted stratum exceeds TOKEN_BUDGET by at
+    most its final document."""
+    from quty_server_spark.operators.sampling import (
+        TOKEN_BUDGET,
+        sample_token_budget_bpe,
+    )
+    from quty_server_spark.operators.textops import text_bpe_encode
+
+    rows = {r["lang"]: r for r in sample_token_budget_bpe(spark, SF_DIR).collect()}
+    assert rows, "sampler admitted nothing"
+    max_doc = max(
+        r["n_bpe_tokens"]
+        for r in text_bpe_encode(spark, SF_DIR).collect()
+    )
+    for lang, r in rows.items():
+        assert r["fill_ppm"] >= 1_000_000, (
+            f"{lang}: budget did not bind (fill_ppm={r['fill_ppm']}) — "
+            "the cutoff is untested at this fixture"
+        )
+        assert r["n_tokens"] < TOKEN_BUDGET + max_doc, (
+            f"{lang}: admitted {r['n_tokens']} tokens — overshoot exceeds "
+            "one document, greedy fill broken"
+        )

@@ -51,6 +51,8 @@ BNLJ_JUSTIFIED = {
     "encode time)",
     "doc_pack_sequences_bpe": "inherits text_bpe_encode's N 1-row "
     "trained-merge argmax build sides (the packer consumes the encoder)",
+    "sample_token_budget_bpe": "inherits text_bpe_encode's N 1-row "
+    "trained-merge argmax build sides (the sampler consumes the encoder)",
     "text_tfidf_keywords": "1-row corpus-doc-count build side",
     "sim_cosine_topk": "documented brute-force baseline over a bounded "
     "query set (ANN variants are the scale path)",

@@ -52,6 +52,11 @@ for name in names:
         if name == "dedup_cluster_incremental":
             # r12 convention: COLD contracted-graph BSP per timing.
             getattr(spark, "_quty_incremental_cluster_labels", {}).clear()
+        if name == "text_bpe_train_n":
+            # r16 convention: COLD training loop per timing (checkouts
+            # with the per-session BPE-state memo would otherwise serve
+            # cached trained state here, unlike pre-memo checkouts).
+            getattr(spark, "_quty_bpe_state", {}).clear()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
