@@ -28,7 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # queries, so registration order IS driver coverage. Round-16 rotation
 # (r15 VERDICT "Next round" #1): clear the FULL r09 rotation debt and
 # start advancing the r10 vintage. The window is:
-# (1) the 5 queries NEW this round — rotation DEBT (no cumulative green
+# (1) the 6 queries NEW this round — rotation DEBT (no cumulative green
 # row), mandatory per tests/test_rotation_debt: the trainer-shard
 # COMPACTION verb (the one oracle-documented deferred semantic —
 # rewrite ONLY the shards holding a stale-keeper/differing row, read
@@ -46,7 +46,11 @@ SF0001 = "/root/testdata/sf0.001"
 # the encoder oracle's shared bpe_counts CTE), and the BPE-AWARE
 # TOKEN-BUDGET SAMPLER (the encoder's second consumer: the whitespace
 # sampler's greedy hash-order fill spending the budget in trained
-# tokens, same shared bpe_counts oracle device);
+# tokens, same shared bpe_counts oracle device), and the media
+# family's COMPACTED-RETRACTION sink (the deferred tombstone half as
+# its own oracle row — compact_tombstones on the band layout, plain
+# read, survivor oracle shared with the live-view verb — the parity
+# row the text tier's retract_compacted already has);
 # (2) the 10 queries whose code or oracle text changed this round and
 # must re-earn their external green rows: the 6 media-family queries
 # sharing _percep_sig_ctes (the twin CTE no longer shadows doc_id with
@@ -64,9 +68,9 @@ SF0001 = "/root/testdata/sf0.001"
 # (4) the FULL r09 vintage — all 28 leftovers named by the r15 judge
 # roll in, so after this round no query's newest external green row
 # predates r10;
-# (5) the head's remaining 6 slots advance the r10 vintage
+# (5) the head's remaining 5 slots advance the r10 vintage
 # (alphabetical prefix of its 44 queries).
-# 5+10+1+28+6 = 50 — exactly the driver's sample window. Queries not
+# 6+10+1+28+5 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
@@ -77,6 +81,7 @@ DRIVER_PRIORITY = [
     "text_bpe_encode",
     "doc_pack_sequences_bpe",
     "sample_token_budget_bpe",
+    "sink_media_signature_artifact_retract_compacted",
     # (2) CHANGED this round — re-earn the green row
     "mm_payload_neardup",
     "mm_payload_neardup_keep",
@@ -125,7 +130,6 @@ DRIVER_PRIORITY = [
     "dedup_incremental_minhash",
     "doc_pack_sequences",
     "embed_label_centroids",
-    "envelope_parse",
 ]
 
 

@@ -1021,3 +1021,52 @@ def sink_media_signature_artifact_retract(
     return _media_sig_artifact_summary(
         read_artifact_live(spark, priv, "doc_id")
     )
+
+
+@registry.query(
+    "sink_media_signature_artifact_retract_compacted",
+    oracle=_media_sig_survivor_summary_oracle(),
+)
+def sink_media_signature_artifact_retract_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEFERRED half of the media tombstone lifecycle, as its own
+    oracle row — the parity the text tier's
+    :func:`~quty_server_spark.operators.retract.sink_lake_artifacts_retract_compacted`
+    already has: tombstone the victims (O(victims) sidecar, zero data
+    files touched), run the scheduled COMPACTION (the generic
+    :func:`~quty_server_spark.operators.retract.compact_tombstones` on
+    the artifact's (band_id, doc_id, band_val) layout — the physical
+    partition-scoped rewrite device, sidecar cleared), and summarize
+    from a PLAIN artifact read — no tombstone-aware view anywhere in
+    the plan. Sharing the survivor-scoped write-once oracle with the
+    live-view retract verb closes the media triangle with oracle rows
+    on every edge: live-view ≡ compacted-physical ≡
+    rebuilt-on-survivors (the strongest-grain row equality is
+    additionally pinned in tests/test_retract_semantics.py).
+
+    Scale: compaction reads only the partitions holding a victim row
+    (the narrow (id, partition) semi-join derives the set) and rewrites
+    them with the DPP-scoped dynamic overwrite; for media the stake is
+    the same as the gate's — nothing is ever re-decoded, the takedown's
+    cost follows the victims, not the lake."""
+    import shutil
+
+    from quty_server_spark.operators.retract import (
+        RETRACT_MOD,
+        _copy_artifact,
+        _write_tombstones,
+        compact_tombstones,
+    )
+    from quty_server_spark.session import session_tmp_dir
+
+    src_path = media_signature_artifact(spark, sf_dir)
+    priv = session_tmp_dir(spark, "quty_media_sig_rtc", sf_dir)
+    shutil.rmtree(priv, ignore_errors=True)
+    _copy_artifact(src_path, priv)
+    victims = percep_media_universe(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == RETRACT_MOD
+    ).select("doc_id")
+    _write_tombstones(spark, priv, victims)
+    compact_tombstones(spark, priv, "band_id", "doc_id", "band_val")
+    return _media_sig_artifact_summary(spark.read.parquet(priv))
