@@ -52,10 +52,16 @@ for name in names:
         if name == "dedup_cluster_incremental":
             # r12 convention: COLD contracted-graph BSP per timing.
             getattr(spark, "_quty_incremental_cluster_labels", {}).clear()
-        if name == "text_bpe_train_n":
-            # r16 convention: COLD training loop per timing (checkouts
-            # with the per-session BPE-state memo would otherwise serve
-            # cached trained state here, unlike pre-memo checkouts).
+        if "bpe" in name:
+            # r17 (r16 ADVICE #1): clear the BPE training-state memo
+            # before EVERY BPE-family timing — trainer and consumers
+            # alike. bench.py can rely on HEADLINE ordering asserts to
+            # keep the trainer cold and the consumers warm, but this
+            # harness takes an arbitrary query list, so a memo-bearing
+            # checkout timing a consumer without (or before) the
+            # trainer would report warm best-of-N numbers against a
+            # cold pre-memo arm. Clearing per timing makes every BPE
+            # number cold-inclusive and symmetric across checkouts.
             getattr(spark, "_quty_bpe_state", {}).clear()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
