@@ -1547,3 +1547,79 @@ def sim_ivf_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("growth_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF RE-CLUSTER — the maintenance verb the drift reports feed (round 17)
+# ---------------------------------------------------------------------------
+
+
+def reclustered_ivf_artifact(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """The standing (appended) IVF posting-list artifact RE-CLUSTERED:
+    retrain the coarse quantizer over the artifact's CURRENT stable
+    stratum (frozen-K contract — K = min(IVF_K_MAX, ceil(sqrt(n_q))),
+    the same :func:`_ivf_centroids` rule every build uses), reassign
+    every posting to its nearest new centroid, and write a fresh
+    cell-partitioned layout with a fresh centroid sidecar. The input is
+    the ARTIFACT, not the embeddings table — a production re-cluster
+    job runs off the index it is repairing (the lake table may have
+    moved on); its old cell assignments are dropped on read, since
+    reassignment under the new quantizer is the whole point. Memoized
+    per (session, sf_dir) on its own path, standard ``rebuild`` escape."""
+    cache = getattr(spark, "_quty_ivf_postings_recl", None)
+    if cache is None:
+        cache = {}
+        spark._quty_ivf_postings_recl = cache
+    path = cache.get(sf_dir)
+    if path is None or rebuild:
+        path = session_tmp_dir(spark, "quty_ivf_postings_recl", sf_dir)
+        shutil.rmtree(path, ignore_errors=True)
+        standing = spark.read.parquet(
+            appended_ivf_artifact(spark, sf_dir)
+        ).select("vec_id", "v")
+        cent = _ivf_centroids(standing)
+        _ivf_cells_plan(standing, cent).sortWithinPartitions(
+            "cell", "vec_id"
+        ).write.partitionBy("cell").parquet(path)
+        cent.write.parquet(os.path.join(path, "_centroids"))
+        cache[sf_dir] = path
+    return path
+
+
+@registry.query(
+    "sink_ivf_postings_artifact_recluster",
+    oracle=SQL_IVF_ARTIFACT_SUMMARY,
+)
+def sink_ivf_postings_artifact_recluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RE-CLUSTER step of the IVF index lifecycle — the maintenance
+    verb the drift reports were missing a consumer for:
+    :func:`embed_centroid_drift` and :func:`sim_ivf_cell_growth` report
+    quantizer decay after appends, and THIS is the action an operator
+    takes when those cross threshold. Stage the appended standing
+    artifact (base build + admitted batch, the shared fixture device),
+    retrain the coarse quantizer over its current stable stratum under
+    the frozen-K contract, reassign ALL postings, write the fresh
+    cell-partitioned layout + centroid sidecar, read it back and
+    summarize per cell under the write-once sink's oracle SQL —
+    byte-for-byte :func:`sink_ivf_postings_artifact`'s. A green row
+    proves reclustered ≡ a fresh full build: the repair leaves the
+    index exactly where a from-scratch rebuild would (probe equality
+    additionally pinned in tests/test_artifact_append.py — the relabel
+    verb's pattern).
+
+    Scale: a re-cluster is inherently a full-index pass — ONE scan of
+    the standing postings (vec_id + vector columns), the frozen-K
+    stride retrain (n_q x 1-row stats broadcast, the allowlisted
+    scalar-subquery shape), one broadcast n x K assignment (map-side
+    combined argmax, K capped at IVF_K_MAX by construction), and one
+    partitioned columnar write. That is the same cost as the write-once
+    build — which is the honest floor for this verb: it runs when the
+    index has drifted past what appends can patch, on an ops cadence
+    (weekly/monthly), never nightly (the append + gate path stays
+    batch-sized)."""
+    path = reclustered_ivf_artifact(spark, sf_dir, rebuild=True)
+    return _ivf_artifact_summary(spark.read.parquet(path))

@@ -1117,6 +1117,30 @@ def test_ivf_append_assigns_against_sidecar_not_postings(spark):
     assert "% 10) = 5" in plan  # batch filter on the embeddings scan
 
 
+def test_ivf_recluster_reads_artifact_not_lake(spark):
+    # The re-cluster verb runs off the index it repairs: its retrain +
+    # reassignment plan scans the standing appended artifact only — the
+    # embeddings table is never touched (the lake may have moved on; a
+    # re-cluster is an index-side operation by contract).
+    from quty_server_spark.operators.similarity import (
+        _ivf_cells_plan,
+        _ivf_centroids,
+        appended_ivf_artifact,
+    )
+
+    standing = spark.read.parquet(appended_ivf_artifact(spark, SF_DIR)).select(
+        "vec_id", "v"
+    )
+    df = _ivf_cells_plan(standing, _ivf_centroids(standing))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "quty_ivf_postings_app" in plan
+    assert "embeddings" not in plan
+
+
 def test_incremental_cluster_pairs_read_artifacts_not_lake(spark):
     # The nightly cluster-assignment op's pair build must read BOTH
     # standing artifacts (banded lake signatures + lake cluster labels)
