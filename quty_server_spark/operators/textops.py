@@ -1003,10 +1003,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus through N merge expressions (the merges are 1-row
     broadcasts; lineage is the trainer's lazily-checkpointed loop
     state), plus one doc-keyed re-aggregation. On a skew-heavy corpus
-    the word-grain explode can be swapped for a distinct-word encode +
-    count join (vocabulary-grain work) at the cost of two extra
-    shuffles; at fixture scale and for typical web corpora the narrow
-    map wins."""
+    swap in :func:`text_bpe_encode_vocab` — the registered
+    distinct-word encode + count join twin (vocabulary-grain work,
+    output-equality pinned) — at the cost of two extra shuffles; at
+    fixture scale and for typical web corpora this narrow map wins."""
     _, tops = _bpe_train_state(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     enc = (
@@ -1031,6 +1031,61 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(split(s, '\\\\|'), x -> x != '')")).alias("k"),
     ).groupBy("doc_id").agg(
         F.sum("k").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+@registry.query("text_bpe_encode_vocab", oracle=_bpe_encode_oracle())
+def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE encode variant :func:`text_bpe_encode`'s docstring
+    documents — now registered, not just described: encode each
+    DISTINCT word once (vocabulary-grain work — the N trained merges
+    applied to the distinct-word set, carrying the original word as the
+    join key), then join the per-word symbol count back to per-document
+    occurrence counts and re-aggregate. Same trained state, same
+    _SQL_BPE_APPLY exact greedy scan, same ``bpe_counts`` oracle SQL
+    byte-for-byte as the narrow-map encoder — output equality is
+    additionally pinned in tests/test_extension_semantics.py, so the
+    two execution shapes provably agree row-for-row.
+
+    Scale: this is the shape for SKEW-HEAVY corpora — the narrow map
+    pays the merge scan per word OCCURRENCE (linear in corpus tokens;
+    a 10^9-occurrence word is scanned 10^9 times), while this variant
+    pays it per DISTINCT word (vocabulary-grain, sublinear in corpus
+    above the vocabulary floor — Heaps' law) at the cost of two extra
+    exchanges: the (doc_id, word) occurrence count and the word-keyed
+    count join (the occurrence side arrives pre-aggregated, one row
+    per (doc, word)). SCALING.md's r17 ladder shows exactly that
+    crossover signature: the vocab arm's per-doubling step stays under
+    the narrow map's once corpus growth outruns vocabulary growth."""
+    _, tops = _bpe_train_state(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    occ = words.groupBy("doc_id", "w").agg(F.count("*").alias("occ"))
+    enc = words.select("w").distinct().select(
+        "w",
+        F.concat(F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")).alias("s"),
+    )
+    for top1 in tops:
+        enc = enc.crossJoin(F.broadcast(top1.select("l", "r"))).select(
+            "w", F.expr(_SQL_BPE_APPLY).alias("s")
+        )
+    wlen = enc.select(
+        "w",
+        F.size(F.expr("filter(split(s, '\\\\|'), x -> x != '')")).alias(
+            "n_syms"
+        ),
+    )
+    return (
+        occ.join(wlen, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("occ") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_bpe_tokens")
+        )
     )
 
 

@@ -878,6 +878,29 @@ def test_bpe_encode_totals_equal_training_curve(spark):
     assert total < curve[0]
 
 
+def test_bpe_encode_vocab_equals_narrow_map_encoder(spark):
+    """The two encode execution shapes — the narrow per-occurrence map
+    (text_bpe_encode) and the skew-safe distinct-word encode + count
+    join (text_bpe_encode_vocab) — must agree row-for-row: same trained
+    state, same exact greedy apply, so per-doc counts are identical by
+    construction, and this pin makes a drift between the two shapes a
+    loud failure (r16 VERDICT "Next round" #5)."""
+    from quty_server_spark.operators.textops import (
+        text_bpe_encode,
+        text_bpe_encode_vocab,
+    )
+
+    narrow = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in text_bpe_encode(spark, SF_DIR).collect()
+    )
+    vocab = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in text_bpe_encode_vocab(spark, SF_DIR).collect()
+    )
+    assert narrow == vocab
+
+
 def test_bpe_token_budget_binds_and_respects_greedy_fill(spark):
     """The BPE-aware sampler's cutoff is non-vacuous at fixture scale
     (BPE symbol counts at 6 merges sit far above whitespace counts, so

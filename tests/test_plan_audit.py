@@ -49,6 +49,9 @@ BNLJ_JUSTIFIED = {
     "text_bpe_encode": "N 1-row trained-merge argmax build sides joined "
     "back in training order (the trainer's broadcast-argmax shape at "
     "encode time)",
+    "text_bpe_encode_vocab": "the same N 1-row trained-merge argmax "
+    "build sides, applied once per DISTINCT word (the skew-safe "
+    "vocabulary-grain twin; the doc-side joins are hash joins)",
     "doc_pack_sequences_bpe": "inherits text_bpe_encode's N 1-row "
     "trained-merge argmax build sides (the packer consumes the encoder)",
     "sample_token_budget_bpe": "inherits text_bpe_encode's N 1-row "
