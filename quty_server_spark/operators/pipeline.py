@@ -1417,6 +1417,88 @@ def sink_training_shards_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shard_summary(spark.read.parquet(path))
 
 
+def _training_shards_bpe_oracle() -> str:
+    """The BPE-denominated shard audit: the snapshot oracle (nested,
+    with its own recursive label chain) LEFT-joined to the encoder
+    oracle's shared ``bpe_counts`` CTE — ridden byte-for-byte via
+    :func:`~quty_server_spark.operators.textops._bpe_encode_counts_cte`,
+    so the shard totals and the encoder cannot drift on what "trained
+    tokens" means — re-aggregated per content-keyed shard."""
+    from quty_server_spark.functions.hashing import sql_hash28
+    from quty_server_spark.operators.textops import _bpe_encode_counts_cte
+
+    shard = (
+        sql_hash28("'shard|' || CAST(s.doc_id AS VARCHAR)")
+        + f" % {N_TRAIN_SHARDS}"
+    )
+    return f"""
+    WITH {_bpe_encode_counts_cte()},
+    snap AS ({_snapshot_oracle()})
+    SELECT CAST({shard} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(b.n_bpe_tokens, 0)) AS BIGINT)
+               AS total_bpe_tokens,
+           MIN(s.doc_id) AS min_doc_id,
+           MAX(s.doc_id) AS max_doc_id
+    FROM snap s LEFT JOIN bpe_counts b ON s.doc_id = b.doc_id
+    GROUP BY 1
+    """
+
+
+@registry.query(
+    "sink_training_shards_bpe", oracle=_training_shards_bpe_oracle()
+)
+def sink_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer handoff DENOMINATED IN TRAINED TOKENS — the BPE
+    encoder's third consumer (r16 VERDICT "Next round" #4):
+    :func:`sink_training_shards` sizes and audits shards in whitespace
+    ``n_tokens``, but a trainer's data loader budgets steps in what the
+    tokenizer actually emits. This twin joins each admitted snapshot
+    row to its :func:`~quty_server_spark.operators.textops.text_bpe_encode`
+    count, writes the shards WITH the ``n_bpe_tokens`` column in the
+    layout (the loader reads per-doc trained-token counts straight off
+    the shard files — no re-encode at load time), then reads the layout
+    back and audits per shard in BOTH denominations. The oracle rides
+    the encoder oracle's shared ``bpe_counts`` CTE byte-for-byte, and
+    the per-shard totals are pinned in pytest to sum to the encoder's
+    totals over the snapshot's docs — the shard audit, the encoder, and
+    the training curve all count one multiset.
+
+    Scale: the encode is the narrow per-token map (its cost stated once
+    by text_bpe_encode; here it rides the session-memoized trained
+    state), the join is doc-keyed against the snapshot (snapshot-sized,
+    not corpus-sized, after Catalyst pushes the join below the audit
+    agg), and the write/read-back is the shared (shard, doc_id)
+    repartition device — write parallelism decoupled from shard count.
+    LEFT join + COALESCE 0: a document admitted by the snapshot's
+    whitespace-token gates but holding zero [a-z] words (no BPE
+    symbols) stays in its shard with an explicit zero, on both
+    engines."""
+    import shutil
+
+    from quty_server_spark.operators.textops import text_bpe_encode
+    from quty_server_spark.session import session_tmp_dir
+
+    out = session_tmp_dir(spark, "quty_train_shards_bpe", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    snap = corpus_training_snapshot(spark, sf_dir)
+    bpe = text_bpe_encode(spark, sf_dir)
+    snap_bpe = snap.join(bpe, "doc_id", "left").withColumn(
+        "n_bpe_tokens",
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint"),
+    )
+    _write_training_shards(snap_bpe, out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # Column list of the snapshot/shard row — one definition shared by the
 # compactor's diff (positional exceptAll needs both sides in this exact
 # order) and its tests.

@@ -901,6 +901,47 @@ def test_bpe_encode_vocab_equals_narrow_map_encoder(spark):
     assert narrow == vocab
 
 
+def test_bpe_shard_totals_sum_to_encoder_totals(spark):
+    """The BPE-denominated shard audit and the encoder count one
+    multiset: the per-shard total_bpe_tokens sum equals the encoder's
+    totals over exactly the snapshot's admitted docs (and therefore,
+    through test_bpe_encode_totals_equal_training_curve, ties the shard
+    layout to the training curve's corpus accounting)."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.pipeline import (
+        corpus_training_snapshot,
+        sink_training_shards_bpe,
+    )
+    from quty_server_spark.operators.textops import text_bpe_encode
+
+    shards = sink_training_shards_bpe(spark, SF_DIR).collect()
+    assert shards
+    got = sum(r["total_bpe_tokens"] for r in shards)
+    snap_ids = corpus_training_snapshot(spark, SF_DIR).select("doc_id")
+    want = (
+        text_bpe_encode(spark, SF_DIR)
+        .join(snap_ids, "doc_id")
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert got == want
+    # Both denominations ride the same rows: doc counts and id ranges
+    # match the whitespace-denominated audit shard-for-shard.
+    from quty_server_spark.operators.pipeline import sink_training_shards
+
+    base = {
+        r["shard"]: (r["n_docs"], r["min_doc_id"], r["max_doc_id"])
+        for r in sink_training_shards(spark, SF_DIR).collect()
+    }
+    for r in shards:
+        assert base[r["shard"]] == (
+            r["n_docs"],
+            r["min_doc_id"],
+            r["max_doc_id"],
+        )
+
+
 def test_bpe_token_budget_binds_and_respects_greedy_fill(spark):
     """The BPE-aware sampler's cutoff is non-vacuous at fixture scale
     (BPE symbol counts at 6 merges sit far above whitespace counts, so
