@@ -1104,6 +1104,139 @@ def corpus_training_snapshot_incremental(
     )
 
 
+def _snapshot_mm_oracle() -> str:
+    """The multimodal snapshot's truth, assembled from the family's own
+    fragments (the snapshot's assembly pattern): the media collapse
+    decision — :func:`~quty_server_spark.operators.multimodal._mm_neardup_ctes`'
+    signature/banding/pair CTEs verbatim plus the keep oracle's
+    component fold and per-cluster audit — joined onto the full text
+    snapshot, nested as its own recursive chain so neither side's CTE
+    names can collide with the other's."""
+    from quty_server_spark.operators.multimodal import _mm_neardup_ctes
+
+    return f"""
+    WITH RECURSIVE {_mm_neardup_ctes()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pr
+        UNION ALL SELECT doc_b, doc_a FROM pr
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    flab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    maudit AS (
+        SELECT f.lbl AS media_cluster_id,
+               COUNT(*) AS n_members,
+               COUNT(DISTINCT m.modality) AS n_modalities,
+               COUNT(DISTINCT md5(m.pt)) AS n_byte_variants
+        FROM flab f JOIN media m ON f.node = m.doc_id
+        GROUP BY 1),
+    snap AS ({_snapshot_oracle()})
+    SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.cluster_id, s.dup_ppm,
+           ['image','audio','video'][(s.doc_id % 3 + 1)::INT] AS modality,
+           COALESCE(f.lbl, s.doc_id) AS media_cluster_id,
+           CAST(COALESCE(a.n_members, 1) AS BIGINT) AS n_members,
+           CAST(COALESCE(a.n_modalities, 1) AS BIGINT) AS n_modalities,
+           CAST(COALESCE(a.n_byte_variants, 1) AS BIGINT) AS n_byte_variants
+    FROM snap s
+    LEFT JOIN flab f ON s.doc_id = f.node
+    LEFT JOIN maudit a ON COALESCE(f.lbl, s.doc_id) = a.media_cluster_id
+    WHERE COALESCE(f.lbl, s.doc_id) = s.doc_id
+    """
+
+
+@registry.query("corpus_training_snapshot_mm", oracle=_snapshot_mm_oracle())
+def corpus_training_snapshot_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCT, COVERING THE MULTIMODAL COLUMN — the consumer the
+    media keep/drop decision was missing (r16 VERDICT "Next round" #3):
+    :func:`corpus_training_snapshot` admits documents through the text
+    gates but says nothing about their media payloads, while
+    :func:`~quty_server_spark.operators.multimodal.mm_payload_neardup_keep`
+    elects perceptual-cluster keepers that no snapshot consumed. This
+    op joins the two: a document enters the multimodal snapshot iff it
+    passes all three TEXT gates AND it is its media near-dup cluster's
+    canonical keeper (min-id member over
+    :func:`~quty_server_spark.operators.multimodal.mm_payload_neardup`'s
+    pair graph; an item with no perceptual near-pair keeps itself) —
+    so a re-encoded duplicate's carrier doc is dropped from the
+    training corpus even when its TEXT is unique. Output rows carry the
+    text audit columns plus the media ones: modality,
+    media_cluster_id, and the cluster's member/modality/byte-variant
+    counts (n_byte_variants > 1 on a keeper row is the perceptual-only
+    collapse the exact digest pass could never make; n_modalities > 1
+    is the cross-container catch — both staged by the fixture's
+    byte-swapped twins and pinned non-vacuous in
+    tests/test_extension_semantics.py).
+
+    The oracle is assembled from the constituents' own SQL fragments —
+    the media family's shared signature/banding/pair CTEs and the text
+    snapshot's full oracle nested as a CTE — so the composition cannot
+    drift from its parts.
+
+    Scale: the text side rides everything the batch snapshot already
+    amortizes (memoized component labels, digest-keyed scrub); the
+    media side is the capped/banded pair mine + the min-label BSP over
+    the near-dup node set only (≪ corpus) and a cluster-grain audit
+    aggregate; the final joins are doc-keyed, the label join
+    broadcast-gated at BROADCAST_NODES_MAX with shuffle fallback like
+    every label consumer."""
+    from quty_server_spark.operators.dedup import (
+        BROADCAST_NODES_MAX,
+        min_label_components,
+    )
+    from quty_server_spark.operators.multimodal import (
+        media_table,
+        mm_payload_neardup,
+        percep_media_universe,
+    )
+
+    snap = corpus_training_snapshot(spark, sf_dir)
+    uni = percep_media_universe(spark, sf_dir)
+    pairs = mm_payload_neardup(spark, sf_dir)
+    labels, _ = min_label_components(spark, pairs)
+    lab = labels.select(F.col("node").alias("doc_id"), F.col("lbl"))
+    audit = (
+        uni.join(lab, "doc_id")
+        .groupBy(F.col("lbl").alias("media_cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("modality").alias("n_modalities"),
+            F.countDistinct(F.md5("payload")).alias("n_byte_variants"),
+        )
+    )
+    # Near-dup node set — unbounded at corpus scale, so the same
+    # broadcast gate as every simhash/media label consumer (the labels
+    # are BSP-materialized; the count is a cheap scan).
+    small = lab.count() <= BROADCAST_NODES_MAX
+    mods = media_table(spark, sf_dir).select("doc_id", "modality")
+    return (
+        snap.join(mods, "doc_id")
+        .join(F.broadcast(lab) if small else lab, "doc_id", "left")
+        .withColumn("media_cluster_id", F.coalesce("lbl", F.col("doc_id")))
+        .filter(F.col("media_cluster_id") == F.col("doc_id"))
+        .join(audit, "media_cluster_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "cluster_id",
+            "dup_ppm",
+            "modality",
+            "media_cluster_id",
+            F.coalesce("n_members", F.lit(1)).cast("bigint").alias("n_members"),
+            F.coalesce("n_modalities", F.lit(1))
+            .cast("bigint")
+            .alias("n_modalities"),
+            F.coalesce("n_byte_variants", F.lit(1))
+            .cast("bigint")
+            .alias("n_byte_variants"),
+        )
+    )
+
+
 def _redirected_snapshot_oracle(cte: str, where_sql: str) -> str:
     """The snapshot oracle re-scoped to a filtered corpus — the
     SQL_SIMHASH_STAGED redirect device (dedup.py): every corpus read

@@ -901,6 +901,45 @@ def test_bpe_encode_vocab_equals_narrow_map_encoder(spark):
     assert narrow == vocab
 
 
+def test_snapshot_mm_staged_cross_modality_keeper(spark):
+    """The multimodal snapshot's media columns are non-vacuous at
+    fixture scale: at least one admitted keeper heads a perceptual
+    cluster spanning >1 modality AND >1 byte variant (the staged
+    byte-swapped twin under a shifted modality tag — the case the exact
+    digest pass can never collapse), and every admitted row IS its
+    media cluster's keeper. At fixture scale no text-admitted doc loses
+    its keeper election (twins carry larger ids by construction, and no
+    two snapshot docs collide perceptually), so the drop edge is
+    verified by the oracle's semantics rather than a fixture row —
+    recorded here so a fixture change that starts exercising it is
+    noticed."""
+    from quty_server_spark.operators.pipeline import (
+        corpus_training_snapshot,
+        corpus_training_snapshot_mm,
+    )
+
+    rows = corpus_training_snapshot_mm(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["media_cluster_id"] == r["doc_id"] for r in rows)
+    staged = [
+        r for r in rows if r["n_modalities"] > 1 and r["n_byte_variants"] > 1
+    ]
+    assert staged, (
+        "no admitted keeper heads a cross-modality, byte-variant "
+        "perceptual cluster — the staged twin case is vacuous"
+    )
+    # The mm snapshot is the text snapshot filtered by the media keeper
+    # election: subset at doc grain, with text audit columns unchanged.
+    base = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_tokens"], r["cluster_id"], r["dup_ppm"])
+        for r in corpus_training_snapshot(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert base[r["doc_id"]] == (
+            r["lang"], r["source"], r["n_tokens"], r["cluster_id"], r["dup_ppm"]
+        )
+
+
 def test_bpe_shard_totals_sum_to_encoder_totals(spark):
     """The BPE-denominated shard audit and the encoder count one
     multiset: the per-shard total_bpe_tokens sum equals the encoder's
