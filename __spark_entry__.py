@@ -25,111 +25,93 @@ from quty_server_spark.session import configure  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver's correctness artifact samples the first ~50 registered
-# queries, so registration order IS driver coverage. Round-16 rotation
-# (r15 VERDICT "Next round" #1): clear the FULL r09 rotation debt and
-# start advancing the r10 vintage. The window is:
-# (1) the 6 queries NEW this round — rotation DEBT (no cumulative green
-# row), mandatory per tests/test_rotation_debt: the trainer-shard
-# COMPACTION verb (the one oracle-documented deferred semantic —
-# rewrite ONLY the shards holding a stale-keeper/differing row, read
-# back, summarize under the write-once oracle byte-for-byte; compacted
-# ≡ rebuilt and untouched-shard byte-identity pinned), the MEDIA
-# family's CONTINUOUS ingest gate (per micro-batch Arrow-batch signing
-# + asymmetric band join against the standing perceptual-signature
-# artifact, epoch-keyed idempotent sink, oracle shared byte-for-byte
-# with the batch gate), the BPE ENCODER (documents tokenized under
-# the N trained merges via the trainer's own apply scan chained in
-# training order; corpus total pinned equal to the training curve's
-# round-N corpus_symbols), the BPE-AWARE PACKER (the encoder's
-# first consumer: doc_pack_sequences' sharded cumulative-sum plan
-# packing by what the trained tokenizer actually emits, oracle through
-# the encoder oracle's shared bpe_counts CTE), and the BPE-AWARE
-# TOKEN-BUDGET SAMPLER (the encoder's second consumer: the whitespace
-# sampler's greedy hash-order fill spending the budget in trained
-# tokens, same shared bpe_counts oracle device), and the media
-# family's COMPACTED-RETRACTION sink (the deferred tombstone half as
-# its own oracle row — compact_tombstones on the band layout, plain
-# read, survivor oracle shared with the live-view verb — the parity
-# row the text tier's retract_compacted already has);
-# (2) the 10 queries whose code or oracle text changed this round and
-# must re-earn their external green rows: the 6 media-family queries
-# sharing _percep_sig_ctes (the twin CTE no longer shadows doc_id with
-# a lateral alias — same semantics, new oracle bytes; r15 ADVICE #2),
-# sink_training_shards_append (standing-state build factored into
-# _build_appended_training_shards, shared with the compactor),
-# sample_token_budget (the greedy fill factored into
-# _token_budget_fill, shared with the BPE twin), and
-# text_bpe_train_n / text_bpe_compression (the training loop now
-# memoized per (session, sf_dir) — one run feeds all five BPE
-# consumers; bench/A-B clear the memo so the trainer stays the cold
-# number) — re-verified locally at both SFs, listed per the
-# discipline;
-# (3) the canary: q1_pricing_summary (long-green, re-greened r15);
-# (4) the FULL r09 vintage — all 28 leftovers named by the r15 judge
-# roll in, so after this round no query's newest external green row
-# predates r10;
-# (5) the head's remaining 5 slots advance the r10 vintage
-# (alphabetical prefix of its 44 queries).
-# 6+10+1+28+5 = 50 — exactly the driver's sample window. Queries not
+# queries, so registration order IS driver coverage. Round-17 rotation
+# (r16 VERDICT "Next round" #1): clear the FULL r10 vintage — after
+# this round no query's newest external green row predates r11. The
+# window is:
+# (1) the 4 queries NEW this round — rotation DEBT (no cumulative
+# green row), mandatory per tests/test_rotation_debt: the IVF
+# RE-CLUSTER verb (the maintenance action the drift reports feed —
+# retrain the frozen-K quantizer over the standing artifact's stable
+# stratum, reassign ALL postings, summarize under the write-once
+# oracle byte-for-byte; probe-after-recluster ≡ fresh-build pinned),
+# the MULTIMODAL snapshot (THE PRODUCT covering the media column:
+# text gates AND the media keeper election, staged cross-modality
+# keeper pinned at both SFs), the BPE-DENOMINATED trainer shards
+# (the encoder's third consumer: shard layout + audit carrying
+# trained-token totals through the shared bpe_counts oracle CTE;
+# per-shard totals pinned to the encoder's), and the SKEW-SAFE
+# distinct-word BPE encode (same bpe_counts oracle; output equality
+# to the narrow-map encoder pinned);
+# (2) the 1 query whose text changed this round and re-earns its
+# green row per the discipline: text_bpe_encode (docstring now points
+# at the registered vocab twin — semantics and oracle unchanged);
+# (3) the canary: q1_pricing_summary (long-green, re-greened r16);
+# (4) the FULL r10 vintage — all 39 queries whose newest external
+# green row is r10 (the judge's histogram bucket, named in the r16
+# verdict) roll through;
+# (5) the head's remaining 5 slots advance the r11 vintage
+# (alphabetical prefix of its 38 queries).
+# 4+1+1+39+5 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
 DRIVER_PRIORITY = [
     # (1) NEW this round
-    "sink_training_shards_compact",
-    "stream_ingest_media_gate",
-    "text_bpe_encode",
-    "doc_pack_sequences_bpe",
-    "sample_token_budget_bpe",
-    "sink_media_signature_artifact_retract_compacted",
+    "sink_ivf_postings_artifact_recluster",
+    "corpus_training_snapshot_mm",
+    "sink_training_shards_bpe",
+    "text_bpe_encode_vocab",
     # (2) CHANGED this round — re-earn the green row
-    "mm_payload_neardup",
-    "mm_payload_neardup_keep",
-    "sink_media_signature_artifact",
-    "sink_media_signature_artifact_append",
-    "mm_neardup_incremental_artifact",
-    "sink_media_signature_artifact_retract",
-    "sink_training_shards_append",
-    "sample_token_budget",
-    "text_bpe_train_n",
-    "text_bpe_compression",
+    "text_bpe_encode",
     # (3) canary
     "q1_pricing_summary",
-    # (4) the r09 vintage — cleared in full
-    "join_left_semi",
-    "join_null_safe",
-    "join_range_nonequi",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "scalar_array",
-    "scalar_dates",
-    "scalar_maps",
-    "scalar_math",
-    "scalar_strings",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sort_limit_topn",
-    "stream_rate_source",
-    "stream_session_window",
-    "subquery_correlated_exists",
-    "subquery_scalar_in",
-    "window_lag_lead",
-    "window_moving_frame",
-    "window_rank_dense_ntile",
-    "window_row_number_topk",
-    "window_running_sum",
-    "window_value_fns",
-    # (5) r10 vintage, alphabetical prefix
-    "cluster_discovery",
-    "cluster_node_info",
-    "dedup_incremental_minhash",
-    "doc_pack_sequences",
-    "embed_label_centroids",
+    # (4) the r10 vintage — cleared in full
+    "envelope_parse",
+    "envelope_serialize",
+    "events_retention_cohort",
+    "join_range_banded",
+    "kafka_wire_decode",
+    "kafka_wire_encode",
+    "pending_event_buffer",
+    "route_broadcast_fallback",
+    "route_event_dispatch",
+    "route_fanout_salted",
+    "route_loop_suppression",
+    "route_membership_recheck",
+    "sample_stratified_topk",
+    "scalar_higher_order",
+    "scalar_json",
+    "sink_incremental_matview",
+    "status_snapshot",
+    "stream_checkpoint_recovery",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_liveness_expiry",
+    "stream_pipeline_end_to_end",
+    "stream_route_fanout",
+    "stream_sliding_window",
+    "stream_static_join",
+    "stream_stream_full_outer",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_subscriptions_stateful",
+    "stream_tumbling_window",
+    "stream_watermark_late_drop",
+    "stream_window_topk",
+    "subs_channel_catalog",
+    "subs_current_state",
+    "subs_kick_cascade",
+    "subs_member_channels",
+    "subs_remove_node",
+    "udf_grouped_agg_wmean",
+    # (5) r11 vintage, alphabetical prefix
+    "agg_corr_regression",
+    "agg_filtered_conditional",
+    "agg_grouping_id",
+    "agg_heavy_hitters",
+    "agg_percentile_approx_check",
 ]
 
 

@@ -135,6 +135,23 @@ HEADLINE = [
     # trainer's lazily-checkpointed loop state).
     "sink_training_shards_compact",
     "text_bpe_encode",
+    # round-17 additions: the IVF RE-CLUSTER verb (forced cold rebuild
+    # of the reclustered layout each run — retrain + full reassignment
+    # + partitioned write, the honest full-index floor for the repair
+    # action; the standing appended artifact is memoized, run 1 pays
+    # it), the MULTIMODAL snapshot (rides the warm component-label
+    # memo for its text side like corpus_training_snapshot; its number
+    # is the media keeper election — capped/banded mining + the
+    # media-graph BSP + cluster-grain audit), the BPE-DENOMINATED
+    # trainer shards (warm trained state + warm labels: the number is
+    # the doc-keyed count join + shard write + dual-denomination
+    # audit), and the skew-safe distinct-word encode (warm trained
+    # state: the vocabulary-grain apply + two extra exchanges — the
+    # number to hold against text_bpe_encode's narrow map).
+    "sink_ivf_postings_artifact_recluster",
+    "corpus_training_snapshot_mm",
+    "sink_training_shards_bpe",
+    "text_bpe_encode_vocab",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo
@@ -147,8 +164,21 @@ assert HEADLINE.index("dedup_cluster") < HEADLINE.index(
     "corpus_training_snapshot"
 )
 # Same pinning for the BPE training-state memo: the trainer (cold, memo
-# reset below) must run before its shared-state consumer in HEADLINE.
+# reset below) must run before its shared-state consumers in HEADLINE.
 assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index("text_bpe_encode")
+assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index(
+    "text_bpe_encode_vocab"
+)
+assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index(
+    "sink_training_shards_bpe"
+)
+# The label-memo convention extends to the round-17 snapshot consumers.
+assert HEADLINE.index("dedup_cluster") < HEADLINE.index(
+    "corpus_training_snapshot_mm"
+)
+assert HEADLINE.index("dedup_cluster") < HEADLINE.index(
+    "sink_training_shards_bpe"
+)
 
 
 def main() -> None:
