@@ -50,18 +50,24 @@ SF0001 = "/root/testdata/sf0.001"
 # (4) the FULL r10 vintage — all 39 queries whose newest external
 # green row is r10 (the judge's histogram bucket, named in the r16
 # verdict) roll through;
-# (5) the head's remaining 5 slots advance the r11 vintage
+# (5) the head's remaining 3 slots advance the r11 vintage
 # (alphabetical prefix of its 38 queries).
-# 4+1+1+39+5 = 50 — exactly the driver's sample window. Queries not
+# 6+1+1+39+3 = 50 — exactly the driver's sample window. Queries not
 # listed keep their import order after these; nothing is removed — the
 # full local gate (tools/check_oracle.py) still checks all registered
 # queries.
 DRIVER_PRIORITY = [
-    # (1) NEW this round
+    # (1) NEW this round — including the round-17 late pair: the
+    # persisted merge-table artifact sink (the 7th artifact family;
+    # training-recursion oracle byte-for-byte) and the artifact-driven
+    # encoder (plan size constant in merge count; shared bpe_counts
+    # oracle, equality to the in-session encoder pinned in pytest).
     "sink_ivf_postings_artifact_recluster",
     "corpus_training_snapshot_mm",
     "sink_training_shards_bpe",
     "text_bpe_encode_vocab",
+    "sink_bpe_merges_artifact",
+    "text_bpe_encode_artifact",
     # (2) CHANGED this round — re-earn the green row
     "text_bpe_encode",
     # (3) canary
@@ -110,8 +116,6 @@ DRIVER_PRIORITY = [
     "agg_corr_regression",
     "agg_filtered_conditional",
     "agg_grouping_id",
-    "agg_heavy_hitters",
-    "agg_percentile_approx_check",
 ]
 
 

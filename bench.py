@@ -152,6 +152,17 @@ HEADLINE = [
     "corpus_training_snapshot_mm",
     "sink_training_shards_bpe",
     "text_bpe_encode_vocab",
+    # round-17 late additions: the persisted-tokenizer family. The
+    # merge-table sink's number is the iterative per-round append +
+    # read-back on the warm trained state (the training loop itself is
+    # the trainer's number above); the artifact encoder's number is
+    # the production encode shape — one broadcast of the merges array
+    # + one nested higher-order expression, plan size constant in the
+    # merge count (run 1 pays the memoized artifact build; best-of-3
+    # reports the warm-artifact encode, the sim_ann_ivf_artifact
+    # convention).
+    "sink_bpe_merges_artifact",
+    "text_bpe_encode_artifact",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo
@@ -171,6 +182,15 @@ assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index(
 )
 assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index(
     "sink_training_shards_bpe"
+)
+# The persisted-tokenizer family: the sink rides the warm trained
+# state (trainer first), and the artifact encoder rides the sink's
+# memoized artifact (sink first).
+assert HEADLINE.index("text_bpe_train_n") < HEADLINE.index(
+    "sink_bpe_merges_artifact"
+)
+assert HEADLINE.index("sink_bpe_merges_artifact") < HEADLINE.index(
+    "text_bpe_encode_artifact"
 )
 # The label-memo convention extends to the round-17 snapshot consumers.
 assert HEADLINE.index("dedup_cluster") < HEADLINE.index(

@@ -1008,3 +1008,69 @@ def test_bpe_token_budget_binds_and_respects_greedy_fill(spark):
             f"{lang}: admitted {r['n_tokens']} tokens — overshoot exceeds "
             "one document, greedy fill broken"
         )
+
+
+def test_bpe_encode_artifact_equals_in_session_encoder(spark):
+    """The artifact path cannot drift from the live trainer: encoding
+    under the PERSISTED merge table (one nested higher-order expression
+    over the broadcast merges array — no in-session training in the
+    plan) must reproduce text_bpe_encode's per-doc counts row-for-row.
+    With the byte-identical bpe_counts oracle this makes the three
+    encoder shapes (narrow map, distinct-word join, artifact fold)
+    provably one tokenizer."""
+    from quty_server_spark.operators.textops import (
+        text_bpe_encode,
+        text_bpe_encode_artifact,
+    )
+
+    live = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text_bpe_encode(spark, SF_DIR).collect()
+    }
+    art = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text_bpe_encode_artifact(spark, SF_DIR).collect()
+    }
+    assert art == live
+
+
+def test_bpe_merges_artifact_prefix_property(spark):
+    """The iterative write's point: after k appends the artifact holds
+    EXACTLY training rounds 1..k — an interrupted production run's
+    artifact is a valid shorter tokenizer, not a torn file. Write a
+    3-round artifact into a scratch path and pin it against the first
+    3 rows of the trainer's merge table; then pin the full 6-round
+    artifact (the registered sink's own rebuild) against all 6."""
+    import os
+
+    from quty_server_spark.operators.textops import (
+        BPE_TRAIN_MERGES,
+        _write_bpe_merges,
+        bpe_merges_artifact,
+        text_bpe_train_n,
+    )
+    from quty_server_spark.session import session_tmp_dir
+
+    train = {
+        r["merge_round"]: (r["l"], r["r"], r["pair_count"])
+        for r in text_bpe_train_n(spark, SF_DIR).collect()
+    }
+    assert len(train) == BPE_TRAIN_MERGES
+
+    scratch = os.path.join(
+        session_tmp_dir(spark, "quty_bpe_merges_prefix_test", SF_DIR)
+    )
+    _write_bpe_merges(spark, SF_DIR, scratch, n=3)
+    prefix = {
+        r["merge_round"]: (r["l"], r["r"], r["pair_count"])
+        for r in spark.read.parquet(scratch).collect()
+    }
+    assert prefix == {k: train[k] for k in (1, 2, 3)}
+
+    full = {
+        r["merge_round"]: (r["l"], r["r"], r["pair_count"])
+        for r in spark.read.parquet(
+            bpe_merges_artifact(spark, SF_DIR, rebuild=True)
+        ).collect()
+    }
+    assert full == train

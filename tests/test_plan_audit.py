@@ -52,6 +52,10 @@ BNLJ_JUSTIFIED = {
     "text_bpe_encode_vocab": "the same N 1-row trained-merge argmax "
     "build sides, applied once per DISTINCT word (the skew-safe "
     "vocabulary-grain twin; the doc-side joins are hash joins)",
+    "text_bpe_encode_artifact": "ONE 1-row build side — the whole "
+    "merge table folded into a single training-ordered array row and "
+    "broadcast once (the artifact encoder's constant-plan-size shape; "
+    "contrast the in-session encoders' N separate 1-row sides)",
     "doc_pack_sequences_bpe": "inherits text_bpe_encode's N 1-row "
     "trained-merge argmax build sides (the packer consumes the encoder)",
     "sample_token_budget_bpe": "inherits text_bpe_encode's N 1-row "
