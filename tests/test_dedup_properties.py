@@ -260,6 +260,52 @@ def test_bpe_train_sql_apply_matches_reference_scan(spark):
     assert got == want
 
 
+def test_bpe_apply_all_sql_matches_reference_fold(spark):
+    """The artifact encoder's nested expression (_SQL_BPE_APPLY_ALL:
+    outer aggregate over the merges array, inner exact greedy scan)
+    must equal folding the reference greedy merger over the merges in
+    order — i.e. 'apply the whole trained tokenizer' is exactly
+    'apply each merge in training order', including chains where later
+    merges consume earlier merges' outputs and the l == r run case
+    compounds across rounds."""
+    from pyspark.sql import functions as F
+
+    from quty_server_spark.operators.textops import _SQL_BPE_APPLY_ALL
+
+    cases = [
+        # runs compounding round over round: a^8 -> aa^4 -> aaaa^2
+        (list("aaaaaaaa"), [("a", "a"), ("aa", "aa")]),
+        # classic BPE chain: later merges reference earlier outputs
+        (list("banana"), [("a", "n"), ("b", "an"), ("ban", "an")]),
+        # a merge whose pair never occurs is a no-op mid-chain
+        (list("abab"), [("a", "b"), ("x", "y"), ("ab", "ab")]),
+        # empty merges array = identity
+        (list("abc"), []),
+        # empty word survives any chain
+        ([], [("a", "b")]),
+        # odd-length run leaves the orphan tail symbol
+        (list("aaaaa"), [("a", "a"), ("aa", "a")]),
+    ]
+    rows = [
+        ("|" + "".join(x + "|" for x in syms), merges)
+        for syms, merges in cases
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, M array<struct<l: string, r: string>>"
+    )
+    got = [
+        [x for x in row["m"].split("|") if x]
+        for row in df.select(F.expr(_SQL_BPE_APPLY_ALL).alias("m")).collect()
+    ]
+    want = []
+    for syms, merges in cases:
+        cur = syms
+        for l, r in merges:
+            cur = _greedy_syms_merge(cur, l, r)
+        want.append(cur)
+    assert got == want
+
+
 def test_bpe_train_round1_equals_single_step_argmax(spark):
     """Loop/step consistency: the training loop's first selected merge
     is exactly the argmax of the character-level pair counts the
