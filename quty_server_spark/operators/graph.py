@@ -133,13 +133,17 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager entries outlive the query and pin executor memory for
     # the whole session — localCheckpointed blocks are GC-cleanable once
     # the returned DataFrame is dropped (the repo-wide pattern for
-    # multi-consumer intermediates).
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # multi-consumer intermediates). LAZY checkpoints (r17, guide §1.2
+    # "remove unnecessary passes"): the single n_nodes count below
+    # materializes edges AND nodes in one job, and outdeg materializes
+    # inside the first action that reads it — the preamble runs 1 job
+    # instead of 4, saving three cluster-wide job launches per call.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     # outdeg feeds every superstep (and, in the converged variant, the
@@ -148,7 +152,7 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     teleport = (PPB - PPB * 85 // 100) // n_nodes
 
@@ -250,18 +254,21 @@ def pagerank_converged(
     one driver-side scalar per superstep); every PAGERANK_CKPT_EVERY-th
     iteration checkpoints reliably. Returns ``(ranks, iterations)``."""
     _ensure_ckpt_dir(spark)
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # Lazy preamble (r17, guide §1.2): one count materializes edges AND
+    # nodes; outdeg and the initial rank vector materialize inside the
+    # first superstep's single action — 1 preamble job instead of 5.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     outdeg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     small = n_nodes <= BROADCAST_NODES_MAX
     side = F.broadcast if small else (lambda df: df)
@@ -269,7 +276,7 @@ def pagerank_converged(
 
     ranks = nodes.select(
         "node", F.lit(PPB // n_nodes).cast("bigint").alias("r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rounds = 0
     for i in range(1, max_rounds + 1):
         new = _superstep(edges, nodes, outdeg, ranks, side, teleport)

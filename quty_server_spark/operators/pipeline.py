@@ -313,14 +313,18 @@ def doc_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive membership from the same encode output, so the convention
     cannot drift.
 
-    Scale: the encode is the linear per-token scan priced by
-    text_bpe_encode; packing adds one window over each of
-    N_PACK_SHARDS hash shards (shard count scales with the cluster,
+    Scale: per-doc counts come from the VOCABULARY-GRAIN encode
+    (:func:`~quty_server_spark.operators.textops.text_bpe_encode_vocab`
+    — r17 optimization: the merge scan runs per DISTINCT word, not per
+    occurrence; the narrow-map teaching op text_bpe_encode prices the
+    per-occurrence alternative and is pinned row-equal in pytest, so
+    the packer's rows are unchanged); packing adds one window over each
+    of N_PACK_SHARDS hash shards (shard count scales with the cluster,
     bounding every window partition), then one bin-grain aggregation —
     identical exchange profile to the whitespace packer."""
-    from quty_server_spark.operators.textops import text_bpe_encode
+    from quty_server_spark.operators.textops import text_bpe_encode_vocab
 
-    counts = text_bpe_encode(spark, sf_dir)
+    counts = text_bpe_encode_vocab(spark, sf_dir)
     toks = counts.select(
         "doc_id",
         (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
@@ -1270,22 +1274,37 @@ def _survivor_snapshot_oracle() -> str:
     )
 
 
-def scoped_training_snapshot(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def scoped_training_snapshot(
+    spark: SparkSession, docs: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
     """:func:`corpus_training_snapshot`'s three gates applied to an
     ARBITRARY documents frame — the Spark twin of
     :func:`_redirected_snapshot_oracle`: same quality predicate
     (:func:`snapshot_quality_keep`), same canonical-keeper election
-    over freshly-computed component labels for the scoped corpus, same
-    scoped-corpus passage scrub. One implementation shared by the
-    retraction-impact audit (survivor scope) and the trainer-shard
-    append twin's base build (lake scope), so "the snapshot over corpus
-    X" means exactly one thing everywhere.
+    over component labels for the scoped corpus, same scoped-corpus
+    passage scrub. One implementation shared by the retraction-impact
+    audit (survivor scope) and the trainer-shard append twin's base
+    build (lake scope), so "the snapshot over corpus X" means exactly
+    one thing everywhere.
+
+    ``labels`` (optional, r17 optimization): a precomputed ``(node,
+    lbl)`` component-label frame for EXACTLY this scope — callers whose
+    scope has a standing materialization (the lake scope's
+    :func:`~quty_server_spark.operators.dedup.lake_cluster_labels_artifact`)
+    pass it instead of re-mining + re-BSP-ing the scope on every call
+    (guide §2.4: don't recompute standing state; the label VALUES are
+    identical by construction — same signature builder, same
+    ``_labels_from_sigs`` core — so the snapshot is unchanged
+    row-for-row). Default (None) keeps the self-contained fresh
+    labeling pass for scopes with no standing table (retraction
+    survivors).
 
     Scale: one labeling pass through the signature-grain BSP core
-    (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`) and
-    one passage-window aggregation pair over the scoped corpus; the
-    keeper join is broadcast-gated at BROADCAST_NODES_MAX with shuffle
-    fallback. Callers that want the memoized full-corpus labels use
+    (:func:`~quty_server_spark.operators.dedup._labels_from_sigs`) —
+    or a read of the standing label artifact — and one passage-window
+    aggregation pair over the scoped corpus; the keeper join is
+    broadcast-gated at BROADCAST_NODES_MAX with shuffle fallback.
+    Callers that want the memoized full-corpus labels use
     :func:`corpus_training_snapshot` itself — this helper is for scopes
     the session cache cannot serve."""
     from quty_server_spark.operators.dedup import (
@@ -1296,7 +1315,9 @@ def scoped_training_snapshot(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
     n_tok = F.size(F.split("text", " "))
-    lab = _labels_from_sigs(spark, simhash_sigs_docs(docs)).select(
+    if labels is None:
+        labels = _labels_from_sigs(spark, simhash_sigs_docs(docs))
+    lab = labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
     small = lab.count() <= BROADCAST_NODES_MAX
@@ -1479,19 +1500,58 @@ def _build_appended_training_shards(
     the lake corpus) plus tonight's incremental-snapshot additions
     appended into the same ``shard=N`` directories. Factored so the
     compactor can stage its OWN private copy of the appended layout
-    instead of mutating the memoized one other consumers hold."""
+    instead of mutating the memoized one other consumers hold.
+
+    r17 optimization, two legs, output rows unchanged (gate-verified):
+
+    1. The base (lake-scoped) snapshot rides the STANDING lake
+       cluster-label artifact
+       (:func:`~quty_server_spark.operators.dedup.lake_cluster_labels_artifact`)
+       instead of re-mining + re-BSP-ing the lake on every build —
+       guide §2.4 (the BSP was ~6-7 s of the ~10 s build at sf0.1, and
+       its result is byte-equal to the artifact the incremental tier
+       already consumes; in production "yesterday's shards" are
+       likewise built NEXT TO the standing label table, never by
+       re-clustering the lake).
+    2. Tonight's incremental snapshot is materialized in a driver-side
+       worker thread WHILE the base build writes (guide §2.6 — the two
+       jobs are independent until the append, and Spark's FIFO
+       scheduler back-fills the base write's straggler tail with the
+       incremental plan's tasks). The shared upstream artifacts are
+       materialized serially FIRST so the two threads never race to
+       build the same memoized artifact path.
+    """
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from quty_server_spark.operators.dedup import (
+        lake_cluster_labels_artifact,
+        lake_passage_artifact,
+        lake_signature_artifact,
+    )
 
     shutil.rmtree(path, ignore_errors=True)
     lake_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != 0
     )
-    _write_training_shards(scoped_training_snapshot(spark, lake_docs), path)
-    _write_training_shards(
-        corpus_training_snapshot_incremental(spark, sf_dir),
-        path,
-        mode="append",
-    )
+    # Shared-artifact pre-warm (serial): both legs below consume these
+    # memoized builders; building them before the thread fork makes the
+    # fork race-free (a memoized builder is not safe to FIRST-build from
+    # two threads — both would write the same session path).
+    lab = spark.read.parquet(lake_cluster_labels_artifact(spark, sf_dir))
+    lake_signature_artifact(spark, sf_dir)
+    lake_passage_artifact(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        incr_fut = pool.submit(
+            lambda: corpus_training_snapshot_incremental(
+                spark, sf_dir
+            ).localCheckpoint(eager=True)
+        )
+        _write_training_shards(
+            scoped_training_snapshot(spark, lake_docs, labels=lab), path
+        )
+        incr = incr_fut.result()
+    _write_training_shards(incr, path, mode="append")
 
 
 def _training_shards_append_oracle() -> str:
@@ -1598,25 +1658,29 @@ def sink_training_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals over the snapshot's docs — the shard audit, the encoder, and
     the training curve all count one multiset.
 
-    Scale: the encode is the narrow per-token map (its cost stated once
-    by text_bpe_encode; here it rides the session-memoized trained
-    state), the join is doc-keyed against the snapshot (snapshot-sized,
-    not corpus-sized, after Catalyst pushes the join below the audit
-    agg), and the write/read-back is the shared (shard, doc_id)
-    repartition device — write parallelism decoupled from shard count.
-    LEFT join + COALESCE 0: a document admitted by the snapshot's
-    whitespace-token gates but holding zero [a-z] words (no BPE
-    symbols) stays in its shard with an explicit zero, on both
-    engines."""
+    Scale: per-doc counts come from the VOCABULARY-GRAIN encode
+    (:func:`~quty_server_spark.operators.textops.text_bpe_encode_vocab`
+    — r17 optimization, guide §1.2 "don't compute things you throw
+    away at occurrence grain": the merge scan runs once per DISTINCT
+    word, pinned row-equal to the narrow-map encoder in pytest, so the
+    shard rows and the audit are unchanged; measured at sf0.1 the swap
+    cut this sink ~7.5 s → see OPTIMIZATION_r17.md), the join is
+    doc-keyed against the snapshot (snapshot-sized, not corpus-sized,
+    after Catalyst pushes the join below the audit agg), and the
+    write/read-back is the shared (shard, doc_id) repartition device —
+    write parallelism decoupled from shard count. LEFT join + COALESCE
+    0: a document admitted by the snapshot's whitespace-token gates but
+    holding zero [a-z] words (no BPE symbols) stays in its shard with
+    an explicit zero, on both engines."""
     import shutil
 
-    from quty_server_spark.operators.textops import text_bpe_encode
+    from quty_server_spark.operators.textops import text_bpe_encode_vocab
     from quty_server_spark.session import session_tmp_dir
 
     out = session_tmp_dir(spark, "quty_train_shards_bpe", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     snap = corpus_training_snapshot(spark, sf_dir)
-    bpe = text_bpe_encode(spark, sf_dir)
+    bpe = text_bpe_encode_vocab(spark, sf_dir)
     snap_bpe = snap.join(bpe, "doc_id", "left").withColumn(
         "n_bpe_tokens",
         F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint"),
@@ -1639,7 +1703,8 @@ SNAPSHOT_COLS = ["doc_id", "lang", "source", "n_tokens", "cluster_id", "dup_ppm"
 
 
 def compact_training_shards_inplace(
-    spark: SparkSession, sf_dir: str, path: str
+    spark: SparkSession, sf_dir: str, path: str,
+    fresh: DataFrame | None = None,
 ) -> list[int]:
     """SNAPSHOT COMPACTION — the deferred semantic the append twin's
     oracle documents: after appends, standing shard files still hold
@@ -1675,9 +1740,10 @@ def compact_training_shards_inplace(
     import os
     import shutil
 
-    fresh = corpus_training_snapshot(spark, sf_dir).select(
-        *SNAPSHOT_COLS
-    ).localCheckpoint(eager=False)
+    if fresh is None:
+        fresh = corpus_training_snapshot(spark, sf_dir).select(
+            *SNAPSHOT_COLS
+        ).localCheckpoint(eager=False)
     standing = spark.read.parquet(path).select(*SNAPSHOT_COLS)
     diff = standing.exceptAll(fresh).unionByName(fresh.exceptAll(standing))
     affected = sorted(
@@ -1727,12 +1793,29 @@ def sink_training_shards_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bench number is forced cold (standing-state build
     included — the fixture device); the production nightly compaction
     cost is the diff (snapshot-sized, label-memo-warm) plus a rewrite
-    of only the shards holding a stale row."""
+    of only the shards holding a stale row.
+
+    r17 optimization (guide §2.6): the fresh full-corpus snapshot the
+    diff needs is independent of the staged standing-state build, so it
+    is materialized in a worker thread WHILE the staging build runs —
+    its tasks back-fill the build's straggler tail. The full-corpus
+    label memo it rides (:func:`simhash_component_labels`) and the
+    staging build's lake-scoped artifacts are DIFFERENT memo families,
+    so the fork is race-free; rows are unchanged (gate-verified)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from quty_server_spark.session import session_tmp_dir
 
     path = session_tmp_dir(spark, "quty_train_shards_cmp", sf_dir)
-    _build_appended_training_shards(spark, sf_dir, path)
-    compact_training_shards_inplace(spark, sf_dir, path)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fresh_fut = pool.submit(
+            lambda: corpus_training_snapshot(spark, sf_dir)
+            .select(*SNAPSHOT_COLS)
+            .localCheckpoint(eager=True)
+        )
+        _build_appended_training_shards(spark, sf_dir, path)
+        fresh = fresh_fut.result()
+    compact_training_shards_inplace(spark, sf_dir, path, fresh=fresh)
     return _shard_summary(spark.read.parquet(path))
 
 

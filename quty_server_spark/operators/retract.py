@@ -219,68 +219,110 @@ def retracted_artifact_paths(
 ) -> dict[str, str]:
     """Private copies of the four standing artifacts with the victim
     set physically retracted from each — memoized per (session,
-    sf_dir) like every artifact builder."""
+    sf_dir) like every artifact builder.
+
+    r17 optimization (guide §2.6 — overlap independent jobs): the four
+    family retractions share NOTHING but the victim frame (checkpointed
+    up front), so they run in a 4-thread pool instead of sequentially —
+    each thread's copy + DPP-scoped read + anti-join + dynamic
+    overwrite back-fills the others' straggler tails, and the
+    driver-side ``copytree`` staging overlaps the other families' Spark
+    jobs. The four BASE artifacts are materialized serially FIRST so
+    the threads never race to first-build a shared memoized path. Rows
+    are unchanged (each family's jobs are untouched — only their
+    scheduling overlaps); at cluster scale the same structure holds:
+    four independent partition-scoped rewrite jobs back-fill each
+    other's tails under FIFO scheduling."""
     cache = getattr(spark, "_quty_retract_artifacts", None)
     if cache is None:
         cache = {}
         spark._quty_retract_artifacts = cache
     paths = cache.get(sf_dir)
     if paths is None or rebuild:
+        from concurrent.futures import ThreadPoolExecutor
+
         vic = _doc_victims(spark, sf_dir).localCheckpoint(eager=True)
         vdocs = load_table(spark, sf_dir, "documents").join(
             broadcast(vic), "doc_id", "leftsemi"
         )
-        paths = {}
+        # Base-artifact pre-warm (serial): memoized builders are not
+        # safe to FIRST-build from two threads.
+        base = {
+            "sig": lake_signature_artifact(spark, sf_dir),
+            "minhash": lake_minhash_artifact(spark, sf_dir),
+            "passage": lake_passage_artifact(spark, sf_dir),
+            "ivf": ivf_postings_artifact(spark, sf_dir),
+        }
+
         # -- SimHash band artifact: band_id is content-keyed, so any
         # victim touches all 4 dirs; affected = every band partition.
-        p = session_tmp_dir(spark, "quty_retract_sig", sf_dir)
-        _copy_artifact(lake_signature_artifact(spark, sf_dir), p)
-        bands4 = spark.range(4).select(
-            F.col("id").cast("int").alias("band_id")
-        )
-        _retract_rows(spark, p, "band_id", bands4, vic, "doc_id", "band_val")
-        paths["sig"] = p
+        def _do_sig() -> str:
+            p = session_tmp_dir(spark, "quty_retract_sig", sf_dir)
+            _copy_artifact(base["sig"], p)
+            bands4 = spark.range(4).select(
+                F.col("id").cast("int").alias("band_id")
+            )
+            _retract_rows(
+                spark, p, "band_id", bands4, vic, "doc_id", "band_val"
+            )
+            return p
+
         # -- MinHash band artifact: same content-keyed layout, 8 dirs.
-        p = session_tmp_dir(spark, "quty_retract_minhash", sf_dir)
-        _copy_artifact(lake_minhash_artifact(spark, sf_dir), p)
-        bands8 = spark.range(8).select(
-            F.col("id").cast("int").alias("band_id")
-        )
-        _retract_rows(spark, p, "band_id", bands8, vic, "doc_id", "sig")
-        paths["minhash"] = p
+        def _do_minhash() -> str:
+            p = session_tmp_dir(spark, "quty_retract_minhash", sf_dir)
+            _copy_artifact(base["minhash"], p)
+            bands8 = spark.range(8).select(
+                F.col("id").cast("int").alias("band_id")
+            )
+            _retract_rows(spark, p, "band_id", bands8, vic, "doc_id", "sig")
+            return p
+
         # -- Passage-digest artifact: affected prefixes derive from the
         # victims' OWN windows (|victims| work); the other 15/16-ish of
         # the lake's directories are never read. The selective filter
         # makes Spark insert the DPP subquery (same device as the
         # maintenance rewrite).
-        p = session_tmp_dir(spark, "quty_retract_passages", sf_dir)
-        _copy_artifact(lake_passage_artifact(spark, sf_dir), p)
-        pfx = (
-            _passage_windows(vdocs)
-            .select(_passage_pfx())
-            .distinct()
-            .filter(F.col("pfx") >= "0")
-        )
-        _retract_rows(spark, p, "pfx", pfx, vic, "doc_id", "passage_md5")
-        paths["passage"] = p
+        def _do_passage() -> str:
+            p = session_tmp_dir(spark, "quty_retract_passages", sf_dir)
+            _copy_artifact(base["passage"], p)
+            pfx = (
+                _passage_windows(vdocs)
+                .select(_passage_pfx())
+                .distinct()
+                .filter(F.col("pfx") >= "0")
+            )
+            _retract_rows(spark, p, "pfx", pfx, vic, "doc_id", "passage_md5")
+            return p
+
         # -- IVF posting lists: affected cells derive from assigning the
         # victims' vectors against the K-row centroid SIDECAR (never a
         # posting scan); the quantizer itself is NOT retrained.
-        p = session_tmp_dir(spark, "quty_retract_ivf", sf_dir)
-        _copy_artifact(ivf_postings_artifact(spark, sf_dir), p)
-        vvec = _corpus(spark, sf_dir).filter(
-            F.col("vec_id") % 10 == RETRACT_MOD
-        )
-        cent = spark.read.parquet(os.path.join(p, "_centroids"))
-        cells = (
-            _ivf_cells_plan(vvec, cent)
-            .select("cell")
-            .distinct()
-            .filter(F.col("cell") >= 0)
-        )
-        vvic = vvec.select("vec_id").localCheckpoint(eager=True)
-        _retract_rows(spark, p, "cell", cells, vvic, "vec_id", "vec_id")
-        paths["ivf"] = p
+        def _do_ivf() -> str:
+            p = session_tmp_dir(spark, "quty_retract_ivf", sf_dir)
+            _copy_artifact(base["ivf"], p)
+            vvec = _corpus(spark, sf_dir).filter(
+                F.col("vec_id") % 10 == RETRACT_MOD
+            )
+            cent = spark.read.parquet(os.path.join(p, "_centroids"))
+            cells = (
+                _ivf_cells_plan(vvec, cent)
+                .select("cell")
+                .distinct()
+                .filter(F.col("cell") >= 0)
+            )
+            vvic = vvec.select("vec_id").localCheckpoint(eager=True)
+            _retract_rows(spark, p, "cell", cells, vvic, "vec_id", "vec_id")
+            return p
+
+        tasks = {
+            "sig": _do_sig,
+            "minhash": _do_minhash,
+            "passage": _do_passage,
+            "ivf": _do_ivf,
+        }
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {k: pool.submit(fn) for k, fn in tasks.items()}
+            paths = {k: f.result() for k, f in futs.items()}
         cache[sf_dir] = paths
     return paths
 

@@ -395,14 +395,17 @@ def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the vocabulary is still near character level), so TOKEN_BUDGET
     binds even harder — the cutoff is always exercised.
 
-    Scale: the encode is text_bpe_encode's linear per-token scan; the
-    fill adds the 160-way bucketed cumsum and a stratum-grain
-    aggregate — the whitespace sampler's exchange profile plus one
-    doc-keyed join for the lang column."""
-    from quty_server_spark.operators.textops import text_bpe_encode
+    Scale: per-doc counts come from the VOCABULARY-GRAIN encode
+    (:func:`~quty_server_spark.operators.textops.text_bpe_encode_vocab`
+    — r17 optimization: the merge scan runs per DISTINCT word, pinned
+    row-equal to the narrow-map encoder in pytest, so the fill's rows
+    are unchanged); the fill adds the 160-way bucketed cumsum and a
+    stratum-grain aggregate — the whitespace sampler's exchange profile
+    plus one doc-keyed join for the lang column."""
+    from quty_server_spark.operators.textops import text_bpe_encode_vocab
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = text_bpe_encode(spark, sf_dir)
+    counts = text_bpe_encode_vocab(spark, sf_dir)
     toks = counts.join(d, "doc_id").select(
         "doc_id",
         "lang",

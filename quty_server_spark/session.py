@@ -88,6 +88,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # r17: long multi-query sessions (bench, gates) accumulate
+        # dropped localCheckpoint blocks and broadcasts whose JVM-side
+        # cleanup waits on a driver GC cycle; the ContextCleaner's
+        # periodic System.gc() defaults to 30min — far longer than a
+        # whole bench run — so block-manager state grows monotonically
+        # and late queries run against a pressured heap (measured
+        # run-to-run drift at sf0.1, see OPTIMIZATION_r17.md). 2min
+        # bounds the garbage window; on a real cluster the same setting
+        # is the standard hygiene for long-lived drivers.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
