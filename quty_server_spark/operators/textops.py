@@ -670,15 +670,33 @@ BPE_TRAIN_MERGES = 6
 # on the delimited form is WRONG (it consumes the shared delimiter and
 # splits runs as 'aa a a'; pinned in tests/test_dedup_properties.py's
 # BPE block). Pure higher-order JVM expression — no UDF.
+#
+# r17 (guide §1.2 per-task work): the scan is guarded by a native
+# substring test — the merge is a provable NO-OP unless ``s`` contains
+# '|l|r|'. Proof: a merge fires only when the accumulator's last symbol
+# equals l and the incoming ORIGINAL symbol is r; the accumulator's last
+# symbol is either an original symbol of s or an earlier-merged 'lr',
+# and 'lr' = l is impossible (strictly longer), so every fire consumes
+# an ORIGINALLY-adjacent (l, r) pair — which, in the canonical delimited
+# form ('|' + sym + '|' ... + '|', exactly what v0 and every round's
+# output are), appears verbatim as the substring '|l|r|'. When the
+# guard skips, the string is returned unchanged, which equals what the
+# scan would rebuild (the canonical form round-trips). The aggregate
+# lambda runs INTERPRETED per symbol (higher-order exprs don't codegen),
+# so skipping it for the overwhelming share of (string, pair) combos
+# that don't contain the pair is the dominant per-token cost cut —
+# measured at sf0.1 across the BPE family in OPTIMIZATION_r17.md. The
+# DuckDB oracle keeps the unguarded scan: same value, hash-verified.
 _SQL_BPE_APPLY = """
-    aggregate(
+    CASE WHEN NOT contains(s, concat('|', l, '|', r, '|')) THEN s
+    ELSE aggregate(
         filter(split(s, '\\\\|'), t -> t != ''),
         '|',
         (acc, x) -> CASE
             WHEN endswith(acc, concat('|', l, '|')) AND x = r
             THEN concat(substring(acc, 1, length(acc) - length(l) - 1),
                         l, r, '|')
-            ELSE concat(acc, x, '|') END)
+            ELSE concat(acc, x, '|') END) END
 """
 
 
@@ -1176,14 +1194,17 @@ _SQL_BPE_APPLY_ALL = """
     aggregate(
         M,
         s,
-        (acc, m) -> aggregate(
+        (acc, m) -> CASE
+            WHEN NOT contains(acc, concat('|', m.l, '|', m.r, '|'))
+            THEN acc
+            ELSE aggregate(
             filter(split(acc, '\\\\|'), t -> t != ''),
             '|',
             (a, x) -> CASE
                 WHEN endswith(a, concat('|', m.l, '|')) AND x = m.r
                 THEN concat(substring(a, 1, length(a) - length(m.l) - 1),
                             m.l, m.r, '|')
-                ELSE concat(a, x, '|') END))
+                ELSE concat(a, x, '|') END) END)
 """
 
 
