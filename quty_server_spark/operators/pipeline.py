@@ -1196,10 +1196,25 @@ def corpus_training_snapshot_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         percep_media_universe,
     )
 
-    snap = corpus_training_snapshot(spark, sf_dir)
-    uni = percep_media_universe(spark, sf_dir)
-    pairs = mm_payload_neardup(spark, sf_dir)
-    labels, _ = min_label_components(spark, pairs)
+    # r17 (guide §2.6): the text snapshot and the media keeper election
+    # are independent until the final doc-keyed join, so the snapshot
+    # materializes in a worker thread while the media pair mining + BSP
+    # run — its tasks back-fill the BSP supersteps' idle capacity. The
+    # two sides ride DIFFERENT memo families (full-corpus text labels
+    # vs nothing), so the fork is race-free; rows unchanged
+    # (gate-verified).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        snap_fut = pool.submit(
+            lambda: corpus_training_snapshot(spark, sf_dir).localCheckpoint(
+                eager=True
+            )
+        )
+        uni = percep_media_universe(spark, sf_dir)
+        pairs = mm_payload_neardup(spark, sf_dir)
+        labels, _ = min_label_components(spark, pairs)
+        snap = snap_fut.result()
     lab = labels.select(F.col("node").alias("doc_id"), F.col("lbl"))
     audit = (
         uni.join(lab, "doc_id")
