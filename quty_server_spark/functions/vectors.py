@@ -32,3 +32,22 @@ def dot(u: Column, v: Column) -> Column:
 def cosine(u: Column, v: Column) -> Column:
     """Cosine similarity: dot / (||u|| * ||v||)."""
     return dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v)))
+
+
+def norm(v: Column) -> Column:
+    """||v|| exactly as :func:`cosine` computes it (sqrt of the
+    sequential-fold self-dot)."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_norms(u: Column, v: Column, nu: Column, nv: Column) -> Column:
+    """:func:`cosine` with both norms precomputed per side — the
+    broadcast/cross-join hot-path form (r17, guide §1.2 "don't compute
+    things you throw away"): higher-order array folds are
+    codegen-fallback expressions, and ``cosine`` re-folds BOTH
+    self-dots for every pair, so an n×K assignment pays 3·n·K folds.
+    Attaching ``norm`` once per row on each side and evaluating
+    ``dot/(nu*nv)`` performs the SAME scalar operations in the SAME
+    order — bit-identical scores (oracle-pinned) — at one fold per
+    pair."""
+    return dot(u, v) / (nu * nv)

