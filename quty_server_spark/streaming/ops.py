@@ -115,6 +115,38 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_to_parquet(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Run an APPEND-mode streaming DataFrame to completion (availableNow)
+    into a parquet file sink under the session scratch dir and return the
+    read-back frame — the large-output twin of :func:`run_to_memory`
+    (r17, guide §5 "the driver should do almost no data work"): a memory
+    sink serializes EVERY result row through the driver single-threaded,
+    which for a fan-out-shaped stream (10.3 M rows at sf0.1) cost ~90 s
+    of pure driver ingest; the file sink keeps rows executor-side and
+    the returned scan is a parallel parquet read. Rows are identical —
+    the sink only changes WHERE the materialization lives. Fresh dirs
+    per call, so every invocation re-runs the stream from the source
+    exactly like the memory sink (no cross-run reuse)."""
+    import shutil
+
+    from quty_server_spark.session import session_tmp_dir
+
+    spark = df.sparkSession
+    root = os.path.join(session_tmp_dir(spark, "stream_sink", sf_dir), name)
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = os.path.join(root, "data"), os.path.join(root, "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(df.schema).parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows + watermarks
 # ---------------------------------------------------------------------------
@@ -581,7 +613,10 @@ def stream_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = msgs.join(broadcast(subs), "channel").select(
         "event_id", "channel", "member_id"
     )
-    return run_to_memory(routed, "mem_routed", "append")
+    # r17: file sink, not memory — the fan-out output is |messages x
+    # subscribers| (10.3 M rows at sf0.1) and a memory sink ingests all
+    # of it through the driver (guide §5). See run_to_parquet.
+    return run_to_parquet(routed, "routed", sf_dir)
 
 
 # ---------------------------------------------------------------------------
