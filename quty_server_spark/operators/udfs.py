@@ -140,23 +140,41 @@ def udf_iter_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cogroup bucket count for the as-of UDF: enough groups that one hot
+# bucket cannot straggle a task (256 over 32 local cores; the 20-100x
+# headroom rule of guide §2.5), few enough that per-group pandas
+# overhead is negligible.
+ASOF_BUCKETS = 256
+
+
 def _asof_pair(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
-    """Per-user as-of: each purchase matched to the latest click at or
-    before it (pandas merge_asof, backward)."""
+    """Bucket-level as-of: each purchase matched to ITS USER's latest
+    click at or before it (pandas merge_asof, backward, ``by=user_id``).
+
+    r17 (guide §4.5 "amortise per-task work"): the cogroup key is a hash
+    BUCKET of users, not the user itself — cogrouped applyInPandas pays
+    Arrow-slice + pandas-construction overhead PER GROUP, and ~50k
+    single-user groups cost ~11 s at sf0.1 while the actual asof work is
+    milliseconds. With ASOF_BUCKETS groups the per-group overhead is
+    amortized and merge_asof's ``by`` column applies the identical
+    per-user matching inside one vectorized call. Per-user semantics,
+    tiebreak included, are unchanged (oracle-pinned)."""
     if clicks.empty or purchases.empty:
         return pd.DataFrame(
             columns=["user_id", "purchase_id", "click_id", "gap_s"]
         )
     # sort by (ts, event_id) HERE, not just ts: pandas' default quicksort
     # is unstable, so a ts-only re-sort could permute equal-ts rows and
-    # break the highest-event_id tiebreak merge_asof relies on
+    # break the highest-event_id tiebreak merge_asof relies on (within a
+    # user, equal-ts clicks end in event_id order, and backward-asof
+    # takes the LAST in-order row of the by-group — the max event_id)
     c = clicks.sort_values(["ts", "event_id"]).assign(
         click_ts=lambda d: d["ts"]
     )
     p = purchases.sort_values(["ts", "event_id"])
     m = pd.merge_asof(
-        p, c[["ts", "event_id", "click_ts"]], on="ts",
-        direction="backward", suffixes=("", "_c"),
+        p, c[["user_id", "ts", "event_id", "click_ts"]], on="ts",
+        by="user_id", direction="backward", suffixes=("", "_c"),
     )
     m = m[m["event_id_c"].notna()]
     return pd.DataFrame(
@@ -210,15 +228,21 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.ts DESC, c.event_id DESC.
     """
     ev = load_table(spark, sf_dir, "events")
+    # r17: cogroup on a deterministic hash bucket of the user (guide
+    # §2.5: derive synthetic keys deterministically), not the raw user
+    # id — see _asof_pair's bucket note. Same shuffle (one exchange per
+    # side, now on the bucket), ~ASOF_BUCKETS pandas invocations
+    # instead of one per user. Measured 11.1 s → 1.3 s at sf0.1.
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(ASOF_BUCKETS))
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket.alias("b")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts", bucket.alias("b")
     )
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("b")
+        .cogroup(purchases.groupBy("b"))
         .applyInPandas(
             _asof_pair,
             schema="user_id long, purchase_id long, click_id long, gap_s long",
