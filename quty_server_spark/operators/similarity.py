@@ -46,6 +46,27 @@ HYPERPLANES: list[list[int]] = [
     [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
 ]
 
+def _spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
+    """Fan a small probe-side plan out to the core count (r17, guide
+    §2.5/§2.6): the fixture embeddings parquet is ONE row group, so its
+    scan is one partition and every pair evaluated in a downstream
+    broadcast-join probe runs on ONE core (measured: the banded
+    self-join's ~2M candidate cosines serialized on a single task,
+    25-32 s). A deterministic hash repartition on ``cols`` (thousands of
+    distinct values over ``defaultParallelism`` partitions — the 20-100x
+    headroom rule) spreads the probe. Scale-safe by the gate, not by
+    luck: when the scan already has >= core-count partitions (any
+    production-sized corpus) this is a NO-OP — no exchange is added, so
+    the at-scale plan is untouched and vectors are never re-shuffled.
+    Results are unchanged in all consumers: every downstream aggregate
+    here is order-insensitive (distinct / max / decimal-sum / min_by)
+    and the top-k windows tiebreak on ids."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *[F.col(c) for c in cols])
+
+
 SQL_QUERY_SET = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 20 = 0)"
 SQL_CORPUS = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
@@ -123,9 +144,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition under AQE). This is the exact baseline the LSH variant
     approximates."""
     # r17: norms precomputed per side (see functions.vectors.cosine_norms
-    # — bit-identical scores, one array fold per pair instead of three).
+    # — bit-identical scores, one array fold per pair instead of three);
+    # corpus probe side spread across cores (see _spread).
     q = _queries(spark, sf_dir).withColumn("qn", norm(F.col("qv")))
-    c = _corpus(spark, sf_dir).withColumn("vn", norm(F.col("v")))
+    c = _spread(spark, _corpus(spark, sf_dir), "vec_id").withColumn(
+        "vn", norm(F.col("v"))
+    )
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
@@ -251,9 +275,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-3. At scale the corpus is hash-partitioned by bucket, so a
     query touches ~1/256 of the data — this is the IVF-style recall/cost
     trade the brute-force baseline calibrates."""
-    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    # r17: per-side precomputed norms (cosine_norms — bit-identical);
+    # corpus spread across cores before the derived columns (_spread).
     c = (
-        _corpus(spark, sf_dir)
+        _spread(spark, _corpus(spark, sf_dir), "vec_id")
         .withColumn("bucket", _bucket_col())
         .withColumn("vn", norm(F.col("v")))
     )
@@ -324,9 +349,10 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe explosion multiplies only the tiny broadcast query side by 9,
     never the corpus.
     """
-    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    # r17: per-side precomputed norms (cosine_norms — bit-identical);
+    # corpus spread across cores before the derived columns (_spread).
     c = (
-        _corpus(spark, sf_dir)
+        _spread(spark, _corpus(spark, sf_dir), "vec_id")
         .withColumn("bucket", _bucket_col())
         .withColumn("vn", norm(F.col("v")))
     )
@@ -498,7 +524,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per vector BEFORE the shuffle (map-side combine — a window
     argmin would ship the whole cross product); the posting lists are
     hash-partitioned by cell, and a query's scan is |corpus|/n_cells."""
-    c = _corpus(spark, sf_dir)
+    # r17: corpus spread across cores (_spread) so the n×K assignment
+    # and the cell-probe scoring parallelize off the one-row-group scan.
+    c = _spread(spark, _corpus(spark, sf_dir), "vec_id")
     # r17: per-side precomputed norms (cosine_norms — bit-identical).
     cells = _ivf_cells(c, _ivf_centroids(c)).withColumn(
         "vn", norm(F.col("v"))
@@ -563,7 +591,8 @@ def sim_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries-x-centroids frame only (never the corpus), and probing stays
     an equality hash join with the broadcast probe side doubled.
     """
-    c = _corpus(spark, sf_dir)
+    # r17: corpus spread across cores (_spread; same as sim_ann_ivf).
+    c = _spread(spark, _corpus(spark, sf_dir), "vec_id")
     cent = _ivf_centroids(c)
     # r17: per-side precomputed norms (cosine_norms — bit-identical).
     cells = _ivf_cells(c, cent).withColumn("vn", norm(F.col("v")))
@@ -704,7 +733,11 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     s = e.join(broadcast(sample_ids), "vec_id")
-    a = s.select(F.col("vec_id").alias("ia"), "label", F.col("v").alias("va"))
+    # r17: probe side spread across cores (_spread) — the bounded-sample
+    # pair join otherwise scores every pair on the single scan partition.
+    a = _spread(spark, s, "vec_id").select(
+        F.col("vec_id").alias("ia"), "label", F.col("v").alias("va")
+    )
     b = s.select(
         F.col("vec_id").alias("ib"),
         F.col("label").alias("label_b"),
@@ -759,10 +792,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_pairs_cosine; the oracle replicates the banding bit-for-bit, so
     the query is deterministically exact for what it claims: the banded
     drop rule."""
-    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    # r17: per-side precomputed norms (cosine_norms — bit-identical);
+    # probe side spread across cores (_spread — the ~2M candidate
+    # cosines previously serialized on the single scan partition).
     c = _corpus(spark, sf_dir)
     banded = banded_corpus(c).withColumn("vn", norm(F.col("v")))
-    a = banded.select(
+    a = _spread(spark, banded, "vec_id", "band").select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("va"),
         F.col("vn").alias("na"),
@@ -1031,9 +1066,11 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approx arm stays the bucketed hash join."""
     # r17: per-side precomputed norms (cosine_norms — bit-identical);
     # the exact arm is the |queries| × |corpus| pass that dominates this
-    # gate, so the 3-fold → 1-fold cut lands almost fully on it.
+    # gate, so the 3-fold → 1-fold cut lands almost fully on it. The
+    # corpus is spread across cores BEFORE the derived columns
+    # (_spread), so bucket codes, norms and both probe arms parallelize.
     c = (
-        _corpus(spark, sf_dir)
+        _spread(spark, _corpus(spark, sf_dir), "vec_id")
         .withColumn("bucket", _bucket_col())
         .withColumn("vn", norm(F.col("v")))
     )
@@ -1456,14 +1493,15 @@ def dedup_decontaminate_embedding(
     (:func:`dedup_incremental_embedding_artifact`'s shape) is the
     approximate fallback. The broadcast cross join is allowlisted in
     test_plan_audit with this justification."""
-    # r17: per-side precomputed norms (cosine_norms — bit-identical).
+    # r17: per-side precomputed norms (cosine_norms — bit-identical);
+    # train probe side spread across cores (_spread).
     c = _corpus(spark, sf_dir).withColumn("vn", norm(F.col("v")))
     bench = c.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("bid"),
         F.col("v").alias("bv"),
         F.col("vn").alias("bn"),
     )
-    train = c.filter(F.col("vec_id") % 5 != 0)
+    train = _spread(spark, c.filter(F.col("vec_id") % 5 != 0), "vec_id")
     return (
         train.join(broadcast(bench))
         .select(
