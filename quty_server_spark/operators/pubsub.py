@@ -175,9 +175,20 @@ def current_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_current_subs(changelog(spark, sf_dir))
 
 
-def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The message stream to route: click events addressed to a channel."""
+def messages(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """The message stream to route: click events addressed to a channel.
+
+    ``spread=True`` fans the one-row-group events scan out to the core
+    count before the JSON parse (r17, _helpers.spread_probe — gated
+    no-op at scale). Opt-in because only the fan-out join's 10M-row
+    probe amortizes the extra exchange (A/B: route_fanout 0.60x); the
+    small pubsub consumers measured SLOWER with it (the blanket-spread
+    A/B, see spread_probe's docstring)."""
     ev = load_table(spark, sf_dir, "events")
+    if spread:
+        from quty_server_spark.operators._helpers import spread_probe
+
+        ev = spread_probe(spark, ev, "event_id")
     k = F.get_json_object("props", "$.k").cast("int")
     # Channel space ch0..ch6 vs subscriptions' ch0..ch4: ch5/ch6 messages
     # have no subscribers anywhere -> they exercise the flood fallback.
@@ -457,7 +468,9 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     A loose or unknown bound (non-local filesystem) can only flip
     toward the salted plan, which stays correct at any state size.
     """
-    msgs = messages(spark, sf_dir)
+    # r17: spread=True parallelizes the JSON parse + the 10M-row join
+    # probe off the single-row-group events scan (A/B 0.60x).
+    msgs = messages(spark, sf_dir, spread=True)
     subs = current_subs(spark, sf_dir)
     est = _events_rows_upper_bound(sf_dir)
     if est is None or est > BROADCAST_SUBS_MAX:

@@ -46,25 +46,13 @@ HYPERPLANES: list[list[int]] = [
     [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)
 ]
 
-def _spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
-    """Fan a small probe-side plan out to the core count (r17, guide
-    §2.5/§2.6): the fixture embeddings parquet is ONE row group, so its
-    scan is one partition and every pair evaluated in a downstream
-    broadcast-join probe runs on ONE core (measured: the banded
-    self-join's ~2M candidate cosines serialized on a single task,
-    25-32 s). A deterministic hash repartition on ``cols`` (thousands of
-    distinct values over ``defaultParallelism`` partitions — the 20-100x
-    headroom rule) spreads the probe. Scale-safe by the gate, not by
-    luck: when the scan already has >= core-count partitions (any
-    production-sized corpus) this is a NO-OP — no exchange is added, so
-    the at-scale plan is untouched and vectors are never re-shuffled.
-    Results are unchanged in all consumers: every downstream aggregate
-    here is order-insensitive (distinct / max / decimal-sum / min_by)
-    and the top-k windows tiebreak on ids."""
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par, *[F.col(c) for c in cols])
+# Fan the probe side of a scoring join out to the core count — the
+# shared helper (see its docstring); measured here: the banded
+# self-join's ~2M candidate cosines previously serialized on the single
+# scan partition, 25-32 s. Results are unchanged in all consumers:
+# every downstream aggregate is order-insensitive (distinct / max /
+# decimal-sum / min_by) and the top-k windows tiebreak on ids.
+from quty_server_spark.operators._helpers import spread_probe as _spread  # noqa: E402
 
 
 SQL_QUERY_SET = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 20 = 0)"
