@@ -163,6 +163,13 @@ HEADLINE = [
     # convention).
     "sink_bpe_merges_artifact",
     "text_bpe_encode_artifact",
+    # round-17 optimization addition: the banded embedding near-dup
+    # REMOVAL pass. Added (never renamed/removed — additions only per
+    # the bench contract) after the optimization round took it
+    # 26.7 s → 2.3 s (probe-side spread, _helpers.spread_probe): the
+    # full-surface sweep showed it was the slowest non-stream query on
+    # the whole registered surface, which the prior head could not see.
+    "dedup_embedding_cosine",
 ]
 
 # The timing convention (dedup_cluster = COLD labeling via the memo
