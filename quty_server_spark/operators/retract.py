@@ -165,10 +165,12 @@ def _retract_rows(
         .alias(part_col)
     ).distinct()
     # Materialize BEFORE overwriting: Spark (correctly) refuses a plan
-    # that overwrites a path it is also reading; the eager checkpoint
-    # bounds the read to the affected partitions' rows.
+    # that overwrites a path it is also reading. ONE eager checkpoint of
+    # the post-anti-join survivors suffices (the anti-join is a map-side
+    # broadcast probe, so folding it into the same pass adds no shuffle)
+    # — checkpointing the touched rows separately first was a second
+    # full materialization of nearly the same bytes.
     touched = _retract_touched_rows(spark, path, part_col, affected)
-    touched = touched.localCheckpoint(eager=True)
     kept = touched.join(
         broadcast(victims.withColumnRenamed(victims.columns[0], id_col)),
         id_col,
