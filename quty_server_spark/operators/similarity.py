@@ -179,13 +179,36 @@ _SQL_BUCKET = " + ".join(
 )
 
 
+def _plane_array_sql(plane: list[int]) -> str:
+    """The hyperplane as one Spark-SQL double-array literal — parsed
+    JVM-side in a single call. The column-API form (64 ``F.lit`` py4j
+    round-trips per plane, ×8 planes) cost ~0.5 s of DRIVER time per
+    ``_bucket_col``/``banded_corpus`` construction (guide §7.3; paid on
+    every bench run / gate invocation of every LSH-family query).
+    ``{x}.0D`` parses to the identical ±1.0 double."""
+    return "array(" + ", ".join(f"{x}.0D" for x in plane) + ")"
+
+
+def _dot_plane_sql(plane: list[int]) -> str:
+    """``dot(v, <plane literal>)`` spelled in SQL — the same
+    sequential fold (zip_with product, left-to-right sum from 0.0) as
+    functions.vectors.dot, node-identical after parsing, so sign tests
+    are bit-identical to the column-API form (verified on every fixture
+    vector at both SFs)."""
+    return (
+        f"aggregate(zip_with(v, {_plane_array_sql(plane)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _bucket_col() -> F.Column:
-    bucket = None
-    for j, plane in enumerate(HYPERPLANES):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        term = F.when(dot(F.col("v"), plane_col) > 0, F.lit(1 << j)).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return bucket
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN {_dot_plane_sql(HYPERPLANES[j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(N_PLANES)
+        )
+    )
 
 
 # Banded sign-LSH for PAIR mining (vs the single 256-way bucket above,
@@ -201,13 +224,16 @@ PLANES_PER_BAND = N_PLANES // N_COS_BANDS
 
 
 def _band_code_col(b: int) -> F.Column:
-    code = None
-    for r in range(PLANES_PER_BAND):
-        plane = HYPERPLANES[b * PLANES_PER_BAND + r]
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        term = F.when(dot(F.col("v"), plane_col) > 0, F.lit(1 << r)).otherwise(0)
-        code = term if code is None else code + term
-    return code
+    # Same single-parse construction as _bucket_col (see
+    # _plane_array_sql) — node-identical to the old column-API form.
+    return F.expr(
+        " + ".join(
+            f"(CASE WHEN "
+            f"{_dot_plane_sql(HYPERPLANES[b * PLANES_PER_BAND + r])} > 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(PLANES_PER_BAND)
+        )
+    )
 
 
 def banded_corpus(c: DataFrame) -> DataFrame:
