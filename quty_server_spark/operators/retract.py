@@ -217,11 +217,22 @@ def _copy_artifact(src: str, dst: str) -> None:
 
 
 def retracted_artifact_paths(
-    spark: SparkSession, sf_dir: str, rebuild: bool = False
+    spark: SparkSession, sf_dir: str, rebuild: bool = False,
+    post: "callable | None" = None,
 ) -> dict[str, str]:
     """Private copies of the four standing artifacts with the victim
     set physically retracted from each — memoized per (session,
     sf_dir) like every artifact builder.
+
+    ``post`` (r17 continuation, guide §2.6): an optional
+    ``(family, path) -> None`` callback applied INSIDE each family's
+    worker thread right after its rewrite lands — the retract sink
+    passes its per-family summary materializer here so the early
+    families' read-back + summary aggregation overlaps the IVF
+    straggler's rewrite instead of waiting for the whole pool. The
+    callback's effects are per-call (the memo stores paths only); on a
+    memo hit without a rebuild the callback runs serially over the
+    cached paths.
 
     r17 optimization (guide §2.6 — overlap independent jobs): the four
     family retractions share NOTHING but the victim frame (checkpointed
@@ -322,10 +333,19 @@ def retracted_artifact_paths(
             "passage": _do_passage,
             "ivf": _do_ivf,
         }
+        def _run(fam: str, fn) -> str:
+            p = fn()
+            if post is not None:
+                post(fam, p)
+            return p
+
         with ThreadPoolExecutor(max_workers=4) as pool:
-            futs = {k: pool.submit(fn) for k, fn in tasks.items()}
+            futs = {k: pool.submit(_run, k, fn) for k, fn in tasks.items()}
             paths = {k: f.result() for k, f in futs.items()}
         cache[sf_dir] = paths
+    elif post is not None:
+        for fam, p in paths.items():
+            post(fam, p)
     return paths
 
 
@@ -411,44 +431,65 @@ def sink_lake_artifacts_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free columnar anti-join pass for the two content-hash-
     partitioned band families (the documented floor); zero read or
     rewrite of any unaffected passage prefix or IVF cell directory
-    (untouched files byte-identical, pinned)."""
-    paths = retracted_artifact_paths(spark, sf_dir, rebuild=True)
-    return _tagged_retract_summary(
-        {k: spark.read.parquet(p) for k, p in paths.items()}
-    )
+    (untouched files byte-identical, pinned).
+
+    r17 continuation (guide §2.6): each family's read-back + summary
+    aggregation is materialized INSIDE that family's rebuild thread
+    (the ``post`` hook), so the three early families' summaries run
+    while the IVF straggler is still rewriting — previously all four
+    summaries waited for the whole pool (~1.4 s of serialized read-back
+    after a ~2.5 s rebuild). Rows identical: the same per-family
+    summaries, in the same fixed union order."""
+    summaries: dict[str, DataFrame] = {}
+
+    def _post(fam: str, p: str) -> None:
+        summaries[fam] = _tagged_family_summary(
+            fam, spark.read.parquet(p)
+        ).localCheckpoint(eager=True)
+
+    retracted_artifact_paths(spark, sf_dir, rebuild=True, post=_post)
+    out = None
+    for fam in _RETRACT_FAMILY_ORDER:
+        part = summaries[fam]
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
-def _tagged_retract_summary(frames: dict[str, DataFrame]) -> DataFrame:
-    """The four families' per-partition summaries in one unified tagged
-    frame — shared by the physical retract sink (plain artifact reads)
-    and the tombstone sink (tombstone-aware live views), so both report
-    under the identical oracle contract."""
+def _tagged_family_summary(fam: str, frame: DataFrame) -> DataFrame:
+    """ONE family's per-partition summary in the unified tagged shape —
+    the per-family unit of :func:`_tagged_retract_summary`, factored out
+    so the physical retract sink can materialize each family's summary
+    inside that family's rebuild thread (guide §2.6)."""
     nul = F.lit(None).cast("bigint")
-    sig = _sig_artifact_summary(frames["sig"]).select(
-        F.lit("sig").alias("family"),
-        F.col("band_id").cast("string").alias("part_key"),
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_buckets").cast("bigint").alias("n_keys"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        nul.alias("extra"),
-    )
-    mh = _minhash_artifact_summary(frames["minhash"]).select(
-        F.lit("minhash").alias("family"),
-        F.col("band_id").cast("string").alias("part_key"),
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_buckets").cast("bigint").alias("n_keys"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.col("sum_nsh").cast("bigint").alias("extra"),
-    )
-    pa = _passage_artifact_summary(frames["passage"]).select(
-        F.lit("passage").alias("family"),
-        F.col("pfx").alias("part_key"),
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_digests").cast("bigint").alias("n_keys"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        nul.alias("extra"),
-    )
-    iv = _ivf_artifact_summary(frames["ivf"]).select(
+    if fam == "sig":
+        return _sig_artifact_summary(frame).select(
+            F.lit("sig").alias("family"),
+            F.col("band_id").cast("string").alias("part_key"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_buckets").cast("bigint").alias("n_keys"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            nul.alias("extra"),
+        )
+    if fam == "minhash":
+        return _minhash_artifact_summary(frame).select(
+            F.lit("minhash").alias("family"),
+            F.col("band_id").cast("string").alias("part_key"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_buckets").cast("bigint").alias("n_keys"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_nsh").cast("bigint").alias("extra"),
+        )
+    if fam == "passage":
+        return _passage_artifact_summary(frame).select(
+            F.lit("passage").alias("family"),
+            F.col("pfx").alias("part_key"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_digests").cast("bigint").alias("n_keys"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            nul.alias("extra"),
+        )
+    assert fam == "ivf", fam
+    return _ivf_artifact_summary(frame).select(
         F.lit("ivf").alias("family"),
         F.col("cell").cast("string").alias("part_key"),
         F.col("n_vecs").cast("bigint").alias("n_rows"),
@@ -456,7 +497,21 @@ def _tagged_retract_summary(frames: dict[str, DataFrame]) -> DataFrame:
         F.col("n_vecs").cast("bigint").alias("n_docs"),
         F.col("n_queries").cast("bigint").alias("extra"),
     )
-    return sig.unionByName(mh).unionByName(pa).unionByName(iv)
+
+
+_RETRACT_FAMILY_ORDER = ("sig", "minhash", "passage", "ivf")
+
+
+def _tagged_retract_summary(frames: dict[str, DataFrame]) -> DataFrame:
+    """The four families' per-partition summaries in one unified tagged
+    frame — shared by the physical retract sink (plain artifact reads)
+    and the tombstone sink (tombstone-aware live views), so both report
+    under the identical oracle contract."""
+    out = None
+    for fam in _RETRACT_FAMILY_ORDER:
+        part = _tagged_family_summary(fam, frames[fam])
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
