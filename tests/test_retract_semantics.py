@@ -448,3 +448,31 @@ def test_media_artifact_retraction_live_equals_compacted_equals_rebuilt(spark):
     compacted = rows(spark.read.parquet(priv))
     assert compacted == live
     shutil.rmtree(priv, ignore_errors=True)
+
+
+def test_overlapped_sink_equals_sequential_summary_composition(spark):
+    # r17 continuation pin: the sink materializes each family's tagged
+    # summary INSIDE that family's rebuild thread (the post hook on
+    # retracted_artifact_paths) — this pins that the overlapped path's
+    # output is row-for-row the original sequential composition
+    # (_tagged_retract_summary over the same rebuilt artifacts), so a
+    # future edit to the hook or the union order cannot silently drift
+    # from the shared oracle contract.
+    from quty_server_spark.operators.retract import (
+        _tagged_retract_summary,
+        retracted_artifact_paths,
+        sink_lake_artifacts_retract,
+    )
+
+    got = sorted(
+        tuple(r) for r in sink_lake_artifacts_retract(spark, SF_DIR).collect()
+    )
+    paths = retracted_artifact_paths(spark, SF_DIR)  # memo from the sink
+    want = sorted(
+        tuple(r)
+        for r in _tagged_retract_summary(
+            {k: spark.read.parquet(p) for k, p in paths.items()}
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
