@@ -3005,6 +3005,10 @@ def _apply_maintenance_for_state(
     # Queued = standing labels whose contracted-BSP label moved. Joined
     # by membership in the sidecar's label set — NOT by node % 10 —
     # so a standing label that is a prior shard doc's id still queues.
+    # Built LAZY here; _run_cluster_label_maintenance materializes it
+    # (|queued clusters| rows) before any write, so no write can race a
+    # concurrent read of the artifact it came from — and the
+    # materialization overlaps the append-set build there (guide §2.6).
     queue = (
         labels.join(
             F.broadcast(standing),
@@ -3013,9 +3017,6 @@ def _apply_maintenance_for_state(
         )
         .filter(F.col("lbl") != F.col("node"))
         .select("old_lbl", F.col("lbl").alias("new_lbl"))
-        # Materialized (|queued clusters| rows) so no write below can
-        # race a concurrent read of the artifact it came from.
-        .localCheckpoint(eager=True)
     )
     _run_cluster_label_maintenance(
         spark, path, labels, singles, queue, homes, standing
@@ -3042,130 +3043,188 @@ def _run_cluster_label_maintenance(
 ) -> None:
     """The physical maintenance writes, given the night's BSP state
     (see :func:`apply_cluster_label_maintenance` for the contract):
-    rewrite, append, and the sidecar update."""
-    # -- 1. rewrite queued clusters in their home buckets ---------------
-    # The queued labels' CURRENT bucket sets come from the sidecar —
-    # after round 1 a label's rows span every absorbed cluster's home
-    # bucket, so pmod(old_lbl) alone would under-read.
-    affected = (
-        homes.join(
-            F.broadcast(queue.select("old_lbl")),
-            homes.lbl == F.col("old_lbl"),
-            "leftsemi",
-        )
-        .select("lbl_bucket")
-        .distinct()
-        # Semantically vacuous (pmod is never negative) but load-
-        # bearing: Spark inserts the DPP subquery on the partitioned
-        # scan only when the build side carries a selective Filter —
-        # the checkpointed queue leaf has none, so without this the
-        # rewrite read degrades to scanning every bucket directory.
-        .filter(F.col("lbl_bucket") >= 0)
-    )
-    # Materialize BEFORE overwriting: Spark (correctly) refuses a
-    # plan that overwrites a path it is also reading; the eager
-    # checkpoint bounds this to the affected buckets' rows.
-    touched = _maintenance_touched_rows(spark, path, affected).localCheckpoint(
-        eager=True
-    )
-    rewritten = touched.alias("t").join(
-        F.broadcast(queue).alias("q"),
-        F.col("t.lbl") == F.col("q.old_lbl"),
-        "left",
-    ).select(
-        F.col("t.node").alias("node"),
-        F.coalesce(F.col("q.new_lbl"), F.col("t.lbl")).alias("lbl"),
-        F.col("t.lbl_bucket").alias("lbl_bucket"),
-    )
-    (
-        rewritten.sortWithinPartitions("lbl_bucket", "node")
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy("lbl_bucket")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    # -- 2. append tonight's new labels ---------------------------------
+    rewrite, append, and the sidecar update.
+
+    r18 restructure (guide §2.6 overlap + §1.2 skip-empty-work; rows
+    written are byte-identical — only job scheduling changed):
+
+    - The APPEND set's build + idempotence anti-join run in a worker
+      thread CONCURRENTLY with the rewrite chain. Legal because the
+      anti-join's existence check depends only on stored *node ids*,
+      which the rewrite never changes (it remaps lbl values; rows keep
+      their node and home bucket), so reading the artifact before vs
+      after the rewrite sees the same node set — and the append write
+      itself still waits for the rewrite (a dynamic partition overwrite
+      replaces whole bucket directories; an append racing it could be
+      dropped with the old directory).
+    - When the queue is EMPTY (no standing cluster moved — the common
+      epoch case for the continuous maintenance streams), the rewrite
+      chain is skipped outright: `touched` would be empty and the
+      dynamic overwrite would match zero partitions, so the skip is
+      exactly a no-op removed. The emptiness test is one take(1) on the
+      already-materialized queue checkpoint.
+    - The sidecar rewrite overlaps the append write (disjoint paths:
+      `_label_homes` vs the bucket directories; both inputs are
+      checkpointed before either write starts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # -- tonight's append set (read-only on the artifact) ----------------
     # Tonight's shard = % 10 == 0 BSP nodes MINUS standing labels (from
     # round 2 on, a standing label can be a prior shard doc's id — its
     # rows are already stored and were handled by the rewrite).
-    new_nodes = (
-        labels.filter(F.col("node") % 10 == 0)
-        .join(
-            F.broadcast(standing),
-            labels.node == F.col("old_lbl"),
-            "left_anti",
-        )
-        .unionByName(
-            labels.join(
-                F.broadcast(
-                    singles.select(F.col("lake_doc_id").alias("node"))
-                ),
-                "node",
-                "leftsemi",
+    def _build_new_nodes() -> DataFrame:
+        new_nodes = (
+            labels.filter(F.col("node") % 10 == 0)
+            .join(
+                F.broadcast(standing),
+                labels.node == F.col("old_lbl"),
+                "left_anti",
             )
+            .unionByName(
+                labels.join(
+                    F.broadcast(
+                        singles.select(F.col("lake_doc_id").alias("node"))
+                    ),
+                    "node",
+                    "leftsemi",
+                )
+            )
+            # The two branches are disjoint on the FIRST night (singles
+            # are lake docs, % 10 != 0) but not across epochs: the
+            # streaming maintenance appends prior epochs' shard bands to
+            # its private signature copy, so a gate-touched null-label
+            # doc can itself be a % 10 == 0 prior-epoch doc and land in
+            # BOTH branches. Rows are identical (min_label_components
+            # emits one row per node), so a distinct on tonight's tiny
+            # label set restores the maintained == rebuilt contract for
+            # the cross-epoch merge case.
+            .distinct()
+            .withColumn(
+                "lbl_bucket",
+                F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
+            )
+            # Materialized (tiny: tonight's labels) so the sidecar
+            # update below can reuse it without re-running the BSP
+            # consumers.
+            .localCheckpoint(eager=True)
         )
-        # The two branches are disjoint on the FIRST night (singles are
-        # lake docs, % 10 != 0) but not across epochs: the streaming
-        # maintenance appends prior epochs' shard bands to its private
-        # signature copy, so a gate-touched null-label doc can itself be
-        # a % 10 == 0 prior-epoch doc and land in BOTH branches. Rows
-        # are identical (min_label_components emits one row per node),
-        # so a distinct on tonight's tiny label set restores the
-        # maintained == rebuilt contract for the cross-epoch merge case.
-        .distinct()
-        .withColumn(
-            "lbl_bucket",
-            F.pmod(F.col("lbl"), F.lit(LABEL_HOME_BUCKETS)).cast("int"),
+        # Idempotence: a re-run of the same night (operator retry,
+        # replayed job) must not re-append rows already stored —
+        # anti-join against the artifact restricted to the append rows'
+        # OWN home buckets (a DPP-pruned read bounded by tonight's
+        # labels, never the lake), mirroring the epoch-keyed idempotent
+        # sinks on the streaming side.
+        app_buckets = (
+            new_nodes.select("lbl_bucket")
+            .distinct()
+            .filter(F.col("lbl_bucket") >= 0)  # selective Filter => DPP
         )
-        # Materialized (tiny: tonight's labels) so the sidecar update
-        # below can reuse it without re-running the BSP consumers.
-        .localCheckpoint(eager=True)
-    )
-    # Idempotence: a re-run of the same night (operator retry, replayed
-    # job) must not re-append rows already stored — anti-join against
-    # the artifact restricted to the append rows' OWN home buckets (a
-    # DPP-pruned read bounded by tonight's labels, never the lake),
-    # mirroring the epoch-keyed idempotent sinks on the streaming side.
-    app_buckets = (
-        new_nodes.select("lbl_bucket")
-        .distinct()
-        .filter(F.col("lbl_bucket") >= 0)  # selective Filter => DPP
-    )
-    existing = _maintenance_touched_rows(spark, path, app_buckets).select(
-        "node"
-    )
-    new_nodes = new_nodes.join(
-        existing, "node", "left_anti"
-    ).localCheckpoint(eager=True)
-    (
-        new_nodes.sortWithinPartitions("lbl_bucket", "node")
-        .write.partitionBy("lbl_bucket")
-        .mode("append")
-        .parquet(path)
-    )
-    # -- 3. sidecar update ----------------------------------------------
+        existing = _maintenance_touched_rows(
+            spark, path, app_buckets
+        ).select("node")
+        return new_nodes.join(
+            existing, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=1) as nn_pool:
+        new_nodes_f = nn_pool.submit(_build_new_nodes)
+        # Materialize the queue in the main thread WHILE the worker
+        # builds the append set (both are read-only on the artifact);
+        # every write below starts only after both are checkpointed.
+        queue = queue.localCheckpoint(eager=True)
+        have_queue = not queue.isEmpty()
+        if have_queue:
+            # -- 1. rewrite queued clusters in their home buckets --------
+            # The queued labels' CURRENT bucket sets come from the
+            # sidecar — after round 1 a label's rows span every absorbed
+            # cluster's home bucket, so pmod(old_lbl) alone would
+            # under-read.
+            affected = (
+                homes.join(
+                    F.broadcast(queue.select("old_lbl")),
+                    homes.lbl == F.col("old_lbl"),
+                    "leftsemi",
+                )
+                .select("lbl_bucket")
+                .distinct()
+                # Semantically vacuous (pmod is never negative) but
+                # load-bearing: Spark inserts the DPP subquery on the
+                # partitioned scan only when the build side carries a
+                # selective Filter — the checkpointed queue leaf has
+                # none, so without this the rewrite read degrades to
+                # scanning every bucket directory.
+                .filter(F.col("lbl_bucket") >= 0)
+            )
+            # Materialize BEFORE overwriting: Spark (correctly) refuses
+            # a plan that overwrites a path it is also reading; the
+            # eager checkpoint bounds this to the affected buckets' rows.
+            touched = _maintenance_touched_rows(
+                spark, path, affected
+            ).localCheckpoint(eager=True)
+            rewritten = touched.alias("t").join(
+                F.broadcast(queue).alias("q"),
+                F.col("t.lbl") == F.col("q.old_lbl"),
+                "left",
+            ).select(
+                F.col("t.node").alias("node"),
+                F.coalesce(F.col("q.new_lbl"), F.col("t.lbl")).alias("lbl"),
+                F.col("t.lbl_bucket").alias("lbl_bucket"),
+            )
+            # The append set is checkpointed (materialized) before the
+            # overwrite below commits: fetch the future FIRST.
+            new_nodes = new_nodes_f.result()
+            (
+                rewritten.sortWithinPartitions("lbl_bucket", "node")
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("lbl_bucket")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        else:
+            # No standing cluster moved: `touched` would be empty and
+            # the dynamic overwrite would match zero partitions — the
+            # whole rewrite chain is a no-op, skipped (guide §1.2).
+            new_nodes = new_nodes_f.result()
+    # -- 2. append tonight's new labels / 3. sidecar update --------------
     # Queued labels' home buckets now hold the NEW label's rows; the
     # appends add their own (lbl, home-bucket) rows. Cluster-count-
     # sized; checkpointed before the overwrite (it reads the old
-    # sidecar), then rewritten whole.
+    # sidecar), then rewritten whole — concurrently with the data-bucket
+    # append (disjoint directories, all inputs already materialized).
+    remapped = homes
+    if have_queue:
+        remapped = (
+            homes.alias("h")
+            .join(
+                F.broadcast(queue).alias("q"),
+                F.col("h.lbl") == F.col("q.old_lbl"),
+                "left",
+            )
+            .select(
+                F.coalesce(F.col("q.new_lbl"), F.col("h.lbl")).alias("lbl"),
+                F.col("h.lbl_bucket").alias("lbl_bucket"),
+            )
+        )
     new_homes = (
-        homes.alias("h")
-        .join(
-            F.broadcast(queue).alias("q"),
-            F.col("h.lbl") == F.col("q.old_lbl"),
-            "left",
-        )
-        .select(
-            F.coalesce(F.col("q.new_lbl"), F.col("h.lbl")).alias("lbl"),
-            F.col("h.lbl_bucket").alias("lbl_bucket"),
-        )
-        .unionByName(new_nodes.select("lbl", "lbl_bucket"))
+        remapped.unionByName(new_nodes.select("lbl", "lbl_bucket"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    new_homes.write.mode("overwrite").parquet(
-        os.path.join(path, "_label_homes")
-    )
+
+    def _write_sidecar() -> None:
+        new_homes.write.mode("overwrite").parquet(
+            os.path.join(path, "_label_homes")
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sidecar_f = pool.submit(_write_sidecar)
+        (
+            new_nodes.sortWithinPartitions("lbl_bucket", "node")
+            .write.partitionBy("lbl_bucket")
+            .mode("append")
+            .parquet(path)
+        )
+        sidecar_f.result()
 
 
 # Full-corpus component summary over a pluggable simhash CTE ({sim}) —

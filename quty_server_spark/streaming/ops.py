@@ -27,6 +27,7 @@ import datetime as dt
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 from collections.abc import Iterator
 
 import pandas as pd
@@ -2268,20 +2269,30 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Private mutable copies of the two standing artifacts: the lake's
     # banded signatures (grown by each epoch's append) and the lake-only
     # labels in home-bucket layout (maintained by each epoch's apply).
-    spark.read.parquet(
-        lake_signature_artifact(spark, sf_dir)
-    ).sortWithinPartitions("band_id", "band_val").write.partitionBy(
-        "band_id"
-    ).parquet(sig_path)
-    _write_home_bucket_layout(
-        spark.read.parquet(lake_cluster_labels_artifact(spark, sf_dir)),
-        lbl_path,
-    )
-
+    # The memoized artifact builders resolve first (sequential — they
+    # may run the one-time lake jobs); the three independent setup
+    # writes (sig copy, home layout, stream input) then overlap in a
+    # small pool (guide §2.6 — disjoint output dirs, read-only inputs).
+    lake_sig = lake_signature_artifact(spark, sf_dir)
+    lake_lbl = lake_cluster_labels_artifact(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    docs.repartition(4, "doc_id").write.parquet(indir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sig_f = pool.submit(
+            lambda: spark.read.parquet(lake_sig)
+            .sortWithinPartitions("band_id", "band_val")
+            .write.partitionBy("band_id")
+            .parquet(sig_path)
+        )
+        lbl_f = pool.submit(
+            _write_home_bucket_layout,
+            spark.read.parquet(lake_lbl),
+            lbl_path,
+        )
+        docs.repartition(4, "doc_id").write.parquet(indir)
+        sig_f.result()
+        lbl_f.result()
 
     def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
         bands = simhash_bands(
@@ -2291,13 +2302,25 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, bands, sig_path, lbl_path
         )
         labels, _ = min_label_components(spark, pairs)
-        _apply_maintenance_for_state(
-            spark,
-            lbl_path,
-            labels.localCheckpoint(eager=True),
-            singles.localCheckpoint(eager=False),
-        )
-        append_to_band_artifact(bands, sig_path, "band_val")
+        # r18 (guide §2.6): once the BSP's first action has run, the
+        # gate join over the signature copy is materialized (bands and
+        # the contracted graph are checkpointed), so the epoch's band
+        # append — which touches sig_path only — is independent of the
+        # label apply (lbl_path only) and overlaps it in a worker
+        # thread. The per-epoch invariant is unchanged: both are done
+        # before the trigger returns, so epoch N+1 still sees epoch N's
+        # bands and labels.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            band_f = pool.submit(
+                append_to_band_artifact, bands, sig_path, "band_val"
+            )
+            _apply_maintenance_for_state(
+                spark,
+                lbl_path,
+                labels.localCheckpoint(eager=True),
+                singles.localCheckpoint(eager=False),
+            )
+            band_f.result()
 
     q = (
         spark.readStream.schema(docs.schema)
@@ -2394,78 +2417,104 @@ def stream_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
 
-    spark.read.parquet(
-        lake_signature_artifact(spark, sf_dir)
-    ).sortWithinPartitions("band_id", "band_val").write.partitionBy(
-        "band_id"
-    ).parquet(sig_path)
-    _write_home_bucket_layout(
-        spark.read.parquet(lake_cluster_labels_artifact(spark, sf_dir)),
-        lbl_path,
-    )
+    # Same setup-overlap device as stream_cluster_maintenance: resolve
+    # the memoized artifacts first, then run the three independent
+    # setup writes concurrently (guide §2.6).
+    lake_sig = lake_signature_artifact(spark, sf_dir)
+    lake_lbl = lake_cluster_labels_artifact(spark, sf_dir)
     pw_art = spark.read.parquet(lake_passage_artifact(spark, sf_dir)).select(
         "pfx", "passage_md5"
     )
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     ).filter(F.col("doc_id") % 10 == 0)
-    docs.repartition(4, "doc_id").write.parquet(indir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sig_f = pool.submit(
+            lambda: spark.read.parquet(lake_sig)
+            .sortWithinPartitions("band_id", "band_val")
+            .write.partitionBy("band_id")
+            .parquet(sig_path)
+        )
+        lbl_f = pool.submit(
+            _write_home_bucket_layout,
+            spark.read.parquet(lake_lbl),
+            lbl_path,
+        )
+        docs.repartition(4, "doc_id").write.parquet(indir)
+        sig_f.result()
+        lbl_f.result()
 
     def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        # label lifecycle (the stream_cluster_maintenance composition)
-        bands = simhash_bands(
-            simhash_sigs_docs(batch_df.select("doc_id", "text"))
-        ).localCheckpoint(eager=False)
-        pairs, singles = _cluster_graph_for_bands(
-            spark, bands, sig_path, lbl_path
-        )
-        labels, _ = min_label_components(spark, pairs)
-        _apply_maintenance_for_state(
-            spark,
-            lbl_path,
-            labels.localCheckpoint(eager=True),
-            singles.localCheckpoint(eager=False),
-        )
-        append_to_band_artifact(bands, sig_path, "band_val")
-        # provisional admission: quality + lake-passage scrub
-        w = _passage_windows(batch_df).select(
-            "doc_id", "passage_md5", _passage_pfx()
-        ).localCheckpoint(eager=False)
-        hits = (
-            w.join(pw_art, ["pfx", "passage_md5"], "leftsemi")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("nh"))
-        )
-        scrub = (
-            w.groupBy("doc_id")
-            .agg(F.count("*").alias("nw"))
-            .join(hits, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.expr("(1000000 * coalesce(nh, 0)) DIV nw").alias(
-                    "dup_ppm"
-                ),
+
+        # provisional admission: quality + lake-passage scrub. Reads the
+        # epoch checkpoint + the STATIC lake digest artifact and writes
+        # the epoch-keyed sink dir — fully independent of the label
+        # lifecycle below (which touches sig_path/lbl_path only), so it
+        # runs in a worker thread alongside it (guide §2.6; the r17
+        # multimodal-snapshot device). Epoch semantics unchanged: both
+        # halves complete before the trigger returns.
+        def _admit_epoch() -> None:
+            w = _passage_windows(batch_df).select(
+                "doc_id", "passage_md5", _passage_pfx()
+            ).localCheckpoint(eager=False)
+            hits = (
+                w.join(pw_art, ["pfx", "passage_md5"], "leftsemi")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nh"))
             )
-        )
-        n_tok = F.size(F.split("text", " "))
-        res = (
-            batch_df.filter(snapshot_quality_keep())
-            .select(
-                "doc_id", "lang", "source",
-                n_tok.cast("bigint").alias("n_tokens"),
+            scrub = (
+                w.groupBy("doc_id")
+                .agg(F.count("*").alias("nw"))
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.expr("(1000000 * coalesce(nh, 0)) DIV nw").alias(
+                        "dup_ppm"
+                    ),
+                )
             )
-            .join(scrub, "doc_id", "left")
-            .withColumn(
-                "dup_ppm",
-                F.coalesce("dup_ppm", F.lit(0)).cast("bigint"),
+            n_tok = F.size(F.split("text", " "))
+            res = (
+                batch_df.filter(snapshot_quality_keep())
+                .select(
+                    "doc_id", "lang", "source",
+                    n_tok.cast("bigint").alias("n_tokens"),
+                )
+                .join(scrub, "doc_id", "left")
+                .withColumn(
+                    "dup_ppm",
+                    F.coalesce("dup_ppm", F.lit(0)).cast("bigint"),
+                )
+                .filter(F.col("dup_ppm") < 500000)
             )
-            .filter(F.col("dup_ppm") < 500000)
-        )
-        res.write.mode("overwrite").parquet(
-            os.path.join(outdir, f"epoch={epoch_id}")
-        )
+            res.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"epoch={epoch_id}")
+            )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            admit_f = pool.submit(_admit_epoch)
+            # label lifecycle (the stream_cluster_maintenance
+            # composition), with the same band-append overlap
+            bands = simhash_bands(
+                simhash_sigs_docs(batch_df.select("doc_id", "text"))
+            ).localCheckpoint(eager=False)
+            pairs, singles = _cluster_graph_for_bands(
+                spark, bands, sig_path, lbl_path
+            )
+            labels, _ = min_label_components(spark, pairs)
+            with ThreadPoolExecutor(max_workers=1) as band_pool:
+                band_f = band_pool.submit(
+                    append_to_band_artifact, bands, sig_path, "band_val"
+                )
+                _apply_maintenance_for_state(
+                    spark,
+                    lbl_path,
+                    labels.localCheckpoint(eager=True),
+                    singles.localCheckpoint(eager=False),
+                )
+                band_f.result()
+            admit_f.result()
 
     q = (
         spark.readStream.schema(docs.schema)
